@@ -1,0 +1,529 @@
+"""Source/target connectors.
+
+The reference drives one database (Oracle) through a thin connection
+(/root/reference/src/oracledb_datapump/database.py:40-85) and delegates all
+row movement to the server. Our engine owns the data plane, so a Connector
+is the pluggable seam: it lists namespaces/tables (catalog introspection —
+reference database.py:105-138, sql.py:7-11,81-86) and reads/writes tables
+as Spark DataFrames.
+
+Production path: JdbcConnector — partitioned `spark.read.jdbc` (executors
+pull shards directly from the DB; nothing transits the driver) and
+`df.write.jdbc`. Test paths: ParquetConnector (pure Spark I/O, fully
+distributed) and DuckDbConnector (in-process DB stand-in per BASELINE.json
+"duckdb-oracle"; exchanges Arrow batches on the driver — acceptable for
+test scale only, and stated so).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Protocol, runtime_checkable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .exceptions import FileError, UsageError
+
+SYSTEM_SCHEMAS = {"information_schema", "pg_catalog", "system", "temp"}
+
+
+@runtime_checkable
+class Connector(Protocol):
+    """Catalog + table I/O abstraction."""
+
+    def list_schemas(self) -> list[str]: ...
+
+    def list_tables(self, schema: str) -> list[str]: ...
+
+    def table_exists(self, schema: str, table: str) -> bool: ...
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        *,
+        as_of: str | None = None,
+        parallel: int = 1,
+        predicate: str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame: ...
+
+    def write_table(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        *,
+        mode: str = "error",
+        truncate: bool = False,
+        options: dict[str, str] | None = None,
+    ) -> None: ...
+
+    def drop_table(self, schema: str, table: str) -> None: ...
+
+    def snapshot_marker(self) -> str | None:
+        """A monotone marker for as-of consistency (reference captures an
+        Oracle SCN — job.py:261-269, sql.py:90). Generic connectors return
+        a wall-clock watermark or None."""
+        ...
+
+    def schema_version(self, schema: str) -> str | None: ...
+
+    def tablespaces(self, schema: str) -> list[str]: ...
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*$")
+
+
+def quote_ident(name: str) -> str:
+    """Defensive identifier quoting for SQL we assemble."""
+    if _IDENT_RE.match(name):
+        return name
+    return '"' + name.replace('"', '""') + '"'
+
+
+class ParquetConnector:
+    """A directory-of-parquet 'database'.
+
+    Layout: ``root/<schema>/<table>.parquet`` or (flat) ``root/<table>.parquet``
+    presented as schema ``main``. Reads and writes are plain distributed
+    Spark parquet I/O — this connector is scale-clean.
+    """
+
+    def __init__(self, root: str, flat_schema: str = "main"):
+        self.root = root
+        self.flat_schema = flat_schema
+
+    # -- catalog ---------------------------------------------------------
+    def _is_flat(self) -> bool:
+        if not os.path.isdir(self.root):
+            return False
+        return any(n.endswith(".parquet") for n in os.listdir(self.root))
+
+    def list_schemas(self) -> list[str]:
+        if self._is_flat():
+            return [self.flat_schema]
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n)) and n not in SYSTEM_SCHEMAS
+        )
+
+    def _schema_dir(self, schema: str) -> str:
+        if self._is_flat():
+            if schema != self.flat_schema:
+                raise UsageError(f"Unknown schema {schema!r} (flat layout)")
+            return self.root
+        return os.path.join(self.root, schema)
+
+    def list_tables(self, schema: str) -> list[str]:
+        d = self._schema_dir(schema)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for n in sorted(os.listdir(d)):
+            if n.endswith(".parquet"):
+                out.append(n[: -len(".parquet")])
+        return out
+
+    def table_exists(self, schema: str, table: str) -> bool:
+        try:
+            return table in self.list_tables(schema)
+        except UsageError:
+            return False
+
+    def _path(self, schema: str, table: str) -> str:
+        return os.path.join(self._schema_dir(schema), f"{table}.parquet")
+
+    # -- I/O --------------------------------------------------------------
+    def read_table(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        *,
+        as_of: str | None = None,
+        parallel: int = 1,
+        predicate: str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        path = self._path(schema, table)
+        if not os.path.exists(path):
+            raise FileError(f"No such table: {schema}.{table} ({path})")
+        df = spark.read.parquet(path)
+        if predicate:
+            df = df.filter(predicate)  # pushed to the parquet scan by Catalyst
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def write_table(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        *,
+        mode: str = "error",
+        truncate: bool = False,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        path = self._path(schema, table)
+        if mode == "ignore" and os.path.exists(path):
+            return
+        writer = df.write.mode("overwrite" if mode in ("overwrite",) else mode)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.parquet(path)
+
+    def drop_table(self, schema: str, table: str) -> None:
+        import shutil
+
+        path = self._path(schema, table)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def snapshot_marker(self) -> str | None:
+        return None
+
+    def schema_version(self, schema: str) -> str | None:
+        return None
+
+    def tablespaces(self, schema: str) -> list[str]:
+        return []
+
+
+class DuckDbConnector:
+    """DuckDB-file-backed connector — the test stand-in for a real RDBMS
+    (BASELINE.json: "t2 duckdb-oracle").
+
+    Rows are exchanged as Arrow tables through the driver. That is correct
+    but NOT the 100 TB path — at scale use JdbcConnector, where executors
+    read partitioned shards directly. This connector exists so the job
+    lifecycle, directives and round-trip semantics are testable hermetically.
+    """
+
+    def __init__(self, path: str = ":memory:"):
+        import duckdb
+
+        self.path = path
+        self._con = duckdb.connect(path)
+
+    @property
+    def con(self):
+        return self._con
+
+    def _cursor(self):
+        # Per-call cursor: DuckDB's documented pattern for concurrent use of
+        # one connection from many threads (our engine pool, engine.py).
+        return self._con.cursor()
+
+    def execute(self, sql: str, params: Any = None):
+        cur = self._cursor()
+        return cur.execute(sql, params) if params else cur.execute(sql)
+
+    # -- catalog ---------------------------------------------------------
+    def list_schemas(self) -> list[str]:
+        rows = self._cursor().execute(
+            "SELECT schema_name FROM information_schema.schemata ORDER BY 1"
+        ).fetchall()
+        return [r[0] for r in rows if r[0] not in SYSTEM_SCHEMAS]
+
+    def list_tables(self, schema: str) -> list[str]:
+        rows = self._cursor().execute(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = ? AND table_type = 'BASE TABLE' ORDER BY 1",
+            [schema],
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def table_exists(self, schema: str, table: str) -> bool:
+        return table in self.list_tables(schema)
+
+    def ensure_schema(self, schema: str) -> None:
+        self._cursor().execute(f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema)}")
+
+    # -- I/O --------------------------------------------------------------
+    def read_table(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        *,
+        as_of: str | None = None,
+        parallel: int = 1,
+        predicate: str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        cols = ", ".join(quote_ident(c) for c in columns) if columns else "*"
+        sql = f"SELECT {cols} FROM {quote_ident(schema)}.{quote_ident(table)}"
+        if predicate:
+            sql += f" WHERE {predicate}"
+        arrow = self._cursor().execute(sql).fetch_arrow_table()
+        df = spark.createDataFrame(arrow.to_pandas())
+        if parallel > 1:
+            df = df.repartition(parallel)
+        return df
+
+    def write_table(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        *,
+        mode: str = "error",
+        truncate: bool = False,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        import pyarrow as pa
+
+        fq = f"{quote_ident(schema)}.{quote_ident(table)}"
+        exists = self.table_exists(schema, table)
+        if mode == "ignore" and exists:
+            return
+        if mode == "error" and exists:
+            raise FileError(f"Table exists: {schema}.{table}")
+        self.ensure_schema(schema)
+        batches = df.toArrow()  # Arrow table on the driver (test-scale only)
+        if not isinstance(batches, pa.Table):  # pragma: no cover
+            batches = pa.Table.from_batches(list(batches))
+        # One cursor for the whole register → DML sequence (cursor-local view).
+        cur = self._cursor()
+        cur.register("_dp_incoming", batches)
+        try:
+            if mode == "overwrite":
+                if truncate and exists:
+                    # TABLE_EXISTS_ACTION=TRUNCATE: keep DDL, delete rows
+                    cur.execute(f"DELETE FROM {fq}")
+                    cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
+                else:
+                    # TABLE_EXISTS_ACTION=REPLACE: drop & recreate
+                    cur.execute(f"CREATE OR REPLACE TABLE {fq} AS SELECT * FROM _dp_incoming")
+            elif mode == "append":
+                if exists:
+                    cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
+                else:
+                    cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
+            else:  # error / first write
+                cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
+        finally:
+            cur.unregister("_dp_incoming")
+
+    def drop_table(self, schema: str, table: str) -> None:
+        self._cursor().execute(
+            f"DROP TABLE IF EXISTS {quote_ident(schema)}.{quote_ident(table)}"
+        )
+
+    def snapshot_marker(self) -> str | None:
+        from .util import utc_now
+
+        return "TS(" + utc_now().isoformat() + ")"
+
+    def schema_version(self, schema: str) -> str | None:
+        # Flyway-style version probe (reference database.py:111-115,128-138;
+        # sql.py:81-86): look for a <schema>.flyway_schema_history table.
+        try:
+            row = self._cursor().execute(
+                f"SELECT version FROM {quote_ident(schema)}.flyway_schema_history "
+                "WHERE success ORDER BY installed_rank DESC LIMIT 1"
+            ).fetchone()
+            return row[0] if row else None
+        except Exception:
+            return None
+
+    def tablespaces(self, schema: str) -> list[str]:
+        return []
+
+    def load_parquet_dir(self, schema: str, src_dir: str) -> list[str]:
+        """Fixture loader: CREATE TABLE per parquet file in a directory."""
+        self.ensure_schema(schema)
+        tables = []
+        for n in sorted(os.listdir(src_dir)):
+            if not n.endswith(".parquet"):
+                continue
+            t = n[: -len(".parquet")]
+            self._cursor().execute(
+                f"CREATE OR REPLACE TABLE {quote_ident(schema)}.{quote_ident(t)} AS "
+                f"SELECT * FROM read_parquet(?)",
+                [os.path.join(src_dir, n)],
+            )
+            tables.append(t)
+        return tables
+
+
+class JdbcConnector:
+    """Partitioned JDBC connector — the production scale path.
+
+    Reads shard on ``partition_column`` between min/max bounds so each of
+    ``parallel`` executors pulls its own range directly from the database
+    (this replaces Oracle Data Pump's server-side worker parallelism —
+    reference directives.py:400-409). As-of markers push down as dialect
+    subqueries, e.g. Oracle ``AS OF SCN n`` (reference job.py:261-269).
+
+    Untested in this container (no JDBC driver jar baked in); the logic is
+    exercised through the shared option-assembly helpers below.
+    """
+
+    def __init__(
+        self,
+        url: str,
+        properties: dict[str, str] | None = None,
+        dialect: str = "generic",
+    ):
+        self.url = url
+        self.properties = dict(properties or {})
+        self.dialect = dialect
+
+    # -- option assembly (unit-testable without a live DB) ----------------
+    def as_of_subquery(self, schema: str, table: str, as_of: str | None) -> str:
+        fq = f"{quote_ident(schema)}.{quote_ident(table)}"
+        if not as_of:
+            return fq
+        if self.dialect == "oracle":
+            if as_of.startswith("SCN(") and as_of.endswith(")"):
+                return f"(SELECT * FROM {fq} AS OF SCN {int(as_of[4:-1])})"
+            if as_of.startswith("TS(") and as_of.endswith(")"):
+                ts = as_of[3:-1]
+                return (
+                    f"(SELECT * FROM {fq} AS OF TIMESTAMP "
+                    f"TO_TIMESTAMP('{ts}', 'YYYY-MM-DD\"T\"HH24:MI:SS.FF'))"
+                )
+        # Generic dialects: snapshot consistency is per-table atomic only;
+        # recorded honestly in the manifest (SURVEY.md §7.3).
+        return fq
+
+    def read_options(
+        self,
+        schema: str,
+        table: str,
+        *,
+        as_of: str | None,
+        parallel: int,
+        partition_column: str | None,
+        bounds: tuple[int, int] | None,
+        fetchsize: int = 10_000,
+    ) -> dict[str, str]:
+        opts: dict[str, str] = {
+            "url": self.url,
+            "dbtable": self.as_of_subquery(schema, table, as_of)
+            if as_of
+            else f"{quote_ident(schema)}.{quote_ident(table)}",
+            "fetchsize": str(fetchsize),
+            **self.properties,
+        }
+        if parallel > 1 and partition_column and bounds:
+            opts.update(
+                partitionColumn=partition_column,
+                lowerBound=str(bounds[0]),
+                upperBound=str(bounds[1]),
+                numPartitions=str(parallel),
+            )
+        return opts
+
+    # -- catalog / I/O (require a live DB + driver jar) --------------------
+    def list_schemas(self) -> list[str]:  # pragma: no cover - needs live DB
+        raise NotImplementedError("JDBC catalog introspection needs a live DB")
+
+    def list_tables(self, schema: str) -> list[str]:  # pragma: no cover
+        raise NotImplementedError
+
+    def table_exists(self, schema: str, table: str) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+    def read_table(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        *,
+        as_of: str | None = None,
+        parallel: int = 1,
+        predicate: str | None = None,
+        columns: list[str] | None = None,
+        partition_column: str | None = None,
+        bounds: tuple[int, int] | None = None,
+    ) -> DataFrame:  # pragma: no cover - needs live DB
+        reader = spark.read.format("jdbc")
+        for k, v in self.read_options(
+            schema,
+            table,
+            as_of=as_of,
+            parallel=parallel,
+            partition_column=partition_column,
+            bounds=bounds,
+        ).items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        if predicate:
+            df = df.filter(predicate)  # pushed down by Catalyst JDBC rules
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def write_table(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        *,
+        mode: str = "error",
+        truncate: bool = False,
+        options: dict[str, str] | None = None,
+    ) -> None:  # pragma: no cover - needs live DB
+        writer = (
+            df.write.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f"{quote_ident(schema)}.{quote_ident(table)}")
+            .option("truncate", str(truncate).lower())
+            .option("batchsize", (options or {}).get("batchsize", "10000"))
+        )
+        for k, v in self.properties.items():
+            writer = writer.option(k, v)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.mode(mode).save()
+
+    def drop_table(self, schema: str, table: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def snapshot_marker(self) -> str | None:
+        from .util import utc_now
+
+        return "TS(" + utc_now().isoformat() + ")"
+
+    def schema_version(self, schema: str) -> str | None:  # pragma: no cover
+        return None
+
+    def tablespaces(self, schema: str) -> list[str]:  # pragma: no cover
+        return []
+
+
+def resolve_connector(connection: object) -> Connector:
+    """Build a connector from a URL string, dict, or ready object
+    (reference database.py:69-85 accepts str | dict | Connection)."""
+    if isinstance(connection, (ParquetConnector, DuckDbConnector, JdbcConnector)):
+        return connection
+    if isinstance(connection, str):
+        if connection.startswith("duckdb://"):
+            return DuckDbConnector(connection[len("duckdb://") :] or ":memory:")
+        if connection.startswith("parquet://"):
+            return ParquetConnector(connection[len("parquet://") :])
+        if connection.startswith("jdbc:"):
+            return JdbcConnector(connection)
+        raise UsageError(f"Unrecognized connection url: {connection!r}")
+    if isinstance(connection, dict):
+        url = connection.get("url", "")
+        props = {
+            k: str(v)
+            for k, v in connection.items()
+            if k not in ("url",) and v is not None
+        }
+        if url.startswith("jdbc:"):
+            return JdbcConnector(url, props)
+        return resolve_connector(url)
+    raise UsageError(f"Cannot resolve connection from {type(connection).__name__}")

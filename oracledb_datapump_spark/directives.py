@@ -1,0 +1,677 @@
+"""Directive DSL.
+
+Parity reference: /root/reference/src/oracledb_datapump/directives.py (694
+LoC). The reference compiles directives into DBMS_DATAPUMP proc calls
+(METADATA_FILTER :122-134, SET_PARAMETER :202-216, METADATA_REMAP :434-446,
+METADATA_TRANSFORM :485-496, SET_PARALLEL :400-409). Here each directive
+compiles into a ``PlanConfig`` — the declarative input to the planner:
+catalog predicates, DataFrameReader/Writer options, identifier-rewrite maps
+and post-job actions.
+
+Registry pattern mirrors the reference (``__init_subclass__`` registry,
+directives.py:37-41; ``Directive.NAME`` attribute lookup via metaclass,
+:631-642), so the JSON protocol can instantiate directives by name.
+
+Enum-valued parameters keep the reference's ergonomic singleton form
+(``Compression.ALL`` — directives.py:52-63,223-224).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Any, ClassVar
+
+from .base import Stage
+from .exceptions import InvalidDirective, InvalidObjectType, UsageError
+from .util import coerce_bool, parse_dt
+
+# ---------------------------------------------------------------------------
+# Object-type registry (replaces Oracle dictionary views
+# DATABASE_EXPORT_OBJECTS / SCHEMA_EXPORT_OBJECTS / TABLE_EXPORT_OBJECTS —
+# reference directives.py:589-610, sql.py:19-37).
+# ---------------------------------------------------------------------------
+
+OBJECT_TYPES_BY_MODE: dict[str, frozenset[str]] = {
+    "FULL": frozenset(
+        {"SCHEMA", "USER", "TABLE", "TABLE_DATA", "VIEW", "INDEX", "GRANT",
+         "CONSTRAINT", "STATISTICS", "PROCEDURE", "FUNCTION", "SEQUENCE"}
+    ),
+    "SCHEMA": frozenset(
+        {"USER", "TABLE", "TABLE_DATA", "VIEW", "INDEX", "GRANT",
+         "CONSTRAINT", "STATISTICS", "PROCEDURE", "FUNCTION", "SEQUENCE"}
+    ),
+    "TABLE": frozenset(
+        {"TABLE", "TABLE_DATA", "INDEX", "GRANT", "CONSTRAINT", "STATISTICS"}
+    ),
+    "TABLESPACE": frozenset({"TABLE", "TABLE_DATA", "INDEX", "CONSTRAINT"}),
+    "TRANSPORTABLE": frozenset({"TABLE", "TABLE_DATA"}),
+}
+
+
+def validate_object_type(mode: str, object_type: str) -> str:
+    """Reject invalid object types, error carrying the valid list
+    (reference directives.py:613-625, exceptions.py:4-11)."""
+    valid = OBJECT_TYPES_BY_MODE.get(mode, OBJECT_TYPES_BY_MODE["SCHEMA"])
+    ot = object_type.upper()
+    if ot not in valid:
+        raise InvalidObjectType(object_type, sorted(valid))
+    return ot
+
+
+# ---------------------------------------------------------------------------
+# PlanConfig — what directives compile into.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PlanConfig:
+    """Declarative job configuration, consumed by the planner/engine."""
+
+    # filters (metadata/object-level — reference §2.2)
+    include_schemas: list[str] = field(default_factory=list)
+    include_tables: list[str] = field(default_factory=list)
+    exclude_object_types: set[str] = field(default_factory=set)
+    include_object_types: set[str] | None = None
+    # row-level extension (reference lacks QUERY wrapping; SURVEY.md §2.2)
+    table_predicates: dict[str, str] = field(default_factory=dict)
+    table_columns: dict[str, list[str]] = field(default_factory=dict)
+
+    # parallelism
+    parallel: int = 1  # reference default job.py:136-140
+
+    # dump-set physical options
+    compression: str = "METADATA_ONLY"
+    compression_algorithm: str = "BASIC"
+    encryption: dict[str, str] = field(default_factory=dict)
+
+    # estimation / dry-run
+    estimate: str | None = None
+    estimate_only: bool = False
+
+    # snapshot
+    flashback_scn: int | None = None
+    flashback_time: datetime | None = None
+
+    # import behavior
+    table_exists_action: str = "SKIP"  # Oracle default for import w/o CONTENT
+    partition_options: str = "NONE"
+    data_options: set[str] = field(default_factory=set)
+    skip_constraint_errors: bool = False
+    validate_table_data: bool = False
+
+    # metadata
+    include_metadata: bool = True
+
+    # remaps
+    remap_schema: dict[str, str] = field(default_factory=dict)
+    remap_tablespace: dict[str, str] = field(default_factory=dict)
+    remap_datafile: dict[str, str] = field(default_factory=dict)
+
+    # accepted-and-recorded knobs with no Spark behavior (SURVEY.md §7.4)
+    recorded_noops: dict[str, Any] = field(default_factory=dict)
+
+    # post-stage actions
+    delete_files_after: bool = False
+
+    # observability
+    logtime: str = "NONE"
+    metrics: bool = False
+    client_command: str | None = None
+    keep_master: bool = False
+
+    # -- derived Spark options -------------------------------------------
+    def parquet_codec(self) -> str:
+        """COMPRESSION × COMPRESSION_ALGORITHM → parquet codec
+        (SURVEY.md P2/P3 mapping)."""
+        if self.compression in ("NONE", "METADATA_ONLY"):
+            return "uncompressed"
+        # DATA_ONLY / ALL
+        return {
+            "BASIC": "snappy",
+            "LOW": "lz4",
+            "MEDIUM": "zstd",
+            "HIGH": "gzip",
+        }.get(self.compression_algorithm, "snappy")
+
+    def write_mode(self) -> tuple[str, bool]:
+        """TABLE_EXISTS_ACTION → (spark write mode, truncate flag)
+        (reference directives.py:372-376; SURVEY.md P9 mapping)."""
+        action = self.table_exists_action.upper()
+        return {
+            "TRUNCATE": ("overwrite", True),
+            "REPLACE": ("overwrite", False),
+            "APPEND": ("append", False),
+            "SKIP": ("ignore", False),
+        }.get(action, ("error", False))
+
+    def as_of_marker(self) -> str | None:
+        if self.flashback_scn is not None:
+            return f"SCN({self.flashback_scn})"
+        if self.flashback_time is not None:
+            return f"TS({self.flashback_time.isoformat()})"
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Directive base + registry
+# ---------------------------------------------------------------------------
+
+
+class _DirectiveMeta(type):
+    """``Directive.SOME_NAME`` attribute lookup resolves registry entries,
+    mirroring the reference's ClassGetAttr metaclass (directives.py:631-642)."""
+
+    def __getattr__(cls, item: str):
+        reg = DirectiveBase.registry
+        if item in reg:
+            return reg[item]
+        raise AttributeError(item)
+
+
+class DirectiveBase(metaclass=_DirectiveMeta):
+    """Root of the directive hierarchy (reference directives.py:30-49)."""
+
+    registry: ClassVar[dict[str, type["DirectiveBase"]]] = {}
+    NAME: ClassVar[str] = ""
+    STAGE: ClassVar[Stage] = Stage.DATAPUMP
+
+    def __init_subclass__(cls, name: str | None = None, **kw):
+        super().__init_subclass__(**kw)
+        if name:
+            cls.NAME = name
+            DirectiveBase.registry[name] = cls
+
+    def apply(self, config: PlanConfig) -> None:
+        raise NotImplementedError
+
+    def to_dict(self) -> dict[str, Any]:
+        raise NotImplementedError
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{type(self).__name__}({self.to_dict()})"
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "DirectiveBase":
+        """JSON directive form {"name","value","old_value"?,"object_path"?}
+        (reference request.py:31-51)."""
+        name = d.get("name", "")
+        cls = DirectiveBase.registry.get(str(name).upper())
+        if cls is None:
+            raise InvalidDirective(f"Unknown directive {name!r}")
+        kwargs = dict(d.get("kwargs") or {})
+        if issubclass(cls, Remap):
+            return cls(old_value=d["old_value"], value=d["value"], **kwargs)
+        if issubclass(cls, Filter):
+            return cls(d.get("value"), object_path=d.get("object_path"), **kwargs)
+        if issubclass(cls, (Parameter, Transform)):
+            return cls(d.get("value"), **kwargs)
+        return cls(**kwargs)  # Extras take no value
+
+
+# -- Filters (reference directives.py:88-180) -------------------------------
+
+
+class Filter(DirectiveBase):
+    STAGE = Stage.DATAPUMP
+
+    def __init__(self, value: Any, object_path: str | None = None):
+        self.value = value
+        self.object_path = object_path
+
+    def to_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {"name": self.NAME, "value": self.value}
+        if self.object_path:
+            d["object_path"] = self.object_path
+        return d
+
+
+class IncludeSchema(Filter, name="INCLUDE_SCHEMA"):
+    """SCHEMA_EXPR IN ('NAME'); repeatable (reference directives.py:148-164)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.include_schemas.append(str(self.value))
+
+
+class IncludeTable(Filter, name="INCLUDE_TABLE"):
+    """NAME_EXPR IN ('NAME'), object_path=TABLE (reference directives.py:167-180)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.include_tables.append(str(self.value))
+
+
+class ExcludeObjectType(Filter, name="EXCLUDE_OBJECT_TYPE"):
+    """Drop an object class from the job (reference directives.py:137-145).
+    Excluding TABLE ⇒ metadata-only export (reference tests/test_export.py:43-46)."""
+
+    mode_for_validation: ClassVar[str] = "SCHEMA"
+
+    def apply(self, config: PlanConfig) -> None:
+        config.exclude_object_types.add(
+            validate_object_type(self.mode_for_validation, str(self.value))
+        )
+
+
+class Query(Filter, name="QUERY"):
+    """Row-level predicate per table — extension beyond the reference
+    (SURVEY.md §2.2: Data Pump QUERY is not wrapped there). value is the
+    predicate; object_path is the table name (empty = all tables)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_predicates[self.object_path or "*"] = str(self.value)
+
+
+class Columns(Filter, name="COLUMNS"):
+    """Column projection per table — extension (SURVEY.md §2.2)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        cols = self.value if isinstance(self.value, list) else str(self.value).split(",")
+        config.table_columns[self.object_path or "*"] = [c.strip() for c in cols]
+
+
+# -- Parameters (reference directives.py:186-409) ---------------------------
+
+
+class _EnumValued(_DirectiveMeta):
+    """After-class hook creating ``Compression.ALL``-style singletons
+    (reference DirectiveEnums metaclass, directives.py:52-63)."""
+
+    def __new__(mcls, clsname, bases, ns, **kw):
+        cls = super().__new__(mcls, clsname, bases, ns, **kw)
+        for v in ns.get("VALUES", ()):
+            setattr(cls, v, cls(v))
+        return cls
+
+
+class Parameter(DirectiveBase):
+    STAGE = Stage.DATAPUMP
+    VALUES: ClassVar[tuple[str, ...]] = ()
+
+    def __init__(self, value: Any):
+        self.value = self._coerce(value)
+
+    def _coerce(self, value: Any) -> Any:
+        if self.VALUES:
+            v = str(value).upper()
+            if v not in self.VALUES:
+                raise InvalidDirective(
+                    f"{self.NAME}: {value!r} not in {sorted(self.VALUES)}"
+                )
+            return v
+        return value
+
+    def to_dict(self) -> dict[str, Any]:
+        v = self.value
+        if isinstance(v, datetime):
+            v = v.isoformat()
+        if isinstance(v, set):
+            v = sorted(v)
+        return {"name": self.NAME, "value": v}
+
+
+class _EnumParameter(Parameter, metaclass=_EnumValued):
+    pass
+
+
+class Parallel(Parameter, name="PARALLEL"):
+    """Degree of parallelism (reference directives.py:400-409). Maps to
+    JDBC numPartitions + repartition before write + driver table-pool size."""
+
+    def _coerce(self, value):
+        n = int(value)
+        if n < 1:
+            raise InvalidDirective("PARALLEL must be >= 1")
+        return n
+
+    def apply(self, config: PlanConfig) -> None:
+        config.parallel = self.value
+
+
+class Compression(_EnumParameter, name="COMPRESSION"):
+    VALUES = ("DATA_ONLY", "METADATA_ONLY", "ALL", "NONE")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.compression = self.value
+
+
+class CompressionAlgorithm(_EnumParameter, name="COMPRESSION_ALGORITHM"):
+    VALUES = ("BASIC", "LOW", "MEDIUM", "HIGH")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.compression_algorithm = self.value
+
+
+class Encryption(_EnumParameter, name="ENCRYPTION"):
+    VALUES = ("ALL", "DATA_ONLY", "ENCRYPTED_COLUMNS_ONLY", "METADATA_ONLY", "NONE")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.encryption["scope"] = self.value
+
+
+class EncryptionAlgorithm(_EnumParameter, name="ENCRYPTION_ALGORITHM"):
+    VALUES = ("AES128", "AES192", "AES256")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.encryption["algorithm"] = self.value
+
+
+class EncryptionMode(_EnumParameter, name="ENCRYPTION_MODE"):
+    VALUES = ("PASSWORD", "TRANSPARENT", "DUAL")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.encryption["mode"] = self.value
+
+
+class EncryptionPassword(Parameter, name="ENCRYPTION_PASSWORD"):
+    def apply(self, config: PlanConfig) -> None:
+        config.encryption["password"] = str(self.value)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"name": self.NAME, "value": "***"}  # never persist the secret
+
+
+class Estimate(_EnumParameter, name="ESTIMATE"):
+    VALUES = ("BLOCKS", "STATISTICS")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.estimate = self.value
+
+
+class EstimateOnly(Parameter, name="ESTIMATE_ONLY"):
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.estimate_only = self.value
+        if config.estimate is None:
+            config.estimate = "STATISTICS"
+
+
+class DataAccessMethod(_EnumParameter, name="DATA_ACCESS_METHOD"):
+    VALUES = ("AUTOMATIC", "DIRECT_PATH", "EXTERNAL_TABLE")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.recorded_noops["DATA_ACCESS_METHOD"] = self.value
+
+
+class FlashbackScn(Parameter, name="FLASHBACK_SCN"):
+    """Export as-of a system change number (reference directives.py:308-311;
+    auto-injected on EXPORT by job.py:261-269 — mirrored in our Job.run)."""
+
+    def _coerce(self, value):
+        return int(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.flashback_scn = self.value
+
+
+class FlashbackTime(Parameter, name="FLASHBACK_TIME"):
+    """As-of timestamp (reference directives.py:314-320)."""
+
+    def _coerce(self, value):
+        return parse_dt(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.flashback_time = self.value
+
+
+class TableExistsAction(_EnumParameter, name="TABLE_EXISTS_ACTION"):
+    VALUES = ("TRUNCATE", "REPLACE", "APPEND", "SKIP")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_exists_action = self.value
+
+
+class PartitionOptions(_EnumParameter, name="PARTITION_OPTIONS"):
+    VALUES = ("NONE", "DEPARTITION", "MERGE")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.partition_options = self.value
+
+
+DATA_OPTION_FLAGS = (
+    # reference directives.py:227-238 — flag list OR'd to a bitmask there;
+    # a plain set here, consumed as writer error policy.
+    "SKIP_CONST_ERR",
+    "XMLTYPE_CLOB",
+    "NO_TYPE_EVOL",
+    "DISABL_APPEND_HINT",
+    "REJECT_ROWS_REPCHR",
+    "ENABLE_NET_COMP",
+    "GRP_PART_TAB",
+    "TRUST_EXIST_TB_PAR",
+    "VALIDATE_TBL_DATA",
+    "VERIFY_STREAM_FORM",
+    "CONT_LD_ON_FMT_ERR",
+)
+
+
+class DataOptions(Parameter, name="DATA_OPTIONS"):
+    def _coerce(self, value):
+        flags = value if isinstance(value, (list, tuple, set)) else [value]
+        out = set()
+        for f in flags:
+            fu = str(f).upper()
+            if fu not in DATA_OPTION_FLAGS:
+                raise InvalidDirective(
+                    f"DATA_OPTIONS: {f!r} not in {sorted(DATA_OPTION_FLAGS)}"
+                )
+            out.add(fu)
+        return out
+
+    def apply(self, config: PlanConfig) -> None:
+        config.data_options |= self.value
+        config.skip_constraint_errors = "SKIP_CONST_ERR" in config.data_options
+        config.validate_table_data = "VALIDATE_TBL_DATA" in config.data_options
+
+
+class IncludeMetadata(Parameter, name="INCLUDE_METADATA"):
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.include_metadata = self.value
+
+
+class LogTime(_EnumParameter, name="LOGTIME"):
+    VALUES = ("NONE", "STATUS", "LOGFILE", "ALL")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.logtime = self.value
+
+
+class Metrics(Parameter, name="METRICS"):
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.metrics = self.value
+
+
+class KeepMaster(Parameter, name="KEEP_MASTER"):
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.keep_master = self.value
+
+
+class ClientCommand(Parameter, name="CLIENT_COMMAND"):
+    def apply(self, config: PlanConfig) -> None:
+        config.client_command = str(self.value)
+
+
+def _make_noop_parameter(name_: str) -> type[Parameter]:
+    """Oracle-physical knobs accepted and recorded for API parity but with
+    no Spark behavior (reference directives.py:241-242,327-397; SURVEY.md
+    P13 + §7.4)."""
+
+    class _Noop(Parameter, name=name_):
+        def apply(self, config: PlanConfig) -> None:
+            config.recorded_noops[self.NAME] = (
+                sorted(self.value) if isinstance(self.value, set) else self.value
+            )
+
+    _Noop.__name__ = "Noop_" + name_
+    return _Noop
+
+
+NOOP_PARAMETERS = [
+    _make_noop_parameter(n)
+    for n in (
+        "SKIP_UNUSABLE_INDEXES",
+        "REUSE_DATAFILES",
+        "SOURCE_EDITION",
+        "TARGET_EDITION",
+        "STREAMS_CONFIGURATION",
+        "TRANSPORTABLE",
+        "TTS_FULL_CHECK",
+        "TABLESPACE_DATAFILE",
+        "USER_METADATA",
+        "MASTER_ONLY",
+    )
+]
+
+
+# -- Remaps (reference directives.py:412-458) --------------------------------
+
+
+class Remap(DirectiveBase):
+    STAGE = Stage.DATAPUMP
+
+    def __init__(self, old_value: str, value: str):
+        # values upper-cased in the reference (directives.py:419-422); we
+        # preserve case for case-sensitive catalogs but strip whitespace.
+        self.old_value = str(old_value).strip()
+        self.value = str(value).strip()
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"name": self.NAME, "old_value": self.old_value, "value": self.value}
+
+
+class RemapSchema(Remap, name="REMAP_SCHEMA"):
+    """Rename namespace old→new on import (reference directives.py:449-450)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.remap_schema[self.old_value] = self.value
+
+
+class RemapTablespace(Remap, name="REMAP_TABLESPACE"):
+    def apply(self, config: PlanConfig) -> None:
+        config.remap_tablespace[self.old_value] = self.value
+
+
+class RemapDatafile(Remap, name="REMAP_DATAFILE"):
+    """No datafiles in Spark; kept for manifest fidelity
+    (reference directives.py:457-458; SURVEY.md R3)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.remap_datafile[self.old_value] = self.value
+
+
+# -- Transforms (reference directives.py:461-553) ----------------------------
+
+
+class Transform(DirectiveBase):
+    STAGE = Stage.DATAPUMP
+
+    def __init__(self, value: Any):
+        self.value = value
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"name": self.NAME, "value": self.value}
+
+    def apply(self, config: PlanConfig) -> None:
+        config.recorded_noops[self.NAME] = self.value
+
+
+class TransformOid(Transform, name="OID"):
+    pass
+
+
+class TransformPctspace(Transform, name="PCTSPACE"):
+    pass
+
+
+class TransformSegmentAttributes(Transform, name="SEGMENT_ATTRIBUTES"):
+    pass
+
+
+class TransformSegmentCreation(Transform, name="SEGMENT_CREATION"):
+    pass
+
+
+class TransformStorage(Transform, name="STORAGE"):
+    pass
+
+
+class TransformDisableArchiveLogging(Transform, name="DISABLE_ARCHIVE_LOGGING"):
+    pass
+
+
+class TransformInmemory(Transform, name="INMEMORY"):
+    pass
+
+
+class TransformInmemoryClause(Transform, name="INMEMORY_CLAUSE"):
+    pass
+
+
+class TransformLobStorage(Transform, name="LOB_STORAGE"):
+    pass
+
+
+class TransformTableCompressionClause(Transform, name="TABLE_COMPRESSION_CLAUSE"):
+    """Maps to a parquet codec override (SURVEY.md T4)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        v = str(self.value).lower()
+        codec = {
+            "nocompress": "uncompressed",
+            "compress": "snappy",
+            "compress for oltp": "zstd",
+            "compress basic": "snappy",
+        }.get(v, None)
+        if codec:
+            config.recorded_noops["TABLE_COMPRESSION_CLAUSE_CODEC"] = codec
+        config.recorded_noops["TABLE_COMPRESSION_CLAUSE"] = self.value
+
+
+# -- Extras (POST stage — reference directives.py:556-586) -------------------
+
+
+class Extra(DirectiveBase):
+    STAGE = Stage.POST
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"name": self.NAME}
+
+
+class DeleteFiles(Extra, name="DELETE_FILES"):
+    """Delete the dump set after a *synchronous* import completes
+    (reference directives.py:577-586; wait-only guard job.py:288-295)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.delete_files_after = True
+
+
+# ---------------------------------------------------------------------------
+
+
+def compile_directives(
+    directives: list[DirectiveBase], mode: str = "SCHEMA"
+) -> PlanConfig:
+    """Apply directives in declared order (reference applies stage-matching
+    subsets in list order — commands.py:198-214, job.py:277-286)."""
+    config = PlanConfig()
+    ExcludeObjectType.mode_for_validation = mode
+    try:
+        for d in directives:
+            d.apply(config)
+    finally:
+        ExcludeObjectType.mode_for_validation = "SCHEMA"
+    return config
+
+
+# Ergonomic alias namespace mirroring the reference's ``Directive`` facade.
+Directive = DirectiveBase

@@ -1,0 +1,203 @@
+"""Parquet dump-set layout + manifest + event log.
+
+Replaces the reference's remote-file subsystem
+(/root/reference/src/oracledb_datapump/files.py, 1,238 LoC): there, dump
+files are opaque server-side binaries streamed through UTL_FILE in 32 KiB
+chunks; here, a dump set is a directory of Parquet tables —
+
+    <dumpdir>/
+      _datapump_manifest.json      (reference base.py:43-56, job.py:235-259)
+      _datapump_events.jsonl       (replaces the Oracle logfile, status.py:449-579)
+      <schema>/<table>/part-*.parquet
+
+Spark writes N part-files natively, which subsumes the reference's
+%U-substitution dump-set planner (files.py:769-885): ``parallel`` maps to
+the partition count, and no import-time file probing is needed because the
+filesystem can list directories (unlike UTL_FILE — files.py:810-857).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import threading
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from .base import JobMetaData
+from .exceptions import FileError
+from .util import utc_now
+
+MANIFEST_NAME = "_datapump_manifest.json"
+EVENTS_NAME = "_datapump_events.jsonl"
+LOGFILE_NAME = "_datapump_log.txt"
+
+
+@dataclass
+class DumpFileInfo:
+    """Per-table dump info (parity: GET_DUMPFILE_INFO's 25-item payload —
+    reference files.py:387-408, status.py:78-104,127-159 — reduced to what
+    a Parquet dump set actually has)."""
+
+    table: str
+    schema: str
+    path: str
+    file_count: int
+    bytes: int
+    row_count: int | None
+    codec: str | None
+    spark_schema_json: str | None
+    created_by: str = "oracledb-datapump-spark"
+    version: str = "1.0"
+
+    def to_dict(self) -> dict[str, Any]:
+        return self.__dict__.copy()
+
+
+class DumpSet:
+    """A dump-set directory handle."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+
+    # -- layout ------------------------------------------------------------
+    def table_dir(self, schema: str, table: str) -> str:
+        return os.path.join(self.root, schema, table)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_NAME)
+
+    @property
+    def events_path(self) -> str:
+        return os.path.join(self.root, EVENTS_NAME)
+
+    @property
+    def logfile_path(self) -> str:
+        return os.path.join(self.root, LOGFILE_NAME)
+
+    def exists(self) -> bool:
+        return os.path.isfile(self.manifest_path)
+
+    def ensure_dir(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    def delete(self) -> None:
+        """DELETE_FILES post-action (reference directives.py:577-586,
+        files.py:463-476)."""
+        if os.path.isdir(self.root):
+            shutil.rmtree(self.root)
+
+    # -- manifest ------------------------------------------------------------
+    def write_manifest(self, meta: JobMetaData) -> None:
+        self.ensure_dir()
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta.to_dict(), f, indent=2, default=str)
+        os.replace(tmp, self.manifest_path)
+
+    def read_manifest(self) -> JobMetaData:
+        if not self.exists():
+            raise FileError(f"No dump-set manifest at {self.manifest_path}")
+        with open(self.manifest_path) as f:
+            return JobMetaData.from_dict(json.load(f))
+
+    # -- tables ---------------------------------------------------------------
+    def list_tables(self) -> list[tuple[str, str]]:
+        """(schema, table) pairs present in the dump set, from the manifest
+        when available, else by directory walk."""
+        if self.exists():
+            meta = self.read_manifest()
+            out = []
+            for key in meta.tables:
+                schema, _, table = key.partition(".")
+                out.append((schema, table))
+            if out:
+                return sorted(out)
+        out = []
+        if os.path.isdir(self.root):
+            for schema in sorted(os.listdir(self.root)):
+                sdir = os.path.join(self.root, schema)
+                if not os.path.isdir(sdir) or schema.startswith("_"):
+                    continue
+                for table in sorted(os.listdir(sdir)):
+                    if os.path.isdir(os.path.join(sdir, table)):
+                        out.append((schema, table))
+        return out
+
+    def dumpfiles(self) -> list[str]:
+        """All part-file paths (the dump 'files' — reference's DumpFileSet)."""
+        return sorted(
+            glob.glob(os.path.join(self.root, "*", "*", "*.parquet"))
+            + glob.glob(os.path.join(self.root, "*", "*", "part-*"))
+        )
+
+    def get_dumpfile_info(self, schema: str, table: str) -> DumpFileInfo:
+        d = self.table_dir(schema, table)
+        if not os.path.isdir(d):
+            raise FileError(f"No table dir {d}")
+        parts = [
+            p
+            for p in glob.glob(os.path.join(d, "*"))
+            if os.path.isfile(p) and not os.path.basename(p).startswith(("_", "."))
+        ]
+        total = sum(os.path.getsize(p) for p in parts)
+        row_count = codec = schema_json = None
+        meta_key = f"{schema}.{table}"
+        if self.exists():
+            tmeta = self.read_manifest().tables.get(meta_key, {})
+            row_count = tmeta.get("row_count")
+            codec = tmeta.get("codec")
+            schema_json = tmeta.get("spark_schema")
+        if codec is None and parts:
+            try:  # read the parquet footer directly
+                import pyarrow.parquet as pq
+
+                pf = pq.ParquetFile(parts[0])
+                codec = pf.metadata.row_group(0).column(0).compression.lower()
+                if row_count is None:
+                    row_count = sum(
+                        pq.ParquetFile(p).metadata.num_rows for p in parts
+                    )
+            except Exception:
+                pass
+        return DumpFileInfo(
+            table=table,
+            schema=schema,
+            path=d,
+            file_count=len(parts),
+            bytes=total,
+            row_count=row_count,
+            codec=codec,
+            spark_schema_json=schema_json,
+        )
+
+    # -- event log (replaces Oracle logfile parsing, status.py:449-579) ------
+    _lock = threading.Lock()
+
+    def log_event(self, event_type: str, **fields: Any) -> None:
+        self.ensure_dir()
+        rec = {"ts": utc_now().isoformat(), "event": event_type, **fields}
+        line = json.dumps(rec, default=str)
+        with self._lock, open(self.events_path, "a") as f:
+            f.write(line + "\n")
+        with self._lock, open(self.logfile_path, "a") as f:
+            f.write(f"{rec['ts']} {event_type} " + json.dumps(fields, default=str) + "\n")
+
+    def read_events(self) -> Iterator[dict[str, Any]]:
+        if not os.path.isfile(self.events_path):
+            return
+        with open(self.events_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield json.loads(line)
+
+    def read_logfile(self) -> str:
+        """Job log text (reference job.py:322-328, client.py:55-60)."""
+        if not os.path.isfile(self.logfile_path):
+            return ""
+        with open(self.logfile_path) as f:
+            return f.read()

@@ -1,0 +1,238 @@
+"""Per-table Spark execution engine.
+
+Replaces both the reference's command pipeline
+(/root/reference/src/oracledb_datapump/commands.py — OPEN/ADD_FILE/START/
+WAIT_FOR_JOB wrappers) and Oracle's server-side Data Pump workers: the
+PARALLEL directive budget maps to (a) a driver thread pool submitting up to
+``parallel`` concurrent table jobs and (b) intra-table partitioned reads —
+mirroring how Oracle sizes its worker pool (reference directives.py:400-409,
+job.py:136-140).
+
+Failures are per-table: caught, logged as events, counted into
+COMPLETED_WITH_ERRORS (reference status.py:38 precedent; test expectation
+tests/test_import.py:179).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import traceback
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .base import JobState
+from .catalog import Connector
+from .directives import PlanConfig
+from .dumpset import DumpSet
+from .planner import TablePlan
+
+
+@dataclass
+class TableResult:
+    plan: TablePlan
+    ok: bool
+    rows: int | None = None
+    bytes: int | None = None
+    files: int | None = None
+    error: str | None = None
+    skipped: bool = False
+    detail: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class EngineResult:
+    state: JobState
+    tables: list[TableResult] = field(default_factory=list)
+
+    @property
+    def error_count(self) -> int:
+        return sum(1 for t in self.tables if not t.ok)
+
+
+def _count_parquet_rows(path: str) -> tuple[int, int, int]:
+    """(rows, bytes, files) from parquet footers — no second data scan.
+    The reference gets these numbers free from Oracle (status.py:259-273);
+    footer reads are our equivalent zero-scan accounting."""
+    import pyarrow.parquet as pq
+
+    rows = size = nfiles = 0
+    for name in os.listdir(path):
+        p = os.path.join(path, name)
+        if not os.path.isfile(p) or name.startswith(("_", ".")):
+            continue
+        size += os.path.getsize(p)
+        nfiles += 1
+        if name.endswith(".parquet") or name.startswith("part-"):
+            try:
+                rows += pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                pass
+    return rows, size, nfiles
+
+
+def export_table(
+    spark: SparkSession,
+    connector: Connector,
+    dumpset: DumpSet,
+    plan: TablePlan,
+) -> TableResult:
+    """EXPORT one table: snapshot read → parquet dump dir.
+
+    Scale notes: the read is connector-partitioned (JDBC numPartitions /
+    parquet splits); we only repartition *up* when the source produced
+    fewer partitions than the parallel budget — never a gratuitous shuffle
+    for already-wide data. Predicate/column pruning happens in the
+    connector so it pushes into the scan.
+    """
+    out_dir = dumpset.table_dir(plan.schema, plan.table)
+    dumpset.log_event("TABLE_EXPORT_START", table=plan.source_key)
+    try:
+        if not plan.data_included:
+            # metadata-only export: record schema, move no rows
+            df = connector.read_table(
+                spark, plan.schema, plan.table, columns=plan.columns
+            )
+            dumpset.log_event(
+                "TABLE_EXPORT_METADATA_ONLY",
+                table=plan.source_key,
+                schema_json=df.schema.json(),
+            )
+            return TableResult(
+                plan, ok=True, rows=0, bytes=0, files=0,
+                detail={"spark_schema": df.schema.json(), "metadata_only": True},
+            )
+        df = connector.read_table(
+            spark,
+            plan.schema,
+            plan.table,
+            as_of=plan.as_of,
+            parallel=plan.parallel,
+            predicate=plan.predicate,
+            columns=plan.columns,
+        )
+        schema_json = df.schema.json()
+        if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
+            df = df.repartition(plan.parallel)
+        df.write.mode("overwrite").option("compression", plan.codec).parquet(out_dir)
+        rows, size, nfiles = _count_parquet_rows(out_dir)
+        dumpset.log_event(
+            "TABLE_EXPORT_DONE", table=plan.source_key, rows=rows, bytes=size
+        )
+        return TableResult(
+            plan, ok=True, rows=rows, bytes=size, files=nfiles,
+            detail={"spark_schema": schema_json, "codec": plan.codec},
+        )
+    except Exception as e:
+        dumpset.log_event(
+            "TABLE_EXPORT_ERROR", table=plan.source_key, error=str(e)
+        )
+        return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
+
+
+def import_table(
+    spark: SparkSession,
+    connector: Connector,
+    dumpset: DumpSet,
+    plan: TablePlan,
+    config: PlanConfig,
+) -> TableResult:
+    """IMPORT one table: dump dir → target catalog with exists-action."""
+    src_dir = dumpset.table_dir(plan.schema, plan.table)
+    dumpset.log_event("TABLE_IMPORT_START", table=plan.target_key)
+    try:
+        if not os.path.isdir(src_dir):
+            # metadata-only entry in the dump set — nothing to load
+            dumpset.log_event("TABLE_IMPORT_SKIP_NO_DATA", table=plan.target_key)
+            return TableResult(plan, ok=True, rows=0, skipped=True)
+        if plan.write_mode == "ignore" and connector.table_exists(
+            plan.target_schema, plan.target_table
+        ):
+            dumpset.log_event("TABLE_IMPORT_SKIP_EXISTS", table=plan.target_key)
+            return TableResult(plan, ok=True, rows=0, skipped=True)
+        df = spark.read.parquet(src_dir)
+        if plan.predicate:
+            df = df.filter(plan.predicate)
+        if plan.columns:
+            df = df.select(*plan.columns)
+        connector.write_table(
+            df,
+            plan.target_schema,
+            plan.target_table,
+            mode=plan.write_mode,
+            truncate=plan.truncate,
+            options=plan.writer_options,
+        )
+        rows, size, nfiles = _count_parquet_rows(src_dir)
+        if config.validate_table_data:
+            # VALIDATE_TBL_DATA (reference DATA_OPTIONS bit,
+            # directives.py:227-238): post-write row-count verify.
+            back = connector.read_table(
+                spark, plan.target_schema, plan.target_table
+            )
+            written = back.count()
+            if plan.write_mode != "append" and rows is not None and written != rows:
+                raise RuntimeError(
+                    f"VALIDATE_TBL_DATA: wrote {written} rows, dump has {rows}"
+                )
+        dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=rows)
+        return TableResult(plan, ok=True, rows=rows, bytes=size, files=nfiles)
+    except Exception as e:
+        dumpset.log_event("TABLE_IMPORT_ERROR", table=plan.target_key, error=str(e))
+        if config.skip_constraint_errors:
+            # SKIP_CONST_ERR: continue-on-error, count it
+            # (reference DATA_OPTIONS, directives.py:227-238)
+            return TableResult(plan, ok=False, error=str(e))
+        return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
+
+
+def run_plans(
+    spark: SparkSession,
+    connector: Connector,
+    dumpset: DumpSet,
+    plans: list[TablePlan],
+    config: PlanConfig,
+    operation: str,
+) -> EngineResult:
+    """Execute table plans under a thread pool of size ≤ PARALLEL.
+
+    Concurrent driver threads submitting independent Spark actions is the
+    sanctioned pattern for many-small-tables jobs; within each table the
+    partitioned read/write supplies intra-table parallelism. Threads are
+    safe here: SparkSession is thread-safe for action submission.
+    """
+    workers = max(1, min(config.parallel, len(plans) or 1))
+    results: list[TableResult] = []
+    if workers == 1:
+        for p in plans:
+            results.append(_run_one(spark, connector, dumpset, p, config, operation))
+    else:
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            futs = [
+                pool.submit(_run_one, spark, connector, dumpset, p, config, operation)
+                for p in plans
+            ]
+            for f in futs:
+                results.append(f.result())
+    errors = sum(1 for r in results if not r.ok)
+    state = (
+        JobState.COMPLETED
+        if errors == 0
+        else JobState.COMPLETED_WITH_ERRORS
+    )
+    return EngineResult(state=state, tables=results)
+
+
+def _run_one(
+    spark: SparkSession,
+    connector: Connector,
+    dumpset: DumpSet,
+    plan: TablePlan,
+    config: PlanConfig,
+    operation: str,
+) -> TableResult:
+    if operation == "EXPORT":
+        return export_table(spark, connector, dumpset, plan)
+    return import_table(spark, connector, dumpset, plan, config)

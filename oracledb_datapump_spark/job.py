@@ -1,0 +1,351 @@
+"""Job facade: lifecycle, naming, manifest.
+
+Parity reference: /root/reference/src/oracledb_datapump/job.py (409 LoC).
+Same surface — ``Job(operation, mode, dumpfiles, directives, connection,
+tag).run(wait=...)``, ``Job.attach``, ``get_status``, ``poll_for_completion``,
+``get_logfile`` — with the Oracle server replaced by the Spark engine.
+
+Lifecycle (reference job.py:195-308 → ours):
+  1. resolve connection            (job.py:200-201)  → resolve_connector
+  2. validate operation/mode       (job.py:206-210)
+  3. stamp job_date → job_name     (job.py:213-218, 88-125)
+  4. create log                    (job.py:222-224)  → dump-set event log
+  5. open                          (job.py:226-233)  → JOB_OPEN event
+  6. collect metadata              (job.py:235-250)  → schemas/versions
+  7. plan dump set                 (job.py:252-259)  → plan_export/plan_import
+  8. auto FLASHBACK_SCN on EXPORT  (job.py:261-269)  → snapshot_marker()
+  9. command pipeline              (job.py:277-286)  → compile + run_plans
+ 10. wait / status                 (job.py:288-304)
+ 11. detach                        (job.py:306)      → deregister
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+from typing import Any, Sequence
+
+from pyspark.sql import SparkSession
+
+from .base import JobMetaData, JobMode, JobState, Operation
+from .catalog import Connector, resolve_connector
+from .directives import (
+    DirectiveBase,
+    FlashbackScn,
+    FlashbackTime,
+    PlanConfig,
+    compile_directives,
+)
+from .dumpset import DumpSet
+from .engine import EngineResult, run_plans
+from .exceptions import JobNotFound, UsageError
+from .planner import estimate_plan, plan_export, plan_import
+from .session import get_spark
+from .status import (
+    JobStatusInfo,
+    StatusRequestType,
+    deregister_job,
+    get_status_on_exception,
+    live_job,
+    poll_for_completion,
+    register_job,
+    status_from_events,
+)
+from .util import MAX_IDENTIFIER_LENGTH, string_shortener, utc_now
+
+_NAME_SAFE = re.compile(r"[^A-Za-z0-9_-]+")
+
+
+class Job:
+    """A datapump job (reference job.py:49-81)."""
+
+    def __init__(
+        self,
+        operation: Operation | str,
+        mode: JobMode | str,
+        dumpfiles: Sequence[str] | str | None = None,
+        directives: Sequence[DirectiveBase] | None = None,
+        connection: Any = None,
+        tag: str | None = None,
+        job_name: str | None = None,
+    ):
+        self.operation = Operation(str(operation).upper())
+        self.mode = JobMode(str(mode).upper())
+        if isinstance(dumpfiles, str):
+            dumpfiles = [dumpfiles]
+        self.dumpfiles = list(dumpfiles or [])
+        # IMPORT requires dumpfiles (reference job.py:64-65, re-validated
+        # handlers.py:137-139).
+        if self.operation == Operation.IMPORT and not self.dumpfiles:
+            raise UsageError("IMPORT requires dumpfiles")
+        self.directives: list[DirectiveBase] = list(directives or [])
+        self.connection = connection
+        self.tag = tag
+        self.job_date = None
+        self.job_name = job_name
+        self.job_owner = "spark"
+        self._state: JobState = JobState.UNDEFINED
+        self._result: EngineResult | None = None
+        self._estimates: list[dict[str, Any]] | None = None
+        self._lock = threading.Lock()
+        self.dumpset: DumpSet | None = None
+        self.connector: Connector | None = None
+        self.config: PlanConfig | None = None
+
+    # -- naming (reference job.py:88-125, util.py:16-37) -------------------
+    def _ident(self, config: PlanConfig) -> str:
+        if config.remap_schema:
+            old, new = next(iter(config.remap_schema.items()))
+            return f"{old}-TO-{new}"  # reference 'HR-TO-HR2' idiom
+        if config.include_schemas:
+            return "-".join(config.include_schemas[:3])
+        if config.include_tables:
+            return "-".join(config.include_tables[:3])
+        return self.mode.value
+    def _derive_name(self, config: PlanConfig) -> str:
+        stamp = self.job_date.strftime("%Y%m%d%H%M%S")
+        parts = [self.operation.value[:3], self._ident(config), stamp]
+        if self.tag:
+            parts.insert(2, f"#{self.tag}#")
+        raw = _NAME_SAFE.sub("-", "-".join(parts)).upper()
+        return string_shortener(raw, MAX_IDENTIFIER_LENGTH)
+
+    # -- state -------------------------------------------------------------
+    @property
+    def state(self) -> JobState:
+        return self._state
+
+    def _set_state(self, s: JobState) -> None:
+        with self._lock:
+            self._state = s
+
+    # -- run ----------------------------------------------------------------
+    @get_status_on_exception
+    def run(
+        self,
+        wait: bool = True,
+        connection: Any = None,
+        spark: SparkSession | None = None,
+    ) -> JobStatusInfo:
+        if connection is not None:
+            self.connection = connection
+        if self.connection is None:
+            raise UsageError("connection required")
+        if self.operation == Operation.SQL_FILE:
+            return self._run_sql_file(spark)
+        self.connector = resolve_connector(self.connection)
+        spark = spark or get_spark()
+
+        self.job_date = utc_now()
+        config = compile_directives(self.directives, mode=self.mode.value)
+        self.config = config
+        if self.job_name is None:
+            self.job_name = self._derive_name(config)
+
+        # dump-set root: EXPORT may derive one from the job name; IMPORT
+        # must point at an existing set.
+        if not self.dumpfiles:
+            self.dumpfiles = [f"/tmp/datapump/{self.job_name}"]
+        self.dumpset = DumpSet(self.dumpfiles[0])
+
+        # Auto FLASHBACK on EXPORT when absent (reference job.py:261-269):
+        # capture the connector's snapshot marker at job open.
+        if self.operation == Operation.EXPORT and not (
+            config.flashback_scn or config.flashback_time
+        ):
+            marker = self.connector.snapshot_marker()
+            if marker:
+                if marker.startswith("SCN("):
+                    d = FlashbackScn(int(marker[4:-1]))
+                else:
+                    from .util import parse_dt
+
+                    d = FlashbackTime(parse_dt(marker[3:-1]))
+                self.directives.append(d)
+                d.apply(config)
+
+        self._set_state(JobState.DEFINING)
+        register_job(self.job_name, self)
+
+        if self.operation == Operation.EXPORT:
+            plans = plan_export(self.connector, self.operation, self.mode, config)
+        else:
+            plans = plan_import(self.dumpset, config)
+
+        schemas = sorted({p.schema for p in plans})
+        self.dumpset.log_event(
+            "JOB_OPEN",
+            job_name=self.job_name,
+            operation=self.operation.value,
+            mode=self.mode.value,
+            as_of=config.as_of_marker(),
+            parallel=config.parallel,
+            schemas=schemas,
+        )
+
+        # metadata sidecar (reference job.py:235-259, commands.py:234-244)
+        meta = JobMetaData(
+            job_name=self.job_name,
+            job_owner=self.job_owner,
+            job_date=self.job_date,
+            operation=self.operation.value,
+            mode=self.mode.value,
+            schemas=schemas,
+            schema_versions={
+                s: v
+                for s in schemas
+                if (v := self.connector.schema_version(s)) is not None
+            },
+            tablespaces={s: self.connector.tablespaces(s) for s in schemas},
+            directives=[d.to_dict() for d in self.directives],
+            as_of=config.as_of_marker(),
+        )
+
+        if config.estimate_only:
+            self._estimates = estimate_plan(self.connector, plans, spark)
+            self.dumpset.log_event("JOB_ESTIMATE", estimates=self._estimates)
+            self.dumpset.log_event("JOB_DONE", state=JobState.COMPLETED.value)
+            self._set_state(JobState.COMPLETED)
+            deregister_job(self.job_name)
+            info = self.get_status()
+            return info
+
+        if self.operation == Operation.EXPORT and config.include_metadata:
+            self.dumpset.write_manifest(meta)
+
+        self.dumpset.log_event("JOB_START")
+        self._set_state(JobState.EXECUTING)
+        result = run_plans(
+            spark, self.connector, self.dumpset, plans, config,
+            self.operation.value,
+        )
+        self._result = result
+        self._set_state(JobState.COMPLETING)
+
+        if self.operation == Operation.EXPORT:
+            # enrich manifest with per-table outcomes
+            for r in result.tables:
+                meta.tables[r.plan.source_key] = {
+                    "rows": None if not r.ok else r.rows,
+                    "row_count": r.rows,
+                    "bytes": r.bytes,
+                    "files": r.files,
+                    "ok": r.ok,
+                    **r.detail,
+                }
+            meta.dumpfiles = [
+                p.replace(self.dumpset.root + "/", "") for p in self.dumpset.dumpfiles()
+            ]
+            if config.include_metadata:
+                self.dumpset.write_manifest(meta)
+
+        self.dumpset.log_event(
+            "JOB_DONE",
+            state=result.state.value,
+            dumpfiles=self.dumpset.dumpfiles() if self.operation == Operation.EXPORT else [],
+            errors=result.error_count,
+        )
+        self._set_state(result.state)
+
+        # POST stage (reference job.py:288-295: Extra directives only when
+        # wait=True — DELETE_FILES after synchronous import)
+        if (
+            wait
+            and self.operation == Operation.IMPORT
+            and config.delete_files_after
+            and result.state == JobState.COMPLETED
+        ):
+            self.dumpset.delete()
+
+        deregister_job(self.job_name)
+        return self.get_status()
+
+    def _run_sql_file(self, spark: SparkSession | None) -> JobStatusInfo:
+        """SQL_FILE: generate a DDL script from a dump set's captured
+        schemas. The reference declares this operation but never implements
+        it (files.py:899-900 raises NotImplementedError); we implement it
+        as CREATE TABLE generation from the manifest's StructType JSON."""
+        from .ddl import generate_sql_file
+
+        if not self.dumpfiles:
+            raise UsageError("SQL_FILE requires dumpfiles (a dump-set dir)")
+        self.dumpset = DumpSet(self.dumpfiles[0])
+        self.job_date = utc_now()
+        config = compile_directives(self.directives, mode=self.mode.value)
+        self.config = config
+        if self.job_name is None:
+            self.job_name = self._derive_name(config)
+        path = generate_sql_file(self.dumpset, config)
+        self.dumpset.log_event("SQL_FILE_DONE", path=path)
+        self.dumpset.log_event("JOB_DONE", state=JobState.COMPLETED.value)
+        self._set_state(JobState.COMPLETED)
+        return self.get_status()
+
+    # -- status (reference job.py:359-409) ---------------------------------
+    def get_status(
+        self, request: StatusRequestType = StatusRequestType.ALL
+    ) -> JobStatusInfo:
+        if self.dumpset is None:
+            return JobStatusInfo(job_state=self._state.value)
+        info = status_from_events(self.dumpset, request)
+        if self._state != JobState.UNDEFINED:
+            info.job_state = self._state.value
+        return info
+
+    def get_info(self) -> JobStatusInfo:
+        return self.get_status(StatusRequestType.ALL)
+
+    def poll_for_completion(self, rate: float = 30) -> JobStatusInfo:
+        poll_for_completion(lambda: self._state.value, rate=rate)
+        return self.get_status()
+
+    def get_logfile(self) -> str:
+        if self.dumpset is None:
+            return ""
+        return self.dumpset.read_logfile()
+
+    @property
+    def estimates(self) -> list[dict[str, Any]] | None:
+        return self._estimates
+
+    # -- attach (reference job.py:330-349, commands.py:69-89) --------------
+    @classmethod
+    def attach(cls, job_name: str, dumpdir: str | None = None) -> "Job":
+        existing = live_job(job_name)
+        if isinstance(existing, Job):
+            return existing
+        if dumpdir is None:
+            raise JobNotFound(
+                f"Job {job_name!r} is not running; pass dumpdir to attach to "
+                "its dump set"
+            )
+        ds = DumpSet(dumpdir)
+        if not ds.exists() and not list(ds.read_events()):
+            raise JobNotFound(f"No job artifacts at {dumpdir}")
+        job = cls.__new__(cls)
+        job.operation = Operation.EXPORT
+        job.mode = JobMode.SCHEMA
+        job.dumpfiles = [dumpdir]
+        job.directives = []
+        job.connection = None
+        job.tag = None
+        job.job_name = job_name
+        job.job_owner = "spark"
+        job.job_date = None
+        job._state = JobState.NOT_RUNNING
+        job._result = None
+        job._estimates = None
+        job._lock = threading.Lock()
+        job.dumpset = ds
+        job.connector = None
+        job.config = None
+        info = status_from_events(ds)
+        try:
+            job._state = JobState(info.job_state)
+        except ValueError:
+            pass
+        if ds.exists():
+            m = ds.read_manifest()
+            job.operation = Operation(m.operation)
+            job.mode = JobMode(m.mode)
+        return job

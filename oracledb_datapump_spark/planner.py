@@ -1,0 +1,165 @@
+"""Job planner: (operation, mode, PlanConfig, catalog) → ordered TablePlans.
+
+This is the Spark-side analog of Oracle's metadata phase: the reference
+applies METADATA_FILTERs server-side so only selected objects move
+(/root/reference/src/oracledb_datapump/directives.py:122-134); we prune the
+table list driver-side *before any Spark job is launched* (SURVEY.md §4),
+which is the same optimization in plain Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from .base import JobMode, Operation
+from .catalog import Connector
+from .directives import PlanConfig
+from .dumpset import DumpSet
+from .exceptions import UsageError
+
+
+@dataclass
+class TablePlan:
+    """One table's worth of work."""
+
+    schema: str
+    table: str
+    target_schema: str
+    target_table: str
+    parallel: int = 1
+    predicate: str | None = None
+    columns: list[str] | None = None
+    as_of: str | None = None
+    # import-only
+    write_mode: str = "error"
+    truncate: bool = False
+    writer_options: dict[str, str] = field(default_factory=dict)
+    # export-only
+    codec: str = "snappy"
+    data_included: bool = True  # False when TABLE/TABLE_DATA excluded
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def source_key(self) -> str:
+        return f"{self.schema}.{self.table}"
+
+    @property
+    def target_key(self) -> str:
+        return f"{self.target_schema}.{self.target_table}"
+
+
+def _match_predicate(config: PlanConfig, table: str) -> str | None:
+    return config.table_predicates.get(table, config.table_predicates.get("*"))
+
+
+def _match_columns(config: PlanConfig, table: str) -> list[str] | None:
+    return config.table_columns.get(table, config.table_columns.get("*"))
+
+
+def plan_export(
+    connector: Connector,
+    operation: Operation,
+    mode: JobMode,
+    config: PlanConfig,
+) -> list[TablePlan]:
+    """Enumerate source tables per mode (reference job modes base.py:20-31):
+    FULL = all non-system schemas (S2), SCHEMA = the INCLUDE_SCHEMA list
+    (S1), TABLE = the INCLUDE_TABLE list (S3)."""
+    if mode == JobMode.FULL:
+        schemas = connector.list_schemas()
+    elif mode == JobMode.SCHEMA:
+        if not config.include_schemas:
+            raise UsageError("SCHEMA mode requires at least one INCLUDE_SCHEMA")
+        schemas = list(dict.fromkeys(config.include_schemas))
+    elif mode == JobMode.TABLE:
+        if not config.include_tables:
+            raise UsageError("TABLE mode requires at least one INCLUDE_TABLE")
+        schemas = list(dict.fromkeys(config.include_schemas)) or connector.list_schemas()
+    else:
+        # TABLESPACE/TRANSPORTABLE: physical-storage scope has no Spark
+        # analog (SURVEY.md S4); treat the tablespace names as schema tags.
+        schemas = list(dict.fromkeys(config.include_schemas)) or connector.list_schemas()
+
+    # Excluding TABLE (or TABLE_DATA) => metadata-only export — the
+    # reference's "no_data" idiom (tests/test_export.py:43-46).
+    data_included = not (
+        {"TABLE", "TABLE_DATA"} & config.exclude_object_types
+    )
+
+    plans: list[TablePlan] = []
+    for schema in schemas:
+        for table in connector.list_tables(schema):
+            if mode == JobMode.TABLE and table not in config.include_tables:
+                continue
+            plans.append(
+                TablePlan(
+                    schema=schema,
+                    table=table,
+                    target_schema=schema,
+                    target_table=table,
+                    parallel=config.parallel,
+                    predicate=_match_predicate(config, table),
+                    columns=_match_columns(config, table),
+                    as_of=config.as_of_marker(),
+                    codec=config.parquet_codec(),
+                    data_included=data_included,
+                )
+            )
+    return plans
+
+
+def plan_import(
+    dumpset: DumpSet,
+    config: PlanConfig,
+) -> list[TablePlan]:
+    """Enumerate dump-set tables, applying remaps + exists-action
+    (reference import path: handlers.py:137-149; REMAP_SCHEMA
+    directives.py:449-450; TABLE_EXISTS_ACTION directives.py:372-376)."""
+    mode, truncate = config.write_mode()
+    plans: list[TablePlan] = []
+    for schema, table in dumpset.list_tables():
+        target_schema = config.remap_schema.get(schema, schema)
+        if config.include_schemas and schema not in config.include_schemas:
+            continue
+        if config.include_tables and table not in config.include_tables:
+            continue
+        plans.append(
+            TablePlan(
+                schema=schema,
+                table=table,
+                target_schema=target_schema,
+                target_table=table,
+                parallel=config.parallel,
+                predicate=_match_predicate(config, table),
+                columns=_match_columns(config, table),
+                write_mode=mode,
+                truncate=truncate,
+            )
+        )
+    return plans
+
+
+def estimate_plan(
+    connector: Connector, plans: list[TablePlan], spark
+) -> list[dict[str, Any]]:
+    """ESTIMATE/ESTIMATE_ONLY (reference directives.py:299-305): size each
+    table without moving data — stats/count queries only (SURVEY.md A3/P5)."""
+    out = []
+    for p in plans:
+        try:
+            df = connector.read_table(spark, p.schema, p.table, columns=p.columns)
+            if p.predicate:
+                df = df.filter(p.predicate)
+            rows = df.count()
+            width = len(df.columns)
+            out.append(
+                {
+                    "table": p.source_key,
+                    "estimated_rows": rows,
+                    "estimated_bytes": rows * width * 16,  # coarse width heuristic
+                }
+            )
+        except Exception as e:  # estimation must not fail the job
+            out.append({"table": p.source_key, "error": str(e)})
+    return out
