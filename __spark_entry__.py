@@ -4,7 +4,9 @@
 operator names → (spark, sf_dir) → DataFrame. ``oracle_sql()`` maps the
 same names → DuckDB-runnable ANSI SQL over the pre-registered views.
 Column names/aliases match between the two (the driver sorts columns by
-name before value-hashing).
+name before value-hashing). Ops whose values are not portably bit-stable
+across engines (LSH bucket boundaries on float sums) omit the oracle →
+rows-only check.
 """
 
 from __future__ import annotations
@@ -18,6 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from oracledb_datapump_spark.operators import analytics as A
+from oracledb_datapump_spark.operators import dedup as D
+from oracledb_datapump_spark.operators import etl as E
+from oracledb_datapump_spark.operators import multimodal as M
+from oracledb_datapump_spark.operators import similarity as S
+from oracledb_datapump_spark.operators import textstats as T
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # relational analytics (SURVEY.md §2.3 verification workload)
         "q1_pricing_summary": A.q1_pricing_summary,
         "q3_shipping_priority": A.q3_shipping_priority,
         "q4_order_priority": A.q4_order_priority,
@@ -39,6 +47,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_set_ops": A.customer_order_set_ops,
         "events_hourly_rollup": A.events_hourly_rollup,
         "events_sessionize": A.events_sessionize,
+        # datapump ETL core (SURVEY.md §2.1/§2.4/§2.5) — full job lifecycle
+        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
+        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
+        # dedup suite (M5 extensions)
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "simhash_fingerprints": D.simhash_fingerprints,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # similarity search
+        "ann_bruteforce_topk": S.ann_bruteforce_topk,
+        "ann_lsh_topk": S.ann_lsh_topk,
+        "centroid_topk": S.centroid_topk,
+        # text analysis
+        "lang_id": T.lang_id,
+        "quality_score": T.quality_score,
+        "token_count": T.token_count,
+        "doc_fingerprint": T.doc_fingerprint,
+        # multimodal plumbing (binary column → Arrow-batched features)
+        "media_features": M.media_features,
     }
 
 
@@ -56,4 +84,19 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_set_ops": A.SET_OPS_SQL,
         "events_hourly_rollup": A.EVENTS_HOURLY_SQL,
         "events_sessionize": A.EVENTS_SESSIONIZE_SQL,
+        "datapump_roundtrip_nation": E.ROUNDTRIP_NATION_SQL,
+        "datapump_roundtrip_supplier": E.ROUNDTRIP_SUPPLIER_SQL,
+        "dedup_exact": D.DEDUP_EXACT_SQL,
+        "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
+        "simhash_fingerprints": D.SIMHASH_SQL,
+        "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
+        "dedup_embedding_cosine": D.DEDUP_COSINE_SQL,
+        "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
+        # ann_lsh_topk / centroid_topk: rows-only (float-sum bucket
+        # boundaries are not portably bit-stable across engines)
+        "lang_id": T.LANG_ID_SQL,
+        "quality_score": T.QUALITY_SQL,
+        "token_count": T.TOKEN_COUNT_SQL,
+        "doc_fingerprint": T.FINGERPRINT_SQL,
+        "media_features": M.MEDIA_FEATURES_SQL,
     }

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from oracledb_datapump_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(
+        app_name="datapump-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    # one tiny action to absorb JVM/codegen warm-up outside the timings
+    spark.range(1000).count()
+
+    headline = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "revenue_by_nation",
+        "top_suppliers_window",
+        "events_hourly_rollup",
+        "events_sessionize",
+        "datapump_roundtrip_supplier",
+        "dedup_exact",
+        "dedup_minhash_pairs",
+        "simhash_fingerprints",
+        "ann_bruteforce_topk",
+        "lang_id",
+        "token_count",
+        "media_features",
+    ]
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        # count() forces full execution without driver-side row transfer
+        n = fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""ETL round-trip exposed as correctness-gated queries.
+
+These run the actual datapump engine (export → Parquet dump set → import
+into a DB stand-in → read back) and return the round-tripped table, so the
+driver's DuckDB oracle (`SELECT * FROM <table>`) verifies the entire job
+lifecycle — the Spark re-expression of the reference's own test oracle
+(reference tests/test_import.py:34-61: export TEST1, import TEST2 with
+remap, assert fidelity).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..base import JobMode, Operation
+from ..catalog import DuckDbConnector, ParquetConnector
+from ..directives import DirectiveBase as D
+from ..job import Job
+
+
+def datapump_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export ``nation`` from the parquet 'database', import it into a
+    DuckDB stand-in under a remapped schema, read it back."""
+    return _roundtrip(spark, sf_dir, "nation").orderBy("n_nationkey")
+
+
+def datapump_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip over ``supplier`` (exercises multi-type columns)."""
+    return _roundtrip(spark, sf_dir, "supplier").orderBy("s_suppkey")
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix=f"dp_rt_{table}_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE(table),
+                D.PARALLEL(2),
+                D.COMPRESSION("ALL"),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        return target.read_table(spark, "imported", table)
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_NATION_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
+ROUNDTRIP_SUPPLIER_SQL = "SELECT * FROM supplier ORDER BY s_suppkey"

@@ -1,0 +1,139 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Design (SURVEY.md §7.2 M5 / task brief): image/audio/video travel as
+BinaryType columns with a metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched Pandas functions over
+``mapInPandas``. The imaging/audio libraries are not in this container, so
+the *codec* step is stubbed (NotImplementedError behind ``strict=True``,
+deterministic fake otherwise) while everything Spark-side — schema,
+partitioning, UDF signature, batch shape — is real and tested.
+
+At 100 TB: binary payloads dominate partition size; cap
+``spark.sql.files.maxPartitionBytes`` and avoid wide shuffles of payload
+columns — extract features first (drops payload), shuffle features only.
+mapInPandas streams Arrow record batches, so peak executor memory is one
+batch, not one partition.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("source", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_histogram", T.ArrayType(T.LongType()), True),
+        T.StructField("head_digest", T.StringType(), True),
+    ]
+)
+
+HIST_BINS = 16
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a media-shaped table from ``documents`` (the container
+    ships no real image fixtures): payload = utf-8 bytes of the text,
+    metadata struct populated. In production this column comes from the
+    ingestion job (S3 object bytes or pointers)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(payload: bytes, strict: bool = True):
+    """Codec stub. Real implementation would be PIL/libvips; neither ships
+    in this container."""
+    if strict:
+        raise NotImplementedError(
+            "image decode requires an imaging library not present in this "
+            "environment; pass strict=False for the deterministic fake"
+        )
+    # deterministic fake "image": 4x4 grid of byte-derived intensities
+    data = (payload or b"\x00")[:16].ljust(16, b"\x00")
+    return [[data[r * 4 + c] for c in range(4)] for r in range(4)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column:
+    byte histogram ({HIST_BINS} bins) + head digest. Pure-Python payload
+    math that built-ins can't express → mapInPandas (the sanctioned slow
+    path; one pass, payload column dropped on output)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            hists = []
+            digests = []
+            nbytes = []
+            for p in payloads:
+                b = bytes(p) if p is not None else b""
+                hist = [0] * HIST_BINS
+                for byte in b:
+                    hist[byte * HIST_BINS // 256] += 1
+                hists.append(hist)
+                digests.append(hashlib.md5(b[:64]).hexdigest())
+                nbytes.append(len(b))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nbytes,
+                    "byte_histogram": hists,
+                    "head_digest": digests,
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries() entry: media plumbing end-to-end (binary column → Arrow
+    batches → features), ordered for stable comparison."""
+    return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
+
+
+# Oracle twin: valid because the fixture payloads are ASCII (1 char = 1
+# byte, ord(char) = byte value, bin = byte // 16 = byte*16//256).
+MEDIA_FEATURES_SQL = f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       list_transform(range({HIST_BINS}), bin -> CAST(len(list_filter(
+            range(1, length(text)+1),
+            i -> ord(substr(text, CAST(i AS INT), 1)) // {256 // HIST_BINS} = bin)) AS BIGINT)
+       ) AS byte_histogram,
+       md5(substr(text, 1, 64)) AS head_digest
+FROM documents
+ORDER BY doc_id
+"""

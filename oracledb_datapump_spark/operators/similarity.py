@@ -1,0 +1,230 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- ann_bruteforce_topk: exact cosine top-k per query vector. O(n·q) pair
+  evaluations — the correctness baseline. Expressed with zip_with +
+  aggregate (sequential double fold → bit-identical to the DuckDB oracle).
+- ann_lsh_topk: the scale path — random-hyperplane LSH bucketing, then
+  exact re-rank *within* buckets. The hyperplanes are derived
+  deterministically from md5 hashes, so the whole operator (and its
+  recall vs brute force) is reproducible. At 100 TB: bucket join replaces
+  the all-pairs cross join; bucket skew handled by multi-probe (we emit
+  each vector into its bucket only; probing variants widen candidates).
+
+Scale notes: the query side is broadcast (top-k per *query*); the corpus
+side streams. For corpus×corpus at 100 TB use dedup.dedup_minhash_pairs-
+style banding instead of all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64
+
+TOP_K = 5
+N_QUERIES = 20  # first N vec_ids act as the query set
+LSH_TABLES = 4  # L independent hash tables (union of candidates)
+LSH_BITS = 4  # bits per table signature
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{TOP_K} cosine neighbors for the first {N_QUERIES}
+    vectors. Query side broadcast; corpus scanned once."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.q_emb, c.embedding), p -> p[1]::DOUBLE * p[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.q_emb, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM embeddings c, q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, tbl, bucket): {LSH_TABLES} independent {LSH_BITS}-bit
+    random-hyperplane signatures. Hyperplane component for (table t, bit b,
+    dimension i) = ±1 from md5(t:b:i) parity — deterministic, no stored
+    model. sign(Σ ±x_i) per bit → bucket int per table. Multi-table union
+    is the standard recall lever (P[candidate] = 1-(1-p^bits)^tables)."""
+    e = _emb(spark, sf_dir)
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "x")
+    )
+    planes = (
+        spark.range(LSH_TABLES)
+        .select(F.col("id").cast("int").alias("tbl"))
+        .crossJoin(
+            spark.range(LSH_BITS).select(F.col("id").cast("int").alias("b"))
+        )
+    )
+    comp = (
+        dims.crossJoin(F.broadcast(planes))
+        .select(
+            "vec_id",
+            "tbl",
+            "b",
+            (
+                F.when(
+                    F.pmod(
+                        hash64(
+                            F.concat_ws(":", F.col("tbl"), F.col("b"), F.col("i"))
+                        ),
+                        F.lit(2),
+                    )
+                    == 1,
+                    F.col("x").cast("double"),
+                ).otherwise(-F.col("x").cast("double"))
+            ).alias("contrib"),
+        )
+        .groupBy("vec_id", "tbl", "b")
+        .agg(F.sum("contrib").alias("proj"))
+    )
+    return (
+        comp.select(
+            "vec_id",
+            "tbl",
+            F.when(F.col("proj") > 0, F.expr("shiftleft(1L, b)"))
+            .otherwise(F.lit(0))
+            .alias("bitval"),
+        )
+        .groupBy("vec_id", "tbl")
+        .agg(F.sum("bitval").cast("long").alias("bucket"))
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates = same-bucket vectors, exact re-rank
+    within bucket. Returns (query_id, neighbor_id, rank). No oracle SQL —
+    float-sum bucket boundaries are not portably bit-stable; the driver's
+    rows-only check plus the recall test in tests/ cover it."""
+    e = _emb(spark, sf_dir)
+    sig = lsh_signatures(spark, sf_dir)
+    with_sig = e.join(sig, "vec_id")
+    q = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = with_sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("tbl").alias("c_tbl"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_tbl") == F.col("q_tbl"))
+            & (F.col("c_bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # union candidates across tables before scoring
+        .select("query_id", "neighbor_id", "q_emb", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization using the provided ``label`` column as
+    the partition (at scale: k-means centroids): per label, the top-{TOP_K}
+    vectors closest to the label centroid. Demonstrates the
+    aggregate-then-rerank pattern; centroid averaging is done in exact
+    per-dimension sums (posexplode + groupBy) to stay order-independent."""
+    e = _emb(spark, sf_dir)
+    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+    # per-dimension mean per label — decimal sum for order-independence
+    cent = (
+        dims.groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(27,7)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c")
+        )
+    )
+    joined = (
+        dims.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"),
+            F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("nx"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dot") / (F.sqrt("nx") * F.sqrt("nc"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("label").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("label", "vec_id", "rank")
+        .orderBy("label", "rank")
+    )

@@ -161,26 +161,26 @@ def status_from_events(
             )
         elif et == "JOB_START":
             state = JobState.EXECUTING.value
+        elif et == "JOB_DONE":
+            state = ev.get("state", JobState.COMPLETED.value)
+            dumpfiles = ev.get("dumpfiles", [])
         elif et.startswith("TABLE_") and et.endswith("_START"):
             t = ev.get("table", "")
             workers[t] = JobWorkerStatus(name=t, state="EXECUTING")
             wip.append(JobLogEntry(log_line=f"{et} {t}", timestamp=ts))
-        elif et.endswith("_DONE"):
+        elif et.startswith("TABLE_") and et.endswith("_DONE"):
             t = ev.get("table", "")
             w = workers.setdefault(t, JobWorkerStatus(name=t, state=""))
             w.state = "COMPLETED"
             w.completed_rows = ev.get("rows")
             w.completed_bytes = ev.get("bytes")
             bytes_done += ev.get("bytes") or 0
-        elif et.endswith("_ERROR"):
+        elif et.startswith("TABLE_") and et.endswith("_ERROR"):
             t = ev.get("table", "")
             w = workers.setdefault(t, JobWorkerStatus(name=t, state=""))
             w.state = "ERROR"
             w.error = ev.get("error")
             errors.append(JobLogEntry(log_line=str(ev.get("error")), timestamp=ts))
-        elif et == "JOB_DONE":
-            state = ev.get("state", JobState.COMPLETED.value)
-            dumpfiles = ev.get("dumpfiles", [])
     n = len(workers) or 1
     done = sum(1 for w in workers.values() if w.state in ("COMPLETED", "ERROR"))
     info = JobStatusInfo(

@@ -1,0 +1,60 @@
+"""Semantic quality checks for the dedup/similarity operators (beyond
+oracle equality): MinHash-LSH recall vs exact Jaccard ground truth,
+SimHash collision behavior, LSH-ANN recall vs brute force."""
+
+from pyspark.sql import functions as F
+
+from oracledb_datapump_spark.operators import dedup as D
+from oracledb_datapump_spark.operators import similarity as S
+
+
+def test_minhash_finds_true_near_dups(spark, sf_dir):
+    """Every pair with exact 3-gram Jaccard ≥ 0.9 must be recalled by the
+    banded MinHash (16 hashes, 4×4 bands ⇒ P(recall) ≈ 1 at J≥0.9)."""
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_ngram_jaccard(spark, sf_dir).filter(
+            F.col("jaccard") >= 0.9
+        ).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b) for r in D.dedup_minhash_pairs(spark, sf_dir).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    missed = truth - found
+    assert not missed, f"MinHash missed true near-dups: {missed}"
+
+
+def test_simhash_near_dups_collide(spark, sf_dir):
+    """Docs with identical token sets (the planted dups) get identical
+    simhash fingerprints."""
+    jac = D.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") == 1.0)
+    sh = D.simhash_fingerprints(spark, sf_dir)
+    pairs = (
+        jac.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sh_b"), "doc_b")
+    )
+    bad = pairs.filter(F.col("sh_a") != F.col("sh_b")).count()
+    assert bad == 0
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """LSH top-k must recall a reasonable fraction of brute-force top-k
+    (8-bit signatures on clustered data)."""
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id) for r in S.ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert brute
+    recall = len(brute & lsh) / len(brute)
+    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
+    rows = D.dedup_exact(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.dup_count for r in rows) == n_docs
+    assert all(r.dup_count >= 1 for r in rows)

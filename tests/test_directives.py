@@ -1,0 +1,123 @@
+"""Directive compilation unit tests (SURVEY.md §5.1): directive →
+PlanConfig → reader/writer options, validation, JSON form, naming."""
+
+import pytest
+
+from oracledb_datapump_spark.directives import (
+    DirectiveBase as D,
+    PlanConfig,
+    compile_directives,
+)
+from oracledb_datapump_spark.exceptions import (
+    InvalidDirective,
+    InvalidObjectType,
+    UsageError,
+)
+from oracledb_datapump_spark.util import parse_colon_delimited, string_shortener
+
+
+def test_compression_to_codec():
+    # P2/P3 mapping: scope × algorithm → parquet codec
+    cases = [
+        (("NONE", "BASIC"), "uncompressed"),
+        (("METADATA_ONLY", "HIGH"), "uncompressed"),
+        (("ALL", "BASIC"), "snappy"),
+        (("ALL", "LOW"), "lz4"),
+        (("DATA_ONLY", "MEDIUM"), "zstd"),
+        (("ALL", "HIGH"), "gzip"),
+    ]
+    for (scope, algo), codec in cases:
+        cfg = compile_directives(
+            [D.COMPRESSION(scope), D.COMPRESSION_ALGORITHM(algo)]
+        )
+        assert cfg.parquet_codec() == codec, (scope, algo)
+
+
+def test_table_exists_action_to_write_mode():
+    # P9: the rare 1:1 mapping
+    assert compile_directives([D.TABLE_EXISTS_ACTION("TRUNCATE")]).write_mode() == ("overwrite", True)
+    assert compile_directives([D.TABLE_EXISTS_ACTION("REPLACE")]).write_mode() == ("overwrite", False)
+    assert compile_directives([D.TABLE_EXISTS_ACTION("APPEND")]).write_mode() == ("append", False)
+    assert compile_directives([D.TABLE_EXISTS_ACTION("SKIP")]).write_mode() == ("ignore", False)
+
+
+def test_enum_singletons():
+    # reference ergonomics: Compression.ALL is a ready instance
+    from oracledb_datapump_spark.directives import Compression
+
+    cfg = PlanConfig()
+    Compression.ALL.apply(cfg)
+    assert cfg.compression == "ALL"
+
+
+def test_invalid_enum_value():
+    with pytest.raises(InvalidDirective):
+        D.COMPRESSION("MAXIMUM")
+
+
+def test_exclude_object_type_validation():
+    with pytest.raises(InvalidObjectType) as ei:
+        compile_directives([D.EXCLUDE_OBJECT_TYPE("NOT_A_TYPE")])
+    assert "TABLE" in str(ei.value)  # error carries the valid list
+
+
+def test_exclude_table_means_metadata_only():
+    cfg = compile_directives([D.EXCLUDE_OBJECT_TYPE("TABLE")])
+    assert "TABLE" in cfg.exclude_object_types
+
+
+def test_flashback_directives():
+    cfg = compile_directives([D.FLASHBACK_SCN(12345)])
+    assert cfg.as_of_marker() == "SCN(12345)"
+    cfg = compile_directives([D.FLASHBACK_TIME("2026-01-01T00:00:00")])
+    assert cfg.as_of_marker().startswith("TS(2026-01-01")
+
+
+def test_data_options_flags():
+    cfg = compile_directives([D.DATA_OPTIONS(["SKIP_CONST_ERR", "VALIDATE_TBL_DATA"])])
+    assert cfg.skip_constraint_errors and cfg.validate_table_data
+    with pytest.raises(InvalidDirective):
+        D.DATA_OPTIONS(["NOT_A_FLAG"])
+
+
+def test_noop_parameters_recorded():
+    cfg = compile_directives([D.SOURCE_EDITION("E1"), D.TRANSPORTABLE("NEVER")])
+    assert cfg.recorded_noops == {"SOURCE_EDITION": "E1", "TRANSPORTABLE": "NEVER"}
+
+
+def test_remap_and_json_form():
+    d = D.REMAP_SCHEMA("hr", "hr2")
+    assert d.to_dict() == {"name": "REMAP_SCHEMA", "old_value": "hr", "value": "hr2"}
+    d2 = D.from_dict({"name": "REMAP_SCHEMA", "old_value": "a", "value": "b"})
+    cfg = compile_directives([d, d2])
+    assert cfg.remap_schema == {"hr": "hr2", "a": "b"}
+
+
+def test_from_dict_filter_and_parameter():
+    f = D.from_dict({"name": "INCLUDE_SCHEMA", "value": "hr"})
+    p = D.from_dict({"name": "PARALLEL", "value": "4"})
+    cfg = compile_directives([f, p])
+    assert cfg.include_schemas == ["hr"] and cfg.parallel == 4
+    with pytest.raises(InvalidDirective):
+        D.from_dict({"name": "NOT_A_DIRECTIVE"})
+
+
+def test_encryption_password_never_persisted():
+    d = D.ENCRYPTION_PASSWORD("hunter2")
+    assert "hunter2" not in str(d.to_dict())
+
+
+def test_string_shortener():
+    s = "x" * 200
+    out = string_shortener(s, 128)
+    assert len(out) <= 128
+    assert string_shortener("short", 128) == "short"
+    # deterministic
+    assert string_shortener(s, 128) == string_shortener(s, 128)
+
+
+def test_parse_colon_delimited_raises():
+    # the reference constructs-but-forgets-to-raise (util.py:79-82); we raise
+    assert parse_colon_delimited("A:B") == ("A", "B")
+    with pytest.raises(UsageError):
+        parse_colon_delimited("no-colon-here")

@@ -1,0 +1,137 @@
+"""Job-level feature tests: estimate-only, SQL_FILE, exists actions,
+metadata-only export, delete-files, attach, status."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracledb_datapump_spark import DataPump, Job, JobState
+from oracledb_datapump_spark.directives import DirectiveBase as D
+from oracledb_datapump_spark.dumpset import DumpSet
+from oracledb_datapump_spark.exceptions import JobNotFound
+
+
+def test_estimate_only(spark, duck, tmp_path):
+    job = Job(
+        "EXPORT",
+        "SCHEMA",
+        dumpfiles=str(tmp_path / "est"),
+        directives=[D.INCLUDE_SCHEMA("test1"), D.ESTIMATE_ONLY(True)],
+    )
+    st = job.run(connection=duck, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    assert job.estimates and all("estimated_rows" in e or "error" in e for e in job.estimates)
+    # no data moved
+    ds = DumpSet(str(tmp_path / "est"))
+    assert not ds.dumpfiles()
+
+
+def test_metadata_only_export_then_sql_file(spark, duck, tmp_path):
+    dump = str(tmp_path / "meta_only")
+    st = Job(
+        "EXPORT",
+        "SCHEMA",
+        dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("test1"), D.EXCLUDE_OBJECT_TYPE("TABLE_DATA")],
+    ).run(connection=duck, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    assert not DumpSet(dump).dumpfiles()  # schemas captured, no rows
+
+    st = Job("SQL_FILE", "SCHEMA", dumpfiles=dump).run(connection="parquet:///dev/null", spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    ddl = open(os.path.join(dump, "_datapump_ddl.sql")).read()
+    assert "CREATE TABLE test1.region" in ddl
+    assert "r_name VARCHAR" in ddl
+
+
+def test_exists_action_append_and_skip(spark, duck, tmp_path):
+    dump = str(tmp_path / "ea")
+    Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("test1"), D.INCLUDE_TABLE("region")],
+    ).run(connection=duck, spark=spark)
+
+    imp = lambda action: Job(  # noqa: E731
+        "IMPORT", "TABLE", dumpfiles=dump,
+        directives=[D.REMAP_SCHEMA("test1", "ea"), D.TABLE_EXISTS_ACTION(action)],
+    ).run(connection=duck, spark=spark)
+
+    imp("REPLACE")
+    n0 = duck.execute("SELECT count(*) FROM ea.region").fetchone()[0]
+    imp("APPEND")
+    assert duck.execute("SELECT count(*) FROM ea.region").fetchone()[0] == 2 * n0
+    imp("SKIP")
+    assert duck.execute("SELECT count(*) FROM ea.region").fetchone()[0] == 2 * n0
+    imp("TRUNCATE")
+    assert duck.execute("SELECT count(*) FROM ea.region").fetchone()[0] == n0
+
+
+def test_delete_files_post_action(spark, duck, tmp_path):
+    dump = str(tmp_path / "delfiles")
+    Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("test1"), D.INCLUDE_TABLE("region")],
+    ).run(connection=duck, spark=spark)
+    assert os.path.isdir(dump)
+    st = Job(
+        "IMPORT", "TABLE", dumpfiles=dump,
+        directives=[D.REMAP_SCHEMA("test1", "del1"), D.TABLE_EXISTS_ACTION("REPLACE"),
+                    D.DELETE_FILES()],
+    ).run(wait=True, connection=duck, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    assert not os.path.exists(dump)  # wait=True + COMPLETED → dump set removed
+
+
+def test_row_filter_and_projection_directives(spark, duck, tmp_path):
+    dump = str(tmp_path / "rowfilter")
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("test1"),
+            D.INCLUDE_TABLE("orders"),
+            D.QUERY("o_totalprice > 1000", object_path="orders"),
+            D.COLUMNS(["o_orderkey", "o_totalprice"], object_path="orders"),
+        ],
+    ).run(connection=duck, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    df = spark.read.parquet(os.path.join(dump, "test1", "orders"))
+    assert set(df.columns) == {"o_orderkey", "o_totalprice"}
+    assert df.filter(F.col("o_totalprice") <= 1000).count() == 0
+
+
+def test_attach_finished_job(spark, duck, tmp_path):
+    dump = str(tmp_path / "attach1")
+    Job(
+        "EXPORT", "TABLE", dumpfiles=dump, job_name="ATTACH-ME",
+        directives=[D.INCLUDE_SCHEMA("test1"), D.INCLUDE_TABLE("region")],
+    ).run(connection=duck, spark=spark)
+    job = Job.attach("ATTACH-ME", dumpdir=dump)
+    assert job.state == JobState.COMPLETED
+    info = job.get_status()
+    assert info.job_state == JobState.COMPLETED.value
+    assert any(w.name == "test1.region" for w in info.job_status.worker_status_list)
+    with pytest.raises(JobNotFound):
+        Job.attach("NO-SUCH-JOB")
+
+
+def test_completed_with_errors(spark, duck, tmp_path):
+    """A broken table plan must not sink the job (reference
+    tests/test_import.py:179 expectation)."""
+    dump = str(tmp_path / "errs")
+    Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("test1"), D.INCLUDE_TABLE("region"),
+                    D.INCLUDE_TABLE("nation"),
+                    # row-filter referencing a bogus column only for nation
+                    D.QUERY("no_such_column > 0", object_path="nation")],
+    ).run(connection=duck, spark=spark)
+    ds = DumpSet(dump)
+    info = None
+    from oracledb_datapump_spark.status import status_from_events
+
+    info = status_from_events(ds)
+    assert info.job_state == JobState.COMPLETED_WITH_ERRORS.value
+    assert info.error  # the nation failure is recorded
+    # region still exported
+    assert DataPump.get_dumpfile_info(dump, "test1", "region").row_count == 5
