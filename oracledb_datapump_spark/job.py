@@ -171,6 +171,15 @@ class Job:
             plans = plan_export(self.connector, self.operation, self.mode, config)
         else:
             plans = plan_import(self.dumpset, config)
+        if not plans:
+            # Oracle raises ORA-39165 for a schema that matches nothing; a
+            # vacuous job completing silently would hide typos.
+            deregister_job(self.job_name)
+            raise UsageError(
+                f"No tables matched the job specification "
+                f"(mode={self.mode.value}, schemas={config.include_schemas}, "
+                f"tables={config.include_tables})"
+            )
 
         schemas = sorted({p.schema for p in plans})
         self.dumpset.log_event(
