@@ -103,6 +103,9 @@ class JobMetaData:
     directives: list[dict[str, Any]] = field(default_factory=list)
     as_of: str | None = None
     tables: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # FK adjacency captured at export ("schema.table" → [referenced
+    # "schema.table", …]); drives import topo-ordering (SURVEY.md §7.3)
+    constraints: dict[str, list[str]] = field(default_factory=dict)
     engine: str = "oracledb-datapump-spark"
 
     def to_dict(self) -> dict[str, Any]:
@@ -121,6 +124,7 @@ class JobMetaData:
             "directives": self.directives,
             "as_of": self.as_of,
             "tables": self.tables,
+            "constraints": self.constraints,
             "engine": self.engine,
         }
         return d
@@ -142,4 +146,5 @@ class JobMetaData:
             directives=list(d.get("directives", [])),
             as_of=d.get("as_of"),
             tables=dict(d.get("tables", {})),
+            constraints=dict(d.get("constraints", {})),
         )

@@ -73,6 +73,11 @@ class Connector(Protocol):
 
     def tablespaces(self, schema: str) -> list[str]: ...
 
+    def foreign_keys(self, schema: str) -> list[tuple[str, str]]:
+        """(table, referenced_table) pairs — drives import topo-ordering
+        (parents before children; SURVEY.md §7.3)."""
+        ...
+
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*$")
 
@@ -196,6 +201,9 @@ class ParquetConnector:
 
     def tablespaces(self, schema: str) -> list[str]:
         return []
+
+    def foreign_keys(self, schema: str) -> list[tuple[str, str]]:
+        return []  # parquet files carry no constraints
 
 
 class DuckDbConnector:
@@ -338,6 +346,21 @@ class DuckDbConnector:
 
     def tablespaces(self, schema: str) -> list[str]:
         return []
+
+    _FK_RE = re.compile(r'REFERENCES\s+(?:(\w+)\.)?(\w+)\s*\(', re.IGNORECASE)
+
+    def foreign_keys(self, schema: str) -> list[tuple[str, str]]:
+        rows = self._cursor().execute(
+            "SELECT table_name, constraint_text FROM duckdb_constraints() "
+            "WHERE constraint_type = 'FOREIGN KEY' AND schema_name = ?",
+            [schema],
+        ).fetchall()
+        out = []
+        for table, text in rows:
+            m = self._FK_RE.search(text or "")
+            if m:
+                out.append((table, m.group(2)))
+        return out
 
     def load_parquet_dir(self, schema: str, src_dir: str) -> list[str]:
         """Fixture loader: CREATE TABLE per parquet file in a directory."""
@@ -500,6 +523,10 @@ class JdbcConnector:
         return None
 
     def tablespaces(self, schema: str) -> list[str]:  # pragma: no cover
+        return []
+
+    def foreign_keys(self, schema: str) -> list[tuple[str, str]]:  # pragma: no cover
+        # live implementation: JDBC DatabaseMetaData.getImportedKeys per table
         return []
 
 

@@ -201,3 +201,26 @@ class DumpSet:
             return ""
         with open(self.logfile_path) as f:
             return f.read()
+
+
+def cleanup_orphans(root: str) -> list[str]:
+    """GC dump-set directories whose event log never reached JOB_DONE —
+    the analog of the reference's orphan-job master-table cleanup (defined
+    but never called there: sql.py:92-105; we call ours). Returns removed
+    paths."""
+    removed = []
+    if not os.path.isdir(root):
+        return removed
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        ds = DumpSet(path)
+        events = list(ds.read_events())
+        if not events and not ds.exists():
+            continue  # not a dump set
+        if any(e.get("event") == "JOB_DONE" for e in events):
+            continue  # finished job — keep
+        shutil.rmtree(path)
+        removed.append(path)
+    return removed

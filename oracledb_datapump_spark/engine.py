@@ -205,17 +205,28 @@ def run_plans(
     """
     workers = max(1, min(config.parallel, len(plans) or 1))
     results: list[TableResult] = []
-    if workers == 1:
-        for p in plans:
-            results.append(_run_one(spark, connector, dumpset, p, config, operation))
-    else:
-        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-            futs = [
-                pool.submit(_run_one, spark, connector, dumpset, p, config, operation)
-                for p in plans
-            ]
-            for f in futs:
-                results.append(f.result())
+    # Imports execute in topo waves (parents before children — the FK
+    # ordering Oracle provides implicitly); exports have a single wave.
+    waves: dict[int, list[TablePlan]] = {}
+    for p in plans:
+        waves.setdefault(p.extra.get("topo_level", 0), []).append(p)
+    for level in sorted(waves):
+        wave = waves[level]
+        if workers == 1 or len(wave) == 1:
+            for p in wave:
+                results.append(
+                    _run_one(spark, connector, dumpset, p, config, operation)
+                )
+        else:
+            with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+                futs = [
+                    pool.submit(
+                        _run_one, spark, connector, dumpset, p, config, operation
+                    )
+                    for p in wave
+                ]
+                for f in futs:
+                    results.append(f.result())
     errors = sum(1 for r in results if not r.ok)
     state = (
         JobState.COMPLETED

@@ -208,6 +208,9 @@ class Job:
             tablespaces={s: self.connector.tablespaces(s) for s in schemas},
             directives=[d.to_dict() for d in self.directives],
             as_of=config.as_of_marker(),
+            constraints=self._capture_constraints(schemas)
+            if self.operation == Operation.EXPORT
+            else {},
         )
 
         if config.estimate_only:
@@ -268,6 +271,18 @@ class Job:
 
         deregister_job(self.job_name)
         return self.get_status()
+
+    def _capture_constraints(self, schemas: list[str]) -> dict[str, list[str]]:
+        """FK adjacency per schema (connector introspection) → manifest, so
+        import can topo-order parents before children."""
+        out: dict[str, list[str]] = {}
+        for s in schemas:
+            try:
+                for table, ref in self.connector.foreign_keys(s):
+                    out.setdefault(f"{s}.{table}", []).append(f"{s}.{ref}")
+            except Exception:  # constraint capture must not fail the job
+                pass
+        return out
 
     def _run_sql_file(self, spark: SparkSession | None) -> JobStatusInfo:
         """SQL_FILE: generate a DDL script from a dump set's captured

@@ -115,8 +115,17 @@ def plan_import(
 ) -> list[TablePlan]:
     """Enumerate dump-set tables, applying remaps + exists-action
     (reference import path: handlers.py:137-149; REMAP_SCHEMA
-    directives.py:449-450; TABLE_EXISTS_ACTION directives.py:372-376)."""
+    directives.py:449-450; TABLE_EXISTS_ACTION directives.py:372-376).
+
+    Plans carry a ``topo_level`` derived from FK constraints captured in
+    the export manifest: level-0 tables reference nothing; the engine
+    barriers between levels so parents land before children (the ordering
+    Oracle's import engine provides implicitly; SURVEY.md §7.3)."""
     mode, truncate = config.write_mode()
+    constraints: dict[str, list[str]] = {}
+    if dumpset.exists():
+        constraints = dumpset.read_manifest().constraints
+    levels = _topo_levels(constraints)
     plans: list[TablePlan] = []
     for schema, table in dumpset.list_tables():
         target_schema = config.remap_schema.get(schema, schema)
@@ -135,9 +144,33 @@ def plan_import(
                 columns=_match_columns(config, table),
                 write_mode=mode,
                 truncate=truncate,
+                extra={"topo_level": levels.get(f"{schema}.{table}", 0)},
             )
         )
+    plans.sort(key=lambda p: (p.extra["topo_level"], p.source_key))
     return plans
+
+
+def _topo_levels(constraints: dict[str, list[str]]) -> dict[str, int]:
+    """Longest-path-from-root level per table in the FK DAG; cycles (e.g.
+    self-referencing FKs) are broken by capping the depth."""
+    levels: dict[str, int] = {}
+
+    def level_of(key: str, seen: frozenset[str]) -> int:
+        if key in levels:
+            return levels[key]
+        if key in seen:  # cycle — break
+            return 0
+        refs = [r for r in constraints.get(key, []) if r != key]
+        lv = 1 + max(
+            (level_of(r, seen | {key}) for r in refs), default=-1
+        )
+        levels[key] = lv
+        return lv
+
+    for k in constraints:
+        level_of(k, frozenset())
+    return levels
 
 
 def estimate_plan(

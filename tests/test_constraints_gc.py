@@ -1,0 +1,72 @@
+"""FK-ordered import + orphan GC tests."""
+
+import json
+import os
+
+from oracledb_datapump_spark import Job, JobState
+from oracledb_datapump_spark.catalog import DuckDbConnector
+from oracledb_datapump_spark.directives import DirectiveBase as D
+from oracledb_datapump_spark.dumpset import DumpSet, cleanup_orphans
+from oracledb_datapump_spark.planner import _topo_levels
+
+
+def test_topo_levels():
+    c = {
+        "s.child": ["s.parent"],
+        "s.grandchild": ["s.child"],
+        "s.selfref": ["s.selfref"],
+    }
+    lv = _topo_levels(c)
+    assert lv["s.child"] == 1
+    assert lv["s.grandchild"] == 2
+    assert lv["s.selfref"] == 0  # cycle broken
+
+
+def test_fk_capture_and_topo_import(spark, tmp_path):
+    src = DuckDbConnector(str(tmp_path / "fk.duckdb"))
+    src.execute("CREATE SCHEMA fk1")
+    src.execute("CREATE TABLE fk1.parent(id INT PRIMARY KEY, name VARCHAR)")
+    src.execute(
+        "CREATE TABLE fk1.child(id INT, pid INT REFERENCES fk1.parent(id))"
+    )
+    src.execute("INSERT INTO fk1.parent VALUES (1,'a'), (2,'b')")
+    src.execute("INSERT INTO fk1.child VALUES (10,1),(11,2)")
+
+    assert src.foreign_keys("fk1") == [("child", "parent")]
+
+    dump = str(tmp_path / "fkdump")
+    st = Job(
+        "EXPORT", "SCHEMA", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("fk1")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    meta = DumpSet(dump).read_manifest()
+    assert meta.constraints == {"fk1.child": ["fk1.parent"]}
+
+    # import into remapped schema: parent wave must precede child wave
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump,
+        directives=[D.REMAP_SCHEMA("fk1", "fk2"), D.TABLE_EXISTS_ACTION("REPLACE")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    events = list(DumpSet(dump).read_events())
+    starts = [e["table"] for e in events if e["event"] == "TABLE_IMPORT_START"]
+    assert starts.index("fk2.parent") < starts.index("fk2.child")
+    assert src.execute("SELECT count(*) FROM fk2.child").fetchone()[0] == 2
+
+
+def test_cleanup_orphans(tmp_path):
+    root = str(tmp_path / "jobs")
+    done = DumpSet(os.path.join(root, "done"))
+    done.log_event("JOB_OPEN", job_name="D")
+    done.log_event("JOB_DONE", state="COMPLETED")
+    orphan = DumpSet(os.path.join(root, "orphan"))
+    orphan.log_event("JOB_OPEN", job_name="O")
+    orphan.log_event("JOB_START")
+    unrelated = os.path.join(root, "not_a_dumpset")
+    os.makedirs(unrelated)
+
+    removed = cleanup_orphans(root)
+    assert removed == [os.path.join(root, "orphan")]
+    assert os.path.isdir(done.root)
+    assert os.path.isdir(unrelated)
