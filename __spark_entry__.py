@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from oracledb_datapump_spark.operators import analytics as A
+from oracledb_datapump_spark.operators import analytics2 as A2
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import multimodal as M
@@ -47,6 +48,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_set_ops": A.customer_order_set_ops,
         "events_hourly_rollup": A.events_hourly_rollup,
         "events_sessionize": A.events_sessionize,
+        "q10_returned_items": A2.q10_returned_items,
+        "q11_important_stock": A2.q11_important_stock,
+        "q16_supplier_part_counts": A2.q16_supplier_part_counts,
+        "q17_small_quantity_revenue": A2.q17_small_quantity_revenue,
+        "q18_large_orders": A2.q18_large_orders,
+        "q19_disjunctive_revenue": A2.q19_disjunctive_revenue,
+        "q22_global_sales_opportunity": A2.q22_global_sales_opportunity,
+        "sales_rollup": A2.sales_rollup,
+        "shipmode_pivot": A2.shipmode_pivot,
+        "price_quantiles": A2.price_quantiles,
         # datapump ETL core (SURVEY.md §2.1/§2.4/§2.5) — full job lifecycle
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
@@ -84,6 +95,16 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_set_ops": A.SET_OPS_SQL,
         "events_hourly_rollup": A.EVENTS_HOURLY_SQL,
         "events_sessionize": A.EVENTS_SESSIONIZE_SQL,
+        "q10_returned_items": A2.Q10_SQL,
+        "q11_important_stock": A2.Q11_SQL,
+        "q16_supplier_part_counts": A2.Q16_SQL,
+        "q17_small_quantity_revenue": A2.Q17_SQL,
+        "q18_large_orders": A2.Q18_SQL,
+        "q19_disjunctive_revenue": A2.Q19_SQL,
+        "q22_global_sales_opportunity": A2.Q22_SQL,
+        "sales_rollup": A2.SALES_ROLLUP_SQL,
+        "shipmode_pivot": A2.SHIPMODE_PIVOT_SQL,
+        "price_quantiles": A2.PRICE_QUANTILES_SQL,
         "datapump_roundtrip_nation": E.ROUNDTRIP_NATION_SQL,
         "datapump_roundtrip_supplier": E.ROUNDTRIP_SUPPLIER_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
