@@ -76,6 +76,7 @@ class PlanConfig:
     # row-level extension (reference lacks QUERY wrapping; SURVEY.md §2.2)
     table_predicates: dict[str, str] = field(default_factory=dict)
     table_columns: dict[str, list[str]] = field(default_factory=dict)
+    table_partition_by: dict[str, str] = field(default_factory=dict)
 
     # parallelism
     parallel: int = 1  # reference default job.py:136-140
@@ -267,6 +268,17 @@ class Columns(Filter, name="COLUMNS"):
     def apply(self, config: PlanConfig) -> None:
         cols = self.value if isinstance(self.value, list) else str(self.value).split(",")
         config.table_columns[self.object_path or "*"] = [c.strip() for c in cols]
+
+
+class ExportPartitionBy(Filter, name="EXPORT_PARTITION_BY"):
+    """Write a table's dump data hive-partitioned by a column — extension
+    giving PARTITION_OPTIONS something real to act on: MERGE import reads
+    the whole tree back as one table (partition column restored),
+    DEPARTITION imports one target table per partition value (reference
+    directives.py:346-349 semantics)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_partition_by[self.object_path or "*"] = str(self.value)
 
 
 # -- Parameters (reference directives.py:186-409) ---------------------------

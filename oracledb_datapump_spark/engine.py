@@ -59,17 +59,19 @@ def _count_parquet_rows(path: str) -> tuple[int, int, int]:
     import pyarrow.parquet as pq
 
     rows = size = nfiles = 0
-    for name in os.listdir(path):
-        p = os.path.join(path, name)
-        if not os.path.isfile(p) or name.startswith(("_", ".")):
-            continue
-        size += os.path.getsize(p)
-        nfiles += 1
-        if name.endswith(".parquet") or name.startswith("part-"):
-            try:
-                rows += pq.ParquetFile(p).metadata.num_rows
-            except Exception:
-                pass
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for name in filenames:
+            if name.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, name)
+            size += os.path.getsize(p)
+            nfiles += 1
+            if name.endswith(".parquet") or name.startswith("part-"):
+                try:
+                    rows += pq.ParquetFile(p).metadata.num_rows
+                except Exception:
+                    pass
     return rows, size, nfiles
 
 
@@ -116,7 +118,12 @@ def export_table(
         schema_json = df.schema.json()
         if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
             df = df.repartition(plan.parallel)
-        df.write.mode("overwrite").option("compression", plan.codec).parquet(out_dir)
+        writer = df.write.mode("overwrite").option("compression", plan.codec)
+        if plan.partition_by:
+            # hive-partitioned dump layout (EXPORT_PARTITION_BY extension);
+            # enables partition pruning on import and DEPARTITION splits
+            writer = writer.partitionBy(plan.partition_by)
+        writer.parquet(out_dir)
         rows, size, nfiles = _count_parquet_rows(out_dir)
         dumpset.log_event(
             "TABLE_EXPORT_DONE", table=plan.source_key, rows=rows, bytes=size
@@ -152,6 +159,38 @@ def import_table(
         ):
             dumpset.log_event("TABLE_IMPORT_SKIP_EXISTS", table=plan.target_key)
             return TableResult(plan, ok=True, rows=0, skipped=True)
+        # PARTITION_OPTIONS=DEPARTITION: one target table per hive
+        # partition directory (reference directives.py:346-349); MERGE/
+        # NONE fall through — Spark unions partition dirs natively.
+        if config.partition_options == "DEPARTITION":
+            part_dirs = sorted(
+                d
+                for d in os.listdir(src_dir)
+                if os.path.isdir(os.path.join(src_dir, d)) and "=" in d
+            )
+            if part_dirs:
+                total = 0
+                for d in part_dirs:
+                    col, _, value = d.partition("=")
+                    sub = spark.read.parquet(os.path.join(src_dir, d))
+                    target = f"{plan.target_table}_{col}_{value}".lower()
+                    connector.write_table(
+                        sub,
+                        plan.target_schema,
+                        target,
+                        mode=plan.write_mode,
+                        truncate=plan.truncate,
+                        options=plan.writer_options,
+                    )
+                    total += 1
+                dumpset.log_event(
+                    "TABLE_IMPORT_DONE",
+                    table=plan.target_key,
+                    departitioned=total,
+                )
+                return TableResult(
+                    plan, ok=True, detail={"departitioned_tables": total}
+                )
         df = spark.read.parquet(src_dir)
         if plan.predicate:
             df = df.filter(plan.predicate)

@@ -31,6 +31,7 @@ class TablePlan:
     predicate: str | None = None
     columns: list[str] | None = None
     as_of: str | None = None
+    partition_by: str | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -104,6 +105,9 @@ def plan_export(
                     as_of=config.as_of_marker(),
                     codec=config.parquet_codec(),
                     data_included=data_included,
+                    partition_by=config.table_partition_by.get(
+                        table, config.table_partition_by.get("*")
+                    ),
                 )
             )
     return plans
