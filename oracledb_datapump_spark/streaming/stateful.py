@@ -1,0 +1,162 @@
+"""Custom stateful streaming operator: session tracking with
+``applyInPandasWithState``.
+
+The batch sessionizer (operators.analytics.events_sessionize) is a window
+function; the streaming form needs explicit state because sessions span
+micro-batches. State per user = (session_seq, last_ts_us, n_events,
+session_start_us); a 30-minute event-time gap closes a session and emits
+it; a processing-time timeout flushes idle users' open sessions.
+
+At scale: state is partitioned by user_id across executors (RocksDB state
+store in production configs); the timeout bounds state size exactly like
+a watermark would.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .incremental import EVENTS_SCHEMA
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+# Idle-flush timer (processing time), for CONTINUOUS deployments only:
+# pending timers keep a trigger(availableNow) query alive indefinitely
+# (observed: the drain never completes), so catch-up runs use
+# idle_flush_ms=0 → NoTimeout, and open sessions simply persist in the
+# checkpointed state store until the next run — the correct incremental
+# semantic anyway.
+DEFAULT_IDLE_FLUSH_MS = 30 * 60 * 1000
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("closed_by", T.StringType()),  # 'gap' | 'timeout'
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+    ]
+)
+
+
+def make_tracker(idle_flush_ms: int):
+    def track_sessions(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user session tracker. Emits a row per CLOSED session; the open
+        session lives in ``state`` between micro-batches."""
+        (user_id,) = key
+        closed: list[dict[str, Any]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                seq, last, n, start = state.get
+                closed.append(
+                    dict(
+                        user_id=user_id,
+                        session_seq=seq,
+                        n_events=n,
+                        session_start_us=start,
+                        session_end_us=last,
+                        closed_by="timeout",
+                    )
+                )
+            state.remove()
+        else:
+            if state.exists:
+                seq, last, n, start = state.get
+            else:
+                # session_seq starts at 1, matching the batch sessionizer
+                # (its cumulative-sum numbering counts the opening flag)
+                seq, last, n, start = 1, None, 0, None
+            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values(["ts_us", "event_id"])
+                for ts in rows["ts_us"]:
+                    ts = int(ts)
+                    if last is not None and ts - last > SESSION_GAP_US:
+                        closed.append(
+                            dict(
+                                user_id=user_id,
+                                session_seq=seq,
+                                n_events=n,
+                                session_start_us=start,
+                                session_end_us=last,
+                                closed_by="gap",
+                            )
+                        )
+                        seq, n, start = seq + 1, 0, ts
+                    if start is None:
+                        start = ts
+                    n += 1
+                    last = ts
+                state.update((seq, last, n, start))
+                if idle_flush_ms > 0:
+                    # idle users flush idle_flush_ms after their last batch
+                    state.setTimeoutDuration(idle_flush_ms)
+
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return track_sessions
+
+
+def stream_sessions(
+    spark: SparkSession, src_dir: str, idle_flush_ms: int = DEFAULT_IDLE_FLUSH_MS
+) -> DataFrame:
+    """readStream → stateful session tracking (returns the streaming DF;
+    caller attaches a sink)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_flush_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_tracker(idle_flush_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_session_export(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    idle_flush_ms: int = 0,  # availableNow catch-up: NoTimeout (see above)
+) -> dict:
+    """One availableNow cycle of the stateful sessionizer → parquet."""
+    q = (
+        stream_sessions(spark, src_dir, idle_flush_ms)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"sink_path": os.path.join(out_dir, "sessions")}
