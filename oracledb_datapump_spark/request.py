@@ -19,7 +19,7 @@ from typing import Any, Callable, ClassVar
 
 from .base import JobMode, Operation
 from .directives import DirectiveBase
-from .exceptions import UsageError
+from .exceptions import JobNotFound, UsageError
 from .job import Job
 from .status import JobStatusInfo, StatusRequestType
 
@@ -197,8 +197,8 @@ def handle_request(request: str | dict[str, Any], spark=None) -> Response:
     )
     try:
         return handler_cls().handle(payload, connection, spark=spark)
-    except UsageError:
-        raise
+    except (UsageError, JobNotFound):
+        raise  # caller-addressable errors propagate (HTTP 400/404)
     except Exception as e:
         return Response(request=rtype, state="ERROR", error=str(e))
 

@@ -117,12 +117,33 @@ def make_tracker(idle_flush_ms: int):
     return track_sessions
 
 
+def _validate_ns_source(spark: SparkSession, src_dir: str) -> None:
+    """Guard: our fixed schema reads ``ts`` as long (nanosAsLong). A file
+    whose ts is µs-precision silently yields zero rows instead of erroring
+    (observed), so check one footer up front."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
+    if not files:
+        return
+    field = _pq.ParquetFile(files[0]).schema_arrow.field("ts")
+    if str(field.type) not in ("timestamp[ns]", "int64"):
+        raise ValueError(
+            f"events source {files[0]} has ts type {field.type}; expected "
+            "timestamp[ns] (the nanosAsLong contract) — a µs-precision "
+            "source would silently produce no rows"
+        )
+
+
 def stream_sessions(
     spark: SparkSession, src_dir: str, idle_flush_ms: int = DEFAULT_IDLE_FLUSH_MS
 ) -> DataFrame:
     """readStream → stateful session tracking (returns the streaming DF;
     caller attaches a sink)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _validate_ns_source(spark, src_dir)
     events = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(src_dir)
