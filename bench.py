@@ -46,11 +46,16 @@ def main() -> None:
         "top_suppliers_window",
         "events_hourly_rollup",
         "events_sessionize",
+        "q10_returned_items",
+        "q18_large_orders",
+        "sales_rollup",
+        "price_quantiles",
         "datapump_roundtrip_supplier",
         "dedup_exact",
         "dedup_minhash_pairs",
         "simhash_fingerprints",
         "ann_bruteforce_topk",
+        "ann_lsh_topk",
         "lang_id",
         "token_count",
         "media_features",
