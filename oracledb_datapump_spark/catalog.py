@@ -159,6 +159,9 @@ class ParquetConnector:
         path = self._path(schema, table)
         if not os.path.exists(path):
             raise FileError(f"No such table: {schema}.{table} ({path})")
+        # tolerate TIMESTAMP(NANOS) columns (read as long ns) — otherwise
+        # Spark's vectorized reader rejects the file outright
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if predicate:
             df = df.filter(predicate)  # pushed to the parquet scan by Catalyst

@@ -77,6 +77,7 @@ class PlanConfig:
     table_predicates: dict[str, str] = field(default_factory=dict)
     table_columns: dict[str, list[str]] = field(default_factory=dict)
     table_partition_by: dict[str, str] = field(default_factory=dict)
+    incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
     parallel: int = 1  # reference default job.py:136-140
@@ -268,6 +269,20 @@ class Columns(Filter, name="COLUMNS"):
     def apply(self, config: PlanConfig) -> None:
         cols = self.value if isinstance(self.value, list) else str(self.value).split(",")
         config.table_columns[self.object_path or "*"] = [c.strip() for c in cols]
+
+
+class IncrementalColumn(Filter, name="INCREMENTAL_COLUMN"):
+    """CDC-style incremental export — extension (SURVEY.md §7.2 M5).
+
+    value = a monotone watermark column (id, updated_at, …); object_path =
+    table ('*' = all tables). The first export captures everything and
+    records max(column) per table in the manifest; subsequent exports into
+    the same dump set read only rows where column > recorded watermark and
+    append them, advancing the watermark. The exported dump set is an
+    append-only log a consumer can replay."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.incremental_columns[self.object_path or "*"] = str(self.value)
 
 
 class ExportPartitionBy(Filter, name="EXPORT_PARTITION_BY"):

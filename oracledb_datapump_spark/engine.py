@@ -116,21 +116,39 @@ def export_table(
             columns=plan.columns,
         )
         schema_json = df.schema.json()
+        inc_col = plan.extra.get("incremental_column")
+        prev_watermark = plan.extra.get("watermark")
+        write_mode = "overwrite"
+        if inc_col is not None and prev_watermark is not None:
+            # CDC-style increment: only rows past the manifest watermark,
+            # appended to the existing dump (Catalyst pushes the filter
+            # into the parquet/JDBC scan)
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col(inc_col) > F.lit(prev_watermark))
+            write_mode = "append"
         if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
             df = df.repartition(plan.parallel)
-        writer = df.write.mode("overwrite").option("compression", plan.codec)
+        writer = df.write.mode(write_mode).option("compression", plan.codec)
         if plan.partition_by:
             # hive-partitioned dump layout (EXPORT_PARTITION_BY extension);
             # enables partition pruning on import and DEPARTITION splits
             writer = writer.partitionBy(plan.partition_by)
         writer.parquet(out_dir)
         rows, size, nfiles = _count_parquet_rows(out_dir)
+        detail: dict[str, Any] = {"spark_schema": schema_json, "codec": plan.codec}
+        if inc_col is not None:
+            # new watermark from the dump itself (no extra source scan)
+            from pyspark.sql import functions as F
+
+            wm_row = spark.read.parquet(out_dir).agg(F.max(inc_col)).collect()[0]
+            detail["incremental_column"] = inc_col
+            detail["watermark"] = wm_row[0]
         dumpset.log_event(
             "TABLE_EXPORT_DONE", table=plan.source_key, rows=rows, bytes=size
         )
         return TableResult(
-            plan, ok=True, rows=rows, bytes=size, files=nfiles,
-            detail={"spark_schema": schema_json, "codec": plan.codec},
+            plan, ok=True, rows=rows, bytes=size, files=nfiles, detail=detail
         )
     except Exception as e:
         dumpset.log_event(

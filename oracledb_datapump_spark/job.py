@@ -171,6 +171,20 @@ class Job:
             plans = plan_export(self.connector, self.operation, self.mode, config)
         else:
             plans = plan_import(self.dumpset, config)
+        # CDC-style incremental export (INCREMENTAL_COLUMN directive):
+        # thread each table's recorded watermark from the prior manifest
+        # into its plan so the engine exports only new rows, appended.
+        if config.incremental_columns and self.operation == Operation.EXPORT:
+            prior = self.dumpset.read_manifest().tables if self.dumpset.exists() else {}
+            for p in plans:
+                col = config.incremental_columns.get(
+                    p.table, config.incremental_columns.get("*")
+                )
+                if col:
+                    p.extra["incremental_column"] = col
+                    p.extra["watermark"] = prior.get(p.source_key, {}).get(
+                        "watermark"
+                    )
         if not plans:
             # Oracle raises ORA-39165 for a schema that matches nothing; a
             # vacuous job completing silently would hide typos.
