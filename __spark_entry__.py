@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup suite (M5 extensions)
         "dedup_exact": D.dedup_exact,
         "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "dedup_minhash_verified": D.dedup_minhash_verified,
         "simhash_fingerprints": D.simhash_fingerprints,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "datapump_roundtrip_supplier": E.ROUNDTRIP_SUPPLIER_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
+        "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,
         "simhash_fingerprints": D.SIMHASH_SQL,
         "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_COSINE_SQL,

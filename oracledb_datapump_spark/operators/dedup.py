@@ -388,6 +388,76 @@ ORDER BY doc_a, doc_b
 )
 
 
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup pipeline: LSH candidates → exact Jaccard
+    verification, restricted to candidate pairs only.
+
+    This is the composition that survives 100 TB: the O(n²) exact check
+    runs on |candidates| pairs (LSH-bounded), not on every
+    shingle-sharing pair. Join order: candidates ⋈ shingles(doc_a) ⋈
+    shingles(doc_b, same shingle) → per-pair intersection counts."""
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("_doc_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_doc_b2")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_MINHASH_VERIFIED_SQL = (
+    "WITH "
+    + SQL_MINHASH_CTE
+    + f""",
+bands AS (
+  {_sql_band_selects()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+FROM inter
+JOIN sizes na ON doc_a = na.doc_id
+JOIN sizes nb ON doc_b = nb.doc_id
+WHERE inter::DOUBLE / (na.n + nb.n - inter) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
