@@ -220,10 +220,17 @@ class DuckDbConnector:
     """
 
     def __init__(self, path: str = ":memory:"):
+        import threading
+
         import duckdb
 
         self.path = path
         self._con = duckdb.connect(path)
+        # DuckDB is a single-writer embedded engine: concurrent DDL/DML
+        # from the engine's table pool hit "Catalog write-write conflict"
+        # (observed intermittently under PARALLEL=2). Writes serialize on
+        # this lock; reads stay concurrent via per-call cursors.
+        self._write_lock = threading.Lock()
 
     @property
     def con(self):
@@ -257,7 +264,10 @@ class DuckDbConnector:
         return table in self.list_tables(schema)
 
     def ensure_schema(self, schema: str) -> None:
-        self._cursor().execute(f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema)}")
+        with self._write_lock:
+            self._cursor().execute(
+                f"CREATE SCHEMA IF NOT EXISTS {quote_ident(schema)}"
+            )
 
     # -- I/O --------------------------------------------------------------
     def read_table(
@@ -303,7 +313,9 @@ class DuckDbConnector:
         batches = df.toArrow()  # Arrow table on the driver (test-scale only)
         if not isinstance(batches, pa.Table):  # pragma: no cover
             batches = pa.Table.from_batches(list(batches))
-        # One cursor for the whole register → DML sequence (cursor-local view).
+        # One cursor for the whole register → DML sequence (cursor-local
+        # view), serialized: DuckDB rejects concurrent catalog writes.
+        self._write_lock.acquire()
         cur = self._cursor()
         cur.register("_dp_incoming", batches)
         try:
@@ -324,11 +336,13 @@ class DuckDbConnector:
                 cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
         finally:
             cur.unregister("_dp_incoming")
+            self._write_lock.release()
 
     def drop_table(self, schema: str, table: str) -> None:
-        self._cursor().execute(
-            f"DROP TABLE IF EXISTS {quote_ident(schema)}.{quote_ident(table)}"
-        )
+        with self._write_lock:
+            self._cursor().execute(
+                f"DROP TABLE IF EXISTS {quote_ident(schema)}.{quote_ident(table)}"
+            )
 
     def snapshot_marker(self) -> str | None:
         from .util import utc_now
