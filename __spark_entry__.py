@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from oracledb_datapump_spark.operators import analytics as A
 from oracledb_datapump_spark.operators import analytics2 as A2
+from oracledb_datapump_spark.operators import analytics3 as A3
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import multimodal as M
@@ -55,6 +56,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": A2.q18_large_orders,
         "q19_disjunctive_revenue": A2.q19_disjunctive_revenue,
         "q22_global_sales_opportunity": A2.q22_global_sales_opportunity,
+        "q7_nation_volume": A3.q7_nation_volume,
+        "q9_product_profit": A3.q9_product_profit,
+        "q13_customer_distribution": A3.q13_customer_distribution,
+        "q15_top_supplier": A3.q15_top_supplier,
         "sales_rollup": A2.sales_rollup,
         "shipmode_pivot": A2.shipmode_pivot,
         "price_quantiles": A2.price_quantiles,
@@ -103,6 +108,10 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": A2.Q18_SQL,
         "q19_disjunctive_revenue": A2.Q19_SQL,
         "q22_global_sales_opportunity": A2.Q22_SQL,
+        "q7_nation_volume": A3.Q7_SQL,
+        "q9_product_profit": A3.Q9_SQL,
+        "q13_customer_distribution": A3.Q13_SQL,
+        "q15_top_supplier": A3.Q15_SQL,
         "sales_rollup": A2.SALES_ROLLUP_SQL,
         "shipmode_pivot": A2.SHIPMODE_PIVOT_SQL,
         "price_quantiles": A2.PRICE_QUANTILES_SQL,
