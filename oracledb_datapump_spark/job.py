@@ -241,49 +241,77 @@ class Job:
 
         self.dumpset.log_event("JOB_START")
         self._set_state(JobState.EXECUTING)
-        result = run_plans(
-            spark, self.connector, self.dumpset, plans, config,
-            self.operation.value,
+
+        def _execute() -> None:
+            result = run_plans(
+                spark, self.connector, self.dumpset, plans, config,
+                self.operation.value,
+            )
+            self._result = result
+            self._set_state(JobState.COMPLETING)
+
+            if self.operation == Operation.EXPORT:
+                # enrich manifest with per-table outcomes
+                for r in result.tables:
+                    meta.tables[r.plan.source_key] = {
+                        "rows": None if not r.ok else r.rows,
+                        "row_count": r.rows,
+                        "bytes": r.bytes,
+                        "files": r.files,
+                        "ok": r.ok,
+                        **r.detail,
+                    }
+                meta.dumpfiles = [
+                    p.replace(self.dumpset.root + "/", "")
+                    for p in self.dumpset.dumpfiles()
+                ]
+                if config.include_metadata:
+                    self.dumpset.write_manifest(meta)
+
+            self.dumpset.log_event(
+                "JOB_DONE",
+                state=result.state.value,
+                dumpfiles=self.dumpset.dumpfiles()
+                if self.operation == Operation.EXPORT
+                else [],
+                errors=result.error_count,
+            )
+            self._set_state(result.state)
+
+            # POST stage (reference job.py:288-295: Extra directives only
+            # when wait=True — DELETE_FILES after synchronous import)
+            if (
+                wait
+                and self.operation == Operation.IMPORT
+                and config.delete_files_after
+                and result.state == JobState.COMPLETED
+            ):
+                self.dumpset.delete()
+
+            deregister_job(self.job_name)
+
+        if wait:
+            _execute()
+            return self.get_status()
+
+        # async mode (reference job.py:297-304): the job keeps running —
+        # driver-side worker thread replaces Oracle's server-side workers;
+        # the caller observes via attach/get_status/poll_for_completion,
+        # and the registry entry stays live until _execute finishes.
+        def _execute_guarded() -> None:
+            try:
+                _execute()
+            except Exception as e:  # surfaced via status, like the server
+                self.dumpset.log_event("JOB_ERROR", error=str(e))
+                self.dumpset.log_event("JOB_DONE", state=JobState.ERROR.value)
+                self._set_state(JobState.ERROR)
+                deregister_job(self.job_name)
+
+        t = threading.Thread(
+            target=_execute_guarded, name=f"datapump-{self.job_name}", daemon=True
         )
-        self._result = result
-        self._set_state(JobState.COMPLETING)
-
-        if self.operation == Operation.EXPORT:
-            # enrich manifest with per-table outcomes
-            for r in result.tables:
-                meta.tables[r.plan.source_key] = {
-                    "rows": None if not r.ok else r.rows,
-                    "row_count": r.rows,
-                    "bytes": r.bytes,
-                    "files": r.files,
-                    "ok": r.ok,
-                    **r.detail,
-                }
-            meta.dumpfiles = [
-                p.replace(self.dumpset.root + "/", "") for p in self.dumpset.dumpfiles()
-            ]
-            if config.include_metadata:
-                self.dumpset.write_manifest(meta)
-
-        self.dumpset.log_event(
-            "JOB_DONE",
-            state=result.state.value,
-            dumpfiles=self.dumpset.dumpfiles() if self.operation == Operation.EXPORT else [],
-            errors=result.error_count,
-        )
-        self._set_state(result.state)
-
-        # POST stage (reference job.py:288-295: Extra directives only when
-        # wait=True — DELETE_FILES after synchronous import)
-        if (
-            wait
-            and self.operation == Operation.IMPORT
-            and config.delete_files_after
-            and result.state == JobState.COMPLETED
-        ):
-            self.dumpset.delete()
-
-        deregister_job(self.job_name)
+        self._worker = t
+        t.start()
         return self.get_status()
 
     def _capture_constraints(self, schemas: list[str]) -> dict[str, list[str]]:
