@@ -23,6 +23,7 @@ from oracledb_datapump_spark.operators import analytics as A
 from oracledb_datapump_spark.operators import analytics2 as A2
 from oracledb_datapump_spark.operators import analytics3 as A3
 from oracledb_datapump_spark.operators import dedup as D
+from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import similarity as S
@@ -74,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # similarity search
+        "embedding_normalize": EM.embedding_normalize,
+        "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
@@ -123,6 +126,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": D.SIMHASH_SQL,
         "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_COSINE_SQL,
+        "embedding_normalize": EM.EMBEDDING_NORMALIZE_SQL,
+        "embedding_quantize": EM.EMBEDDING_QUANTIZE_SQL,
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         # ann_lsh_topk / centroid_topk: rows-only (float-sum bucket
         # boundaries are not portably bit-stable across engines)
