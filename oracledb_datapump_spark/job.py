@@ -370,6 +370,13 @@ class Job:
             return ""
         return self.dumpset.read_logfile()
 
+    def log_entry(self, message: str) -> None:
+        """Inject a custom line into the job log (reference C8:
+        DBMS_DATAPUMP.LOG_ENTRY — commands.py:217-231)."""
+        if self.dumpset is None:
+            raise UsageError("Job has no dump set yet (not started)")
+        self.dumpset.log_event("LOG_ENTRY", message=message)
+
     @property
     def estimates(self) -> list[dict[str, Any]] | None:
         return self._estimates

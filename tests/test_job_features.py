@@ -135,3 +135,20 @@ def test_completed_with_errors(spark, duck, tmp_path):
     assert info.error  # the nation failure is recorded
     # region still exported
     assert DataPump.get_dumpfile_info(dump, "test1", "region").row_count == 5
+
+
+def test_full_mode_export_and_log_entry(spark, duck, tmp_path):
+    """FULL mode sweeps every non-system schema (S2); custom LOG_ENTRY
+    lines land in the job log (C8)."""
+    duck.execute("CREATE SCHEMA extra1")
+    duck.execute("CREATE TABLE extra1.t1 AS SELECT 1 AS a")
+    dump = str(tmp_path / "full1")
+    job = Job("EXPORT", "FULL", dumpfiles=dump)
+    st = job.run(connection=duck, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    ds = DumpSet(dump)
+    exported = {f"{s}.{t}" for s, t in ds.list_tables()}
+    assert "extra1.t1" in exported
+    assert "test1.lineitem" in exported
+    job.log_entry("operator checkpoint reached")
+    assert "operator checkpoint reached" in job.get_logfile()
