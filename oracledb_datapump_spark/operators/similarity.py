@@ -142,18 +142,35 @@ def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates = same-bucket vectors, exact re-rank
-    within bucket. Returns (query_id, neighbor_id, rank). No oracle SQL —
-    float-sum bucket boundaries are not portably bit-stable; the driver's
-    rows-only check plus the recall test in tests/ cover it."""
+    """LSH-bucketed ANN with query-side multi-probe: each query probes its
+    own bucket plus every Hamming-distance-1 bucket per table (bit flips
+    are the buckets a borderline projection would have landed in), then
+    exact re-rank over the candidate union. Returns (query_id,
+    neighbor_id, rank). No oracle SQL — float-sum bucket boundaries are
+    not portably bit-stable; the driver's rows-only check plus the recall
+    test in tests/ cover it.
+
+    Scale: multi-probe multiplies only the QUERY side (tables×(1+bits)
+    probe rows per query, broadcast); the corpus keeps one row per table —
+    the standard trade of probe count for table count."""
     e = _emb(spark, sf_dir)
     sig = lsh_signatures(spark, sf_dir)
     with_sig = e.join(sig, "vec_id")
-    q = with_sig.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("tbl").alias("q_tbl"),
-        F.col("bucket").alias("q_bucket"),
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+            for b in range(LSH_BITS)
+        ],
+    )
+    q = (
+        with_sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("tbl").alias("q_tbl"),
+            F.explode(probes).alias("q_bucket"),
+        )
     )
     c = with_sig.select(
         F.col("vec_id").alias("neighbor_id"),

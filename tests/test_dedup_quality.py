@@ -39,8 +39,8 @@ def test_simhash_near_dups_collide(spark, sf_dir):
 
 
 def test_lsh_ann_recall(spark, sf_dir):
-    """LSH top-k must recall a reasonable fraction of brute-force top-k
-    (8-bit signatures on clustered data)."""
+    """Multi-probe LSH top-k must recall most of brute-force top-k
+    (4 tables × 4 bits with Hamming-1 query probes → ~0.9 measured)."""
     brute = {
         (r.query_id, r.neighbor_id)
         for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
@@ -50,7 +50,7 @@ def test_lsh_ann_recall(spark, sf_dir):
     }
     assert brute
     recall = len(brute & lsh) / len(brute)
-    assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+    assert recall >= 0.7, f"LSH recall collapsed: {recall:.2f}"
 
 
 def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
