@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oracledb_datapump_spark.operators import analytics as A
 from oracledb_datapump_spark.operators import analytics2 as A2
 from oracledb_datapump_spark.operators import analytics3 as A3
+from oracledb_datapump_spark.operators import curation as CU
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
@@ -87,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": T.doc_fingerprint,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
+        # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
+        "curated_corpus": CU.curated_corpus,
     }
 
 
@@ -136,4 +139,5 @@ def oracle_sql() -> dict[str, str]:
         "token_count": T.TOKEN_COUNT_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
+        "curated_corpus": CU.CURATED_SQL,
     }
