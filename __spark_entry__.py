@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oracledb_datapump_spark.operators import analytics as A
 from oracledb_datapump_spark.operators import analytics2 as A2
 from oracledb_datapump_spark.operators import analytics3 as A3
+from oracledb_datapump_spark.operators import analytics4 as A4
 from oracledb_datapump_spark.operators import curation as CU
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
@@ -51,6 +52,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_set_ops": A.customer_order_set_ops,
         "events_hourly_rollup": A.events_hourly_rollup,
         "events_sessionize": A.events_sessionize,
+        "events_json_stats": A4.events_json_stats,
+        "distinct_counts": A4.distinct_counts,
         "q10_returned_items": A2.q10_returned_items,
         "q11_important_stock": A2.q11_important_stock,
         "q16_supplier_part_counts": A2.q16_supplier_part_counts,
@@ -107,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_set_ops": A.SET_OPS_SQL,
         "events_hourly_rollup": A.EVENTS_HOURLY_SQL,
         "events_sessionize": A.EVENTS_SESSIONIZE_SQL,
+        "events_json_stats": A4.EVENTS_JSON_SQL,
+        "distinct_counts": A4.DISTINCT_COUNTS_SQL,
         "q10_returned_items": A2.Q10_SQL,
         "q11_important_stock": A2.Q11_SQL,
         "q16_supplier_part_counts": A2.Q16_SQL,
