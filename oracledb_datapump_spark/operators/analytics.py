@@ -242,8 +242,8 @@ SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
             WHEN datediff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
             WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN '61-90'
             ELSE '90+' END AS delay_bucket,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
 GROUP BY delay_bucket
@@ -471,8 +471,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, event_id, ts_us,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -329,8 +329,8 @@ def shipmode_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPMODE_PIVOT_SQL = """
 SELECT l_returnflag,
-       COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS status_f,
-       COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS status_o
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS status_f,
+       CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS status_o
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag

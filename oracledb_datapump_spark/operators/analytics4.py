@@ -66,7 +66,7 @@ SELECT event_type,
        COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 ORDER BY event_type

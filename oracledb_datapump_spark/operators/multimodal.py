@@ -124,8 +124,18 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """queries() entry: media plumbing end-to-end (binary column → Arrow
-    batches → features), ordered for stable comparison."""
-    return extract_features(media_table(spark, sf_dir)).orderBy("doc_id")
+    batches → features), ordered for stable comparison. The histogram is
+    serialized comma-joined (raw array columns break the driver's
+    comparator); :func:`extract_features` keeps the real array form."""
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.array_join(
+            F.transform("byte_histogram", lambda v: v.cast("string")), ","
+        ).alias("hist_str"),
+        "head_digest",
+    ).orderBy("doc_id")
 
 
 # Oracle twin: valid because the fixture payloads are ASCII (1 char = 1
@@ -133,10 +143,10 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_FEATURES_SQL = f"""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       list_transform(range({HIST_BINS}), bin -> CAST(len(list_filter(
+       array_to_string(list_transform(range({HIST_BINS}), bin -> CAST(CAST(len(list_filter(
             range(1, length(text)+1),
-            i -> ord(substr(text, CAST(i AS INT), 1)) // {256 // HIST_BINS} = bin)) AS BIGINT)
-       ) AS byte_histogram,
+            i -> ord(substr(text, CAST(i AS INT), 1)) // {256 // HIST_BINS} = bin)) AS BIGINT) AS VARCHAR)
+       ), ',') AS hist_str,
        md5(substr(text, 1, 64)) AS head_digest
 FROM documents
 ORDER BY doc_id

@@ -103,35 +103,61 @@ def _plane_sign(tbl: int, bit: int, dim: int) -> int:
     return 1 if int(h[:15], 16) % 2 == 1 else -1
 
 
+QUANT = 10_000_000.0  # floor(x*1e7) — exact integer projections, portable
+
+
+def _planes(dim: int) -> np.ndarray:
+    """d × (tables·bits) int64 ±1 matrix, cached per dim (computed inside
+    the Arrow UDF from the batch shape — no driver-side data read)."""
+    key = (dim, LSH_TABLES, LSH_BITS)
+    cached = _planes._cache.get(key)
+    if cached is None:
+        cached = np.array(
+            [
+                [
+                    _plane_sign(t, b, i)
+                    for t in range(LSH_TABLES)
+                    for b in range(LSH_BITS)
+                ]
+                for i in range(dim)
+            ],
+            dtype=np.int64,
+        )
+        _planes._cache[key] = cached
+    return cached
+
+
+_planes._cache = {}
+
+
 def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, tbl, bucket): {LSH_TABLES} independent {LSH_BITS}-bit
     random-hyperplane signatures; multi-table union is the standard recall
     lever (P[candidate] = 1-(1-p^bits)^tables).
 
-    The hyperplanes are deterministic constants (md5 parity), precomputed
-    driver-side; projections run as ONE vectorized Arrow UDF doing a
-    numpy matmul per batch (X[n×d] @ P[d×(tables·bits)] → sign bits →
-    bucket ints) — map-only, no explode/join/shuffle, and BLAS-fast.
-    (Tried alternatives, both worse: exploded dims×planes shuffles
-    |vecs|×d×t·b rows; a 4096-node column expression overflows
-    whole-stage codegen into interpreted eval.)"""
+    The hyperplanes are deterministic constants (md5 parity); vectors are
+    quantized to floor(x*1e7) int64 so every projection is EXACT integer
+    arithmetic — bit-identical across engines, which is what lets the
+    DuckDB oracle reproduce bucket assignments (float-sum sign boundaries
+    are not portable). Projections run as ONE vectorized Arrow UDF doing
+    an integer matmul per batch (Z[n×d] @ P[d×(tables·bits)] → sign bits →
+    bucket ints) — map-only, no explode/join/shuffle. (Tried alternatives,
+    both worse: exploded dims×planes shuffles |vecs|×d×t·b rows; a
+    4096-node column expression overflows whole-stage codegen into
+    interpreted eval.) The plane matrix is derived from the batch's own
+    width, so no driver-side ``.first()`` read is needed."""
     e = _emb(spark, sf_dir)
-    dim = len(e.select("embedding").first()[0])
-    planes = np.array(
-        [
-            [_plane_sign(t, b, i) for t in range(LSH_TABLES) for b in range(LSH_BITS)]
-            for i in range(dim)
-        ],
-        dtype=np.float64,
-    )  # d × (tables·bits)
     bit_weights = np.tile(
         np.array([1 << b for b in range(LSH_BITS)], dtype=np.int64), LSH_TABLES
     )
 
     @F.pandas_udf("array<long>")
     def buckets_of(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
         x = np.asarray(list(emb.values), dtype=np.float64)  # n × d
-        bits = (x @ planes) > 0  # n × (tables·bits)
+        z = np.floor(x * QUANT).astype(np.int64)
+        bits = (z @ _planes(x.shape[1])) > 0  # n × (tables·bits)
         weighted = bits * bit_weights
         out = weighted.reshape(len(x), LSH_TABLES, LSH_BITS).sum(axis=2)
         return pd.Series(list(out))

@@ -37,26 +37,51 @@ def duckdb_con(sf_dir: str):
 
 
 def _norm_cell(v: Any) -> Any:
-    """Normalize a cell for cross-engine comparison."""
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    if isinstance(v, (int, str, bool)):
-        return v
-    # decimals, dates, timestamps, lists
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    try:
-        import decimal
+    """Normalize a cell for cross-engine comparison, DTYPE-FAITHFULLY.
 
-        if isinstance(v, decimal.Decimal):
-            return float(v)
+    The driver's comparator hashes the pandas representation, so ``123``
+    (int64) and ``123.0`` (float64 — what DuckDB's HUGEINT sums land as)
+    must NOT compare equal here, or the local gate passes queries the
+    driver fails (round-1 lesson: 4 avoidable reds). Cells are tagged with
+    a type class so Python's cross-type numeric equality can't paper over
+    representation differences. Array/list cells raise, mirroring the
+    driver's ``unhashable type: 'list'`` crash."""
+    import numpy as np
+
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        raise TypeError(
+            f"array-typed output cell ({type(v).__name__}): the driver's "
+            "comparator crashes on these — stringify or explode the column"
+        )
+    if v is None:
+        return ("null",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("f", "NaN") if math.isnan(f) else ("f", f)
+    if isinstance(v, str):
+        return ("s", v)
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    try:
+        import pandas as pd
+
+        if v is pd.NaT:
+            return ("null",)
+        if isinstance(v, pd.Timestamp):
+            return ("t", v.isoformat())
     except Exception:
         pass
-    return str(v)
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return ("t", v.isoformat())
+    return ("s", str(v))
 
 
 def _rows_multiset(cols: list[str], rows: list[tuple]) -> dict:
@@ -71,11 +96,15 @@ def _rows_multiset(cols: list[str], rows: list[tuple]) -> dict:
 
 
 def compare(spark_df, con, sql: str, name: str = "?", float_tol: float = 0.0) -> dict:
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
-    d = con.sql(sql)
-    d_cols = list(d.columns)
-    d_rows = [tuple(r) for r in d.fetchall()]
+    # Route BOTH sides through pandas exactly like the driver's comparator,
+    # so dtype coercions (DuckDB HUGEINT→float64, nullable int→float64)
+    # surface locally instead of at the per-round gate.
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = list(s_pdf.itertuples(index=False, name=None))
+    d_pdf = con.sql(sql).df()
+    d_cols = list(d_pdf.columns)
+    d_rows = list(d_pdf.itertuples(index=False, name=None))
 
     result = {
         "name": name,
@@ -113,8 +142,15 @@ def _within_tol(rows_a: list[tuple], rows_b: list[tuple], tol: float) -> bool:
         if len(ra) != len(rb):
             return False
         for a, b in zip(ra, rb):
-            if isinstance(a, float) and isinstance(b, float):
-                if not math.isclose(a, b, rel_tol=tol, abs_tol=tol):
+            if (
+                isinstance(a, tuple)
+                and isinstance(b, tuple)
+                and a[:1] == ("f",)
+                and b[:1] == ("f",)
+                and isinstance(a[1], float)
+                and isinstance(b[1], float)
+            ):
+                if not math.isclose(a[1], b[1], rel_tol=tol, abs_tol=tol):
                     return False
             elif a != b:
                 return False
