@@ -137,8 +137,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_normalize": EM.EMBEDDING_NORMALIZE_SQL,
         "embedding_quantize": EM.EMBEDDING_QUANTIZE_SQL,
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
-        # ann_lsh_topk / centroid_topk: rows-only (float-sum bucket
-        # boundaries are not portably bit-stable across engines)
+        "ann_lsh_topk": S.ANN_LSH_SQL,
+        "centroid_topk": S.CENTROID_SQL,
         "lang_id": T.LANG_ID_SQL,
         "quality_score": T.QUALITY_SQL,
         "token_count": T.TOKEN_COUNT_SQL,

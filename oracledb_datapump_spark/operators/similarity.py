@@ -172,9 +172,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     own bucket plus every Hamming-distance-1 bucket per table (bit flips
     are the buckets a borderline projection would have landed in), then
     exact re-rank over the candidate union. Returns (query_id,
-    neighbor_id, rank). No oracle SQL — float-sum bucket boundaries are
-    not portably bit-stable; the driver's rows-only check plus the recall
-    test in tests/ cover it.
+    neighbor_id, rank). Fully oracled (ANN_LSH_SQL): signatures are exact
+    integer arithmetic over quantized vectors, and the re-rank cosine is
+    the sequential fold that is bit-identical to DuckDB's list_sum.
 
     Scale: multi-probe multiplies only the QUERY side (tables×(1+bits)
     probe rows per query, broadcast); the corpus keeps one row per table —
@@ -229,42 +229,118 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_LSH_SQL = f"""
+WITH ez AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(unnest(embedding)::DOUBLE * {QUANT}) AS BIGINT) AS z
+  FROM embeddings
+),
+planes AS (
+  SELECT t.tbl, b.bit, d.i,
+         CASE WHEN CAST('0x' || substr(md5(CAST(t.tbl AS VARCHAR) || ':' || CAST(b.bit AS VARCHAR) || ':' || CAST(d.i AS VARCHAR)), 1, 15) AS UBIGINT) % 2 = 1
+              THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT unnest(range({LSH_TABLES})) AS tbl) t,
+       (SELECT unnest(range({LSH_BITS})) AS bit) b,
+       (SELECT DISTINCT i FROM ez) d
+),
+proj AS (
+  SELECT e.vec_id, p.tbl, p.bit, SUM(p.sgn * e.z) AS pr
+  FROM ez e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.tbl, p.bit
+),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN pr > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, tbl
+),
+probes AS (
+  SELECT vec_id AS query_id, tbl AS q_tbl,
+         unnest([bucket, {", ".join(f"xor(bucket, {1 << b})" for b in range(LSH_BITS))}]) AS q_bucket
+  FROM sig WHERE vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+  FROM sig c JOIN probes p ON c.tbl = p.q_tbl AND c.bucket = p.q_bucket
+  WHERE c.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding), pr -> pr[1]::DOUBLE * pr[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantization using the provided ``label`` column as
     the partition (at scale: k-means centroids): per label, the top-{TOP_K}
-    vectors closest to the label centroid. Demonstrates the
-    aggregate-then-rerank pattern; centroid averaging is done in exact
-    per-dimension sums (posexplode + groupBy) to stay order-independent."""
+    vectors closest to the label centroid.
+
+    Plan (reworked after round-1 review): per-dimension centroid sums run
+    over the posexploded stream ONCE; the tiny per-label centroid table is
+    assembled into arrays and BROADCAST back to the un-exploded corpus, so
+    the n×d stream is never shuffled a second time — cosine runs
+    row-locally via the fold. Centroid sums use floor(x*1e7) integers
+    (exact, order-independent, and portably reproducible — no
+    float-vs-decimal rounding ambiguity between engines)."""
     e = _emb(spark, sf_dir)
-    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
-    # per-dimension mean per label — decimal sum for order-independence
-    cent = (
-        dims.groupBy("label", "i")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(27,7)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("c")
-        )
+    dims = e.select("label", F.posexplode("embedding").alias("i", "x"))
+    zsum = F.sum(F.floor(F.col("x").cast("double") * F.lit(QUANT)).cast("long"))
+    cent = dims.groupBy("label", "i").agg(
+        (zsum.cast("double") / (F.count(F.lit(1)) * F.lit(QUANT))).alias("c")
     )
-    joined = (
-        dims.join(cent, ["label", "i"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(F.col("x").cast("double") * F.col("c")).alias("dot"),
-            F.sum(F.col("x").cast("double") * F.col("x").cast("double")).alias("nx"),
-            F.sum(F.col("c") * F.col("c")).alias("nc"),
-        )
-        .select(
-            "vec_id",
-            "label",
-            (F.col("dot") / (F.sqrt("nx") * F.sqrt("nc"))).alias("cosine"),
-        )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    scored = e.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("cvec")).alias("cosine"),
     )
     w = W.partitionBy("label").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("label", "vec_id", "rank")
         .orderBy("label", "rank")
     )
+
+
+CENTROID_SQL = f"""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) - 1 AS i,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i,
+         CAST(SUM(CAST(floor(x * {QUANT}) AS BIGINT)) AS DOUBLE) / (COUNT(*) * {QUANT}) AS c
+  FROM dims GROUP BY label, i
+),
+centarr AS (
+  SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.label, e.vec_id,
+         list_sum(list_transform(list_zip(e.embedding, ca.cvec), pr -> pr[1]::DOUBLE * pr[2]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(ca.cvec, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM embeddings e JOIN centarr ca ON e.label = ca.label
+)
+SELECT label, vec_id, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+ORDER BY label, rank
+"""
