@@ -70,7 +70,16 @@ class JobState(StrEnum):
 
 
 TERMINAL_STATES = frozenset(
-    {JobState.COMPLETED, JobState.COMPLETED_WITH_ERRORS, JobState.STOPPED}
+    {
+        JobState.COMPLETED,
+        JobState.COMPLETED_WITH_ERRORS,
+        JobState.STOPPED,
+        # ERROR/NOT_RUNNING are terminal too: a failed async job sets
+        # ERROR, and poll_for_completion (default timeout=None) must not
+        # spin forever on it.
+        JobState.ERROR,
+        JobState.NOT_RUNNING,
+    }
 )
 
 

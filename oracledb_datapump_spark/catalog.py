@@ -315,28 +315,32 @@ class DuckDbConnector:
             batches = pa.Table.from_batches(list(batches))
         # One cursor for the whole register → DML sequence (cursor-local
         # view), serialized: DuckDB rejects concurrent catalog writes.
-        self._write_lock.acquire()
-        cur = self._cursor()
-        cur.register("_dp_incoming", batches)
-        try:
-            if mode == "overwrite":
-                if truncate and exists:
-                    # TABLE_EXISTS_ACTION=TRUNCATE: keep DDL, delete rows
-                    cur.execute(f"DELETE FROM {fq}")
-                    cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
-                else:
-                    # TABLE_EXISTS_ACTION=REPLACE: drop & recreate
-                    cur.execute(f"CREATE OR REPLACE TABLE {fq} AS SELECT * FROM _dp_incoming")
-            elif mode == "append":
-                if exists:
-                    cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
-                else:
+        # The lock is held via `with` so a failing _cursor()/register can
+        # never leak it and deadlock later writers.
+        with self._write_lock:
+            cur = self._cursor()
+            registered = False
+            try:
+                cur.register("_dp_incoming", batches)
+                registered = True
+                if mode == "overwrite":
+                    if truncate and exists:
+                        # TABLE_EXISTS_ACTION=TRUNCATE: keep DDL, delete rows
+                        cur.execute(f"DELETE FROM {fq}")
+                        cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
+                    else:
+                        # TABLE_EXISTS_ACTION=REPLACE: drop & recreate
+                        cur.execute(f"CREATE OR REPLACE TABLE {fq} AS SELECT * FROM _dp_incoming")
+                elif mode == "append":
+                    if exists:
+                        cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
+                    else:
+                        cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
+                else:  # error / first write
                     cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
-            else:  # error / first write
-                cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
-        finally:
-            cur.unregister("_dp_incoming")
-            self._write_lock.release()
+            finally:
+                if registered:
+                    cur.unregister("_dp_incoming")
 
     def drop_table(self, schema: str, table: str) -> None:
         with self._write_lock:

@@ -203,14 +203,25 @@ class DumpSet:
             return f.read()
 
 
-def cleanup_orphans(root: str) -> list[str]:
+def cleanup_orphans(root: str, min_age_s: float = 3600.0) -> list[str]:
     """GC dump-set directories whose event log never reached JOB_DONE —
     the analog of the reference's orphan-job master-table cleanup (defined
     but never called there: sql.py:92-105; we call ours). Returns removed
-    paths."""
+    paths.
+
+    A running job hasn't written JOB_DONE either, so two guards keep GC
+    from reaping live work: dump sets whose job_name is registered in the
+    live-job registry are skipped, and so are dump sets whose event log
+    was touched within ``min_age_s`` seconds (covers jobs from another
+    process, which the in-memory registry can't see)."""
+    import time
+
+    from . import status as _status
+
     removed = []
     if not os.path.isdir(root):
         return removed
+    now = time.time()
     for name in sorted(os.listdir(root)):
         path = os.path.join(root, name)
         if not os.path.isdir(path):
@@ -221,6 +232,14 @@ def cleanup_orphans(root: str) -> list[str]:
             continue  # not a dump set
         if any(e.get("event") == "JOB_DONE" for e in events):
             continue  # finished job — keep
+        job_names = {e.get("job_name") for e in events if e.get("job_name")}
+        if any(_status.job_exists(j) for j in job_names):
+            continue  # live in this process — keep
+        try:
+            if now - os.path.getmtime(ds.events_path) < min_age_s:
+                continue  # recently active (possibly another process) — keep
+        except OSError:
+            pass
         shutil.rmtree(path)
         removed.append(path)
     return removed

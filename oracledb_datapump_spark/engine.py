@@ -129,6 +129,11 @@ def export_table(
             write_mode = "append"
         if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
             df = df.repartition(plan.parallel)
+        # Snapshot footer counts before an append so TABLE_EXPORT_DONE
+        # reports THIS run's delta, not the cumulative dump (CDC runs).
+        prev_rows = prev_size = prev_files = 0
+        if write_mode == "append" and os.path.isdir(out_dir):
+            prev_rows, prev_size, prev_files = _count_parquet_rows(out_dir)
         writer = df.write.mode(write_mode).option("compression", plan.codec)
         if plan.partition_by:
             # hive-partitioned dump layout (EXPORT_PARTITION_BY extension);
@@ -136,7 +141,13 @@ def export_table(
             writer = writer.partitionBy(plan.partition_by)
         writer.parquet(out_dir)
         rows, size, nfiles = _count_parquet_rows(out_dir)
+        # Manifest fields stay cumulative (they describe the dump set);
+        # the TABLE_EXPORT_DONE event reports this run's delta so CDC
+        # status/metrics aren't inflated by prior increments.
+        run_rows, run_size = rows - prev_rows, size - prev_size
         detail: dict[str, Any] = {"spark_schema": schema_json, "codec": plan.codec}
+        if write_mode == "append":
+            detail["rows_this_run"] = run_rows
         if inc_col is not None:
             # new watermark from the dump itself (no extra source scan)
             from pyspark.sql import functions as F
@@ -145,7 +156,11 @@ def export_table(
             detail["incremental_column"] = inc_col
             detail["watermark"] = wm_row[0]
         dumpset.log_event(
-            "TABLE_EXPORT_DONE", table=plan.source_key, rows=rows, bytes=size
+            "TABLE_EXPORT_DONE",
+            table=plan.source_key,
+            rows=run_rows,
+            bytes=run_size,
+            cumulative_rows=rows,
         )
         return TableResult(
             plan, ok=True, rows=rows, bytes=size, files=nfiles, detail=detail
@@ -190,7 +205,13 @@ def import_table(
                 total = 0
                 for d in part_dirs:
                     col, _, value = d.partition("=")
-                    sub = spark.read.parquet(os.path.join(src_dir, d))
+                    # basePath keeps the hive partition column in the
+                    # schema (Oracle DEPARTITION promotes partitions to
+                    # standalone tables with the FULL column set) while
+                    # still pruning the scan to this one leaf.
+                    sub = spark.read.option("basePath", src_dir).parquet(
+                        os.path.join(src_dir, d)
+                    )
                     target = f"{plan.target_table}_{col}_{value}".lower()
                     connector.write_table(
                         sub,

@@ -56,3 +56,12 @@ def test_async_poll_via_protocol(spark, duck, tmp_path):
         {"request": "STATUS", "payload": {"job_name": "ASYNC-2", "dumpdir": dump}}
     )
     assert resp.state == JobState.COMPLETED.value
+
+
+def test_poll_terminates_on_error_state():
+    """A failed async job sets ERROR; poll (default timeout=None) must
+    treat it as terminal rather than spinning forever."""
+    from oracledb_datapump_spark.status import poll_for_completion
+
+    assert poll_for_completion(lambda: "ERROR", rate=0.01) == "ERROR"
+    assert poll_for_completion(lambda: "NOT_RUNNING", rate=0.01) == "NOT_RUNNING"

@@ -66,7 +66,28 @@ def test_cleanup_orphans(tmp_path):
     unrelated = os.path.join(root, "not_a_dumpset")
     os.makedirs(unrelated)
 
-    removed = cleanup_orphans(root)
+    # default min_age protects recently-touched dump sets (possibly a
+    # live job in another process)
+    assert cleanup_orphans(root) == []
+    assert os.path.isdir(orphan.root)
+
+    removed = cleanup_orphans(root, min_age_s=0.0)
     assert removed == [os.path.join(root, "orphan")]
     assert os.path.isdir(done.root)
     assert os.path.isdir(unrelated)
+
+
+def test_cleanup_orphans_skips_live_jobs(tmp_path):
+    from oracledb_datapump_spark import status as st
+
+    root = str(tmp_path / "jobs")
+    live = DumpSet(os.path.join(root, "live"))
+    live.log_event("JOB_OPEN", job_name="LIVEJOB")
+    live.log_event("JOB_START")
+    st.register_job("LIVEJOB", object())
+    try:
+        assert cleanup_orphans(root, min_age_s=0.0) == []
+        assert os.path.isdir(live.root)
+    finally:
+        st.deregister_job("LIVEJOB")
+    assert cleanup_orphans(root, min_age_s=0.0) == [os.path.join(root, "live")]

@@ -44,3 +44,20 @@ def test_partitioned_export_merge_and_departition(spark, duck, tmp_path):
         duck.execute(f"SELECT count(*) FROM pd.{t}").fetchone()[0] for t in tables
     )
     assert total == n_src
+    # departitioned tables keep the FULL column set — the partition column
+    # is restored (Oracle DEPARTITION promotes partitions to standalone
+    # tables, not projections)
+    t0 = sorted(tables)[0]
+    cols = [
+        r[0]
+        for r in duck.execute(
+            "SELECT column_name FROM information_schema.columns "
+            f"WHERE table_schema='pd' AND table_name='{t0}'"
+        ).fetchall()
+    ]
+    assert "o_orderstatus" in cols, cols
+    # and its value is uniform within the split
+    vals = duck.execute(
+        f"SELECT DISTINCT o_orderstatus FROM pd.{t0}"
+    ).fetchall()
+    assert len(vals) == 1
