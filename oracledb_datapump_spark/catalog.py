@@ -418,10 +418,17 @@ class JdbcConnector:
         url: str,
         properties: dict[str, str] | None = None,
         dialect: str = "generic",
+        catalog_executor=None,
     ):
         self.url = url
         self.properties = dict(properties or {})
         self.dialect = dialect
+        # Optional seam: callable(sql) -> list[tuple]. Production leaves it
+        # None (catalog queries go through Spark's JDBC reader); tests
+        # drive the SAME SQL through a DBAPI cursor (DuckDB exposes ANSI
+        # information_schema), so the code path is verified without a
+        # driver jar.
+        self._catalog_executor = catalog_executor
 
     # -- option assembly (unit-testable without a live DB) ----------------
     def as_of_subquery(self, schema: str, table: str, as_of: str | None) -> str:
@@ -469,15 +476,92 @@ class JdbcConnector:
             )
         return opts
 
-    # -- catalog / I/O (require a live DB + driver jar) --------------------
-    def list_schemas(self) -> list[str]:  # pragma: no cover - needs live DB
-        raise NotImplementedError("JDBC catalog introspection needs a live DB")
+    # -- catalog introspection --------------------------------------------
+    # Dialect-keyed SQL, mirroring the reference's live enumeration
+    # (reference database.py:105-138 SchemaHandler, sql.py:7-11 dba_segments
+    # tablespaces, sql.py:81-86 all_users). Non-Oracle dialects use ANSI
+    # information_schema, which DuckDB/Postgres/MySQL all expose.
+    _SCHEMAS_SQL = {
+        "oracle": "SELECT username FROM all_users ORDER BY username",
+        "generic": (
+            "SELECT schema_name FROM information_schema.schemata "
+            "WHERE schema_name NOT IN ('information_schema', 'pg_catalog', "
+            "'sys', 'mysql', 'performance_schema', 'system', 'temp') "
+            "ORDER BY schema_name"
+        ),
+    }
+    _TABLES_SQL = {
+        "oracle": (
+            "SELECT table_name FROM all_tables WHERE owner = '{schema}' "
+            "ORDER BY table_name"
+        ),
+        "generic": (
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = '{schema}' ORDER BY table_name"
+        ),
+    }
+    _TABLESPACES_SQL = {
+        "oracle": (
+            "SELECT DISTINCT tablespace_name FROM dba_segments "
+            "WHERE owner = UPPER('{schema}')"
+        ),
+        # no tablespace concept outside Oracle — empty result by contract
+        "generic": None,
+    }
 
-    def list_tables(self, schema: str) -> list[str]:  # pragma: no cover
-        raise NotImplementedError
+    @staticmethod
+    def _lit(value: str) -> str:
+        """Escape a string for embedding as a SQL literal (catalog names;
+        JDBC catalog queries can't be parameterized through Spark)."""
+        return value.replace("'", "''")
 
-    def table_exists(self, schema: str, table: str) -> bool:  # pragma: no cover
-        raise NotImplementedError
+    def _dialect_sql(self, table: dict, **fmt: str) -> str | None:
+        sql = table.get(self.dialect, table["generic"])
+        if sql is None:
+            return None
+        return sql.format(**{k: self._lit(v) for k, v in fmt.items()})
+
+    def _catalog_query(self, sql: str, spark: SparkSession | None = None):
+        if self._catalog_executor is not None:
+            return list(self._catalog_executor(sql))
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:  # pragma: no cover - needs live session + jar
+            raise NotImplementedError(
+                "JDBC catalog introspection needs a SparkSession (or a "
+                "catalog_executor) to run the query"
+            )
+        df = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", sql)
+            .options(**self.properties)
+            .load()
+        )
+        # catalog listings are small by construction (names, not data)
+        return [tuple(r) for r in df.collect()]
+
+    def list_schemas(self, spark: SparkSession | None = None) -> list[str]:
+        sql = self._dialect_sql(self._SCHEMAS_SQL)
+        return [r[0] for r in self._catalog_query(sql, spark)]
+
+    def list_tables(
+        self, schema: str, spark: SparkSession | None = None
+    ) -> list[str]:
+        sql = self._dialect_sql(self._TABLES_SQL, schema=schema)
+        return [r[0] for r in self._catalog_query(sql, spark)]
+
+    def list_tablespaces(
+        self, schema: str, spark: SparkSession | None = None
+    ) -> list[str]:
+        sql = self._dialect_sql(self._TABLESPACES_SQL, schema=schema)
+        if sql is None:
+            return []
+        return [r[0] for r in self._catalog_query(sql, spark)]
+
+    def table_exists(
+        self, schema: str, table: str, spark: SparkSession | None = None
+    ) -> bool:
+        return table in self.list_tables(schema, spark)
 
     def read_table(
         self,

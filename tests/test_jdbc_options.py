@@ -53,3 +53,69 @@ def test_resolve_connector_urls(tmp_path):
     assert isinstance(resolve_connector(f"parquet://{tmp_path}"), ParquetConnector)
     j = resolve_connector({"url": "jdbc:x://h", "user": "u", "password": "p"})
     assert isinstance(j, JdbcConnector) and j.properties["user"] == "u"
+
+
+def test_jdbc_catalog_introspection_generic_dialect():
+    """The generic-dialect catalog SQL is ANSI information_schema; drive
+    it through a DuckDB cursor via the catalog_executor seam — same SQL,
+    same code path as a live JDBC source."""
+    import duckdb
+
+    from oracledb_datapump_spark.catalog import JdbcConnector
+
+    con = duckdb.connect()
+    con.sql("CREATE SCHEMA hr")
+    con.sql("CREATE TABLE hr.emp AS SELECT 1 AS id")
+    con.sql("CREATE TABLE hr.dept AS SELECT 1 AS id")
+    jc = JdbcConnector(
+        "jdbc:duckdb:memory",
+        catalog_executor=lambda sql: con.sql(sql).fetchall(),
+    )
+    assert "hr" in jc.list_schemas()
+    assert jc.list_tables("hr") == ["dept", "emp"]
+    assert jc.table_exists("hr", "emp")
+    assert not jc.table_exists("hr", "nope")
+    assert jc.list_tablespaces("hr") == []  # no tablespaces outside Oracle
+
+
+def test_jdbc_catalog_sql_oracle_dialect_shapes():
+    """Oracle-dialect SQL matches the reference's enumeration sources
+    (all_users, all_tables, dba_segments) and escapes literals."""
+    from oracledb_datapump_spark.catalog import JdbcConnector
+
+    seen = []
+    jc = JdbcConnector(
+        "jdbc:oracle:thin:@db:1521/x",
+        dialect="oracle",
+        catalog_executor=lambda sql: seen.append(sql) or [],
+    )
+    jc.list_schemas()
+    jc.list_tables("o'brien")
+    jc.list_tablespaces("hr")
+    assert "all_users" in seen[0]
+    assert "all_tables" in seen[1] and "o''brien" in seen[1]
+    assert "dba_segments" in seen[2]
+
+
+def test_jdbc_full_mode_planning_via_introspection():
+    """FULL-mode export planning enumerates schemas/tables through the
+    introspection path (the round-1 gap: this raised NotImplementedError)."""
+    import duckdb
+
+    from oracledb_datapump_spark.base import JobMode, Operation
+    from oracledb_datapump_spark.catalog import JdbcConnector
+    from oracledb_datapump_spark.directives import PlanConfig
+    from oracledb_datapump_spark.planner import plan_export
+
+    con = duckdb.connect()
+    con.sql("CREATE SCHEMA s1")
+    con.sql("CREATE TABLE s1.a AS SELECT 1 AS id")
+    con.sql("CREATE SCHEMA s2")
+    con.sql("CREATE TABLE s2.b AS SELECT 1 AS id")
+    jc = JdbcConnector(
+        "jdbc:duckdb:memory",
+        catalog_executor=lambda sql: con.sql(sql).fetchall(),
+    )
+    plans = plan_export(jc, Operation.EXPORT, JobMode.FULL, PlanConfig())
+    keys = {f"{p.schema}.{p.table}" for p in plans}
+    assert {"s1.a", "s2.b"} <= keys
