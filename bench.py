@@ -53,12 +53,15 @@ def main() -> None:
         "datapump_roundtrip_supplier",
         "dedup_exact",
         "dedup_minhash_pairs",
+        "dedup_minhash_verified",
         "simhash_fingerprints",
         "ann_bruteforce_topk",
         "ann_lsh_topk",
+        "centroid_topk",
         "lang_id",
         "token_count",
         "media_features",
+        "curated_corpus",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -4,8 +4,12 @@ framework-free WSGI app + stdlib server.
 Parity reference: /root/reference/src/oracledb_datapump/entrypoints/
 aws_lambda.py (236 LoC): envelope parse + base64 body decode (:137-148),
 HTTP status mapping + validation-error formatting (:52-105), correlation
-id (:202). Secrets-manager resolution is cloud-specific and out of scope;
-the handler shape (JSON request in → JSON response out over POST) is
+id (:202), and the secrets-resolution gate (:108-130) re-expressed
+cloud-agnostically: a ``connection.secret`` name resolves from the
+``DATAPUMP_SECRET_<NAME>`` environment variable (JSON payload merged into
+the connection) only when ``DATAPUMP_RESOLVE_SECRETS`` is enabled —
+otherwise it errors, exactly like the reference's RESOLVE_SECRETS flag.
+The handler shape (JSON request in → JSON response out over POST) is
 identical, so an actual Lambda/ALB wrapper is a 10-line shim over
 ``handle_event``.
 """
@@ -14,8 +18,44 @@ from __future__ import annotations
 
 import base64
 import json
+import os
+import re
 import uuid
 from typing import Any
+
+RESOLVE_SECRETS_ENV = "DATAPUMP_RESOLVE_SECRETS"
+SECRET_ENV_PREFIX = "DATAPUMP_SECRET_"
+
+
+def resolve_connection_secret(request: dict[str, Any]) -> dict[str, Any]:
+    """Reference aws_lambda.py:108-130 (ConnectWithSecretModel): a
+    ``connection.secret`` field is swapped for the secret's JSON payload,
+    gated behind an explicit opt-in flag. The secret store here is the
+    process environment (the cloud-agnostic lowest common denominator);
+    a managed-store integration overrides this function."""
+    from ..exceptions import UsageError
+
+    conn = request.get("connection")
+    if not isinstance(conn, dict) or "secret" not in conn:
+        return request
+    name = str(conn.pop("secret"))
+    if os.environ.get(RESOLVE_SECRETS_ENV, "").lower() not in ("1", "true", "yes"):
+        raise UsageError(
+            "A connection secret was passed but "
+            f"{RESOLVE_SECRETS_ENV} is not enabled!"
+        )
+    env_key = SECRET_ENV_PREFIX + re.sub(r"[^A-Za-z0-9]", "_", name).upper()
+    raw = os.environ.get(env_key)
+    if raw is None:
+        raise UsageError(f"Failed to fetch secret: {name} (no ${env_key})")
+    try:
+        values = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise UsageError(f"Failed to parse secret: {name} reason: {e}") from e
+    if not isinstance(values, dict):
+        raise UsageError(f"Secret {name} must be a JSON object")
+    conn.update(values)
+    return request
 
 
 def handle_event(event: dict[str, Any], spark=None) -> dict[str, Any]:
@@ -33,6 +73,7 @@ def handle_event(event: dict[str, Any], spark=None) -> dict[str, Any]:
             request = json.loads(body) if isinstance(body, str) else body
         else:
             request = event
+        request = resolve_connection_secret(request)
         response = handle_request(request, spark=spark)
         status = 200 if response.state != "ERROR" else 500
         payload = response.to_dict()

@@ -87,3 +87,46 @@ def test_wsgi_roundtrip():
     statuses.clear()
     out = wsgi_app({"REQUEST_METHOD": "GET"}, lambda s, h: statuses.append(s))
     assert statuses[0].startswith("405")
+
+
+def test_secret_resolution_gate(monkeypatch):
+    """Reference aws_lambda.py:108-130: connection.secret resolves only
+    when the flag is enabled; payload merges into the connection."""
+    from oracledb_datapump_spark.entrypoints.http import (
+        resolve_connection_secret,
+    )
+    from oracledb_datapump_spark.exceptions import UsageError
+
+    req = {"connection": {"secret": "prod-db"}}
+    # gate closed → error (matches the reference's RESOLVE_SECRETS check)
+    monkeypatch.delenv("DATAPUMP_RESOLVE_SECRETS", raising=False)
+    try:
+        resolve_connection_secret(dict(req, connection=dict(req["connection"])))
+        raise AssertionError("expected UsageError")
+    except UsageError as e:
+        assert "not enabled" in str(e)
+
+    monkeypatch.setenv("DATAPUMP_RESOLVE_SECRETS", "1")
+    monkeypatch.setenv(
+        "DATAPUMP_SECRET_PROD_DB",
+        json.dumps({"url": "duckdb://:memory:", "user": "svc"}),
+    )
+    out = resolve_connection_secret(
+        {"connection": {"secret": "prod-db", "driver": "d"}}
+    )
+    assert out["connection"] == {
+        "driver": "d",
+        "url": "duckdb://:memory:",
+        "user": "svc",
+    }
+
+    # missing secret name → clear failure
+    try:
+        resolve_connection_secret({"connection": {"secret": "nope"}})
+        raise AssertionError("expected UsageError")
+    except UsageError as e:
+        assert "Failed to fetch secret" in str(e)
+
+    # requests without a secret pass through untouched
+    plain = {"connection": {"url": "x"}}
+    assert resolve_connection_secret(plain) is plain
