@@ -18,8 +18,9 @@ def test_extract_features_roundtrip(spark, sf_dir):
     feats = M.media_features(spark, sf_dir)
     rows = feats.limit(5).collect()
     for r in rows:
-        assert len(r.byte_histogram) == M.HIST_BINS
-        assert sum(r.byte_histogram) == r.n_bytes  # every byte lands in a bin
+        hist = [int(v) for v in r.hist_str.split(",")]
+        assert len(hist) == M.HIST_BINS
+        assert sum(hist) == r.n_bytes  # every byte lands in a bin
         assert len(r.head_digest) == 32
 
 
