@@ -23,6 +23,7 @@ from oracledb_datapump_spark.operators import analytics as A
 from oracledb_datapump_spark.operators import analytics2 as A2
 from oracledb_datapump_spark.operators import analytics3 as A3
 from oracledb_datapump_spark.operators import analytics4 as A4
+from oracledb_datapump_spark.operators import analytics5 as A5
 from oracledb_datapump_spark.operators import curation as CU
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
@@ -65,6 +66,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": A3.q9_product_profit,
         "q13_customer_distribution": A3.q13_customer_distribution,
         "q15_top_supplier": A3.q15_top_supplier,
+        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
+        "q8_market_share": A5.q8_market_share,
+        "q20_part_promotion": A5.q20_part_promotion,
+        "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         "sales_rollup": A2.sales_rollup,
         "shipmode_pivot": A2.shipmode_pivot,
         "price_quantiles": A2.price_quantiles,
@@ -123,6 +128,10 @@ def oracle_sql() -> dict[str, str]:
         "q9_product_profit": A3.Q9_SQL,
         "q13_customer_distribution": A3.Q13_SQL,
         "q15_top_supplier": A3.Q15_SQL,
+        "q2_min_cost_supplier": A5.Q2_SQL,
+        "q8_market_share": A5.Q8_SQL,
+        "q20_part_promotion": A5.Q20_SQL,
+        "q21_suppliers_kept_waiting": A5.Q21_SQL,
         "sales_rollup": A2.SALES_ROLLUP_SQL,
         "shipmode_pivot": A2.SHIPMODE_PIVOT_SQL,
         "price_quantiles": A2.PRICE_QUANTILES_SQL,
