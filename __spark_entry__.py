@@ -30,6 +30,7 @@ from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import similarity as S
+from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
 
 
@@ -94,6 +95,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.quality_score,
         "token_count": T.token_count,
         "doc_fingerprint": T.doc_fingerprint,
+        # corpus preparation (normalization / filtering / splits / vocab)
+        "text_normalize": TP.text_normalize,
+        "quality_gopher": TP.quality_gopher,
+        "contamination_ngram": TP.contamination_ngram,
+        "corpus_split": TP.corpus_split,
+        "vocab_ngram_counts": TP.vocab_ngram_counts,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -152,6 +159,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": T.QUALITY_SQL,
         "token_count": T.TOKEN_COUNT_SQL,
         "doc_fingerprint": T.FINGERPRINT_SQL,
+        "text_normalize": TP.TEXT_NORMALIZE_SQL,
+        "quality_gopher": TP.QUALITY_GOPHER_SQL,
+        "contamination_ngram": TP.CONTAMINATION_SQL,
+        "corpus_split": TP.CORPUS_SPLIT_SQL,
+        "vocab_ngram_counts": TP.VOCAB_NGRAM_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }
