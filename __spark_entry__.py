@@ -24,6 +24,7 @@ from oracledb_datapump_spark.operators import analytics2 as A2
 from oracledb_datapump_spark.operators import analytics3 as A3
 from oracledb_datapump_spark.operators import analytics4 as A4
 from oracledb_datapump_spark.operators import analytics5 as A5
+from oracledb_datapump_spark.operators import clustering as CL
 from oracledb_datapump_spark.operators import curation as CU
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
@@ -90,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
+        "kmeans_assign": CL.kmeans_assign,
+        "kmeans_cluster_sizes": CL.cluster_sizes,
         # text analysis
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
@@ -155,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": S.ANN_LSH_SQL,
         "centroid_topk": S.CENTROID_SQL,
+        "kmeans_assign": CL.KMEANS_SQL,
+        "kmeans_cluster_sizes": CL.CLUSTER_SIZES_SQL,
         "lang_id": T.LANG_ID_SQL,
         "quality_score": T.QUALITY_SQL,
         "token_count": T.TOKEN_COUNT_SQL,

@@ -1,0 +1,184 @@
+"""Embedding clustering for corpus curation (SemDeDup-style grouping):
+fixed-iteration k-means over the ``embeddings`` table, made
+cross-engine exact by integer quantization.
+
+Determinism contract (the same recipe similarity.py uses for its LSH /
+centroid oracles): embeddings quantize to ``floor(x * 1e7)`` int64, so
+distances are exact integer arithmetic; centroid updates divide the
+int64 dim-sum by the member count in IEEE double (sums < 2^53, so the
+division is exact-operand) and floor back to int64. Every step is
+bit-identical in Spark and DuckDB, which lets an iterative algorithm —
+normally hopeless to oracle — hash-match a SQL twin.
+
+Plan shape (mirrors Spark MLlib's own KMeans): centroids are
+driver-resident (K·dim ints, a dimension-table-sized state); each
+iteration is one row-local assignment pass (no shuffle — the centroid
+literals are folded into a codegen'd expression) plus one
+partial-aggregated groupBy(cluster, dim) whose shuffle volume is
+K·dim rows per task regardless of corpus size. At 100 TB nothing about
+this grows except the embarrassingly-parallel scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+QUANT_SCALE = 1e7
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _nearest(centroids: list[tuple[int, list[int]]]):
+    """(dist_sq, cluster) columns: argmin over squared-L2 against literal
+    centroid arrays; struct array_min gives the (distance, id) lexical
+    minimum = deterministic lowest-id tie-break."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.array(*[F.lit(v).cast("long") for v in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cid).cast("long").alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    m = F.array_min(arr)
+    return m["d"], m["cid"]
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, dist_sq) after KMEANS_ITERS Lloyd iterations.
+
+    Init: the K lowest vec_ids' vectors (cluster id = vec_id).
+    Update: per-dim floor-mean of members; empty clusters drop out.
+    The K·dim centroid collect per iteration is driver-resident model
+    state, not a data read — identical to Spark MLlib KMeans."""
+    q = _quantized(spark, sf_dir).cache()
+    init = q.filter(F.col("vec_id") < KMEANS_K).collect()
+    centroids = sorted((int(r.vec_id), list(r.qv)) for r in init)
+    for _ in range(KMEANS_ITERS):
+        d, cid = _nearest(centroids)
+        assigned = q.select("vec_id", "qv", cid.alias("cluster"))
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r.cluster), {})[int(r.i)] = int(r.s)
+            counts[int(r.cluster)] = int(r.n)
+        centroids = [
+            (
+                c,
+                [
+                    # exact twin of SQL: CAST(FLOOR(CAST(s AS DOUBLE)/n) AS BIGINT)
+                    math.floor(float(dims[i]) / counts[c])
+                    for i in range(len(dims))
+                ],
+            )
+            for c, dims in sorted(by_cluster.items())
+        ]
+    d, cid = _nearest(centroids)
+    out = q.select(
+        "vec_id", cid.alias("cluster"), d.alias("dist_sq")
+    ).orderBy("vec_id")
+    q.unpersist()
+    return out
+
+
+def _kmeans_sql() -> str:
+    """Generate the DuckDB twin: the same init / assign / update chain
+    unrolled into CTEs (exact integer arithmetic throughout)."""
+    ctes = [
+        f"""q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {QUANT_SCALE}) AS BIGINT) AS qv
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT vec_id AS cid, i, qv AS cv FROM q WHERE vec_id < {KMEANS_K}
+)""",
+    ]
+    for it in range(KMEANS_ITERS):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+          FROM q JOIN c{it} c USING (i) GROUP BY q.vec_id, c.cid))
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{it + 1} AS (
+  SELECT a.cid, q.i,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM q JOIN a{it} a USING (vec_id) GROUP BY a.cid, q.i
+)"""
+        )
+    final_c = f"c{KMEANS_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cid AS cluster, CAST(d AS BIGINT) AS dist_sq FROM (
+  SELECT vec_id, cid, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+        FROM q JOIN {final_c} c USING (i) GROUP BY q.vec_id, c.cid))
+WHERE rn = 1
+ORDER BY vec_id
+"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, n_members, avg_dist_sq): cluster cardinality profile —
+    the balance diagnostic a curation pipeline reads before sampling
+    per-cluster. One extra tiny groupBy over kmeans_assign's output."""
+    a = kmeans_assign(spark, sf_dir)
+    return (
+        a.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("dist_sq").cast("double") / F.count(F.lit(1))).alias("avg_dist_sq"),
+        )
+        .orderBy("cluster")
+    )
+
+
+CLUSTER_SIZES_SQL = (
+    "WITH base AS (" + KMEANS_SQL.replace("ORDER BY vec_id", "") + """)
+SELECT cluster, COUNT(*) AS n_members,
+       CAST(SUM(dist_sq) AS DOUBLE) / COUNT(*) AS avg_dist_sq
+FROM base
+GROUP BY cluster
+ORDER BY cluster
+"""
+)
