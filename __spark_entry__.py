@@ -31,6 +31,7 @@ from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import similarity as S
+from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
 
@@ -93,6 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_topk": S.centroid_topk,
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
+        "dedup_semantic": CL.dedup_semantic,
+        # temporal: as-of join (window-composed; DuckDB native ASOF oracle)
+        "asof_attribution": TM.asof_attribution,
         # text analysis
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
@@ -160,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "centroid_topk": S.CENTROID_SQL,
         "kmeans_assign": CL.KMEANS_SQL,
         "kmeans_cluster_sizes": CL.CLUSTER_SIZES_SQL,
+        "dedup_semantic": CL.DEDUP_SEMANTIC_SQL,
+        "asof_attribution": TM.ASOF_ATTRIBUTION_SQL,
         "lang_id": T.LANG_ID_SQL,
         "quality_score": T.QUALITY_SQL,
         "token_count": T.TOKEN_COUNT_SQL,

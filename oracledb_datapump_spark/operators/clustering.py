@@ -182,3 +182,80 @@ GROUP BY cluster
 ORDER BY cluster
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: cluster-scoped cosine pairs (the scale path for the
+# brute-force dedup_embedding_cosine baseline in dedup.py)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_COSINE_THRESHOLD = 0.4
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, cluster, cosine): near-duplicate pairs restricted
+    to the same k-means cluster — SemDeDup's structure. The cluster
+    assignment bounds the pairwise join to within-cluster blocks, so the
+    quadratic term is (n/K)^2 per cluster instead of n^2 global; at
+    100 TB, K scales with the corpus and each block stays
+    executor-sized. Cosine uses the same sequential double fold as
+    dedup.dedup_embedding_cosine (bit-identical to DuckDB's list fold).
+    Pairs the brute-force baseline finds but a cluster boundary splits
+    are the documented recall trade — exactly SemDeDup's."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    ec = e.join(assign, "vec_id")
+    a = ec.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        "cluster",
+    )
+    b = ec.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("cluster").alias("cluster_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "cluster",
+            (dot / (norm(F.col("emb_a")) * norm(F.col("emb_b")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMANTIC_COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_SEMANTIC_SQL = (
+    "WITH assign AS (" + KMEANS_SQL.replace("ORDER BY vec_id", "") + f"""),
+ec AS (
+  SELECT e.vec_id, e.embedding, a.cluster
+  FROM embeddings e JOIN assign a USING (vec_id)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster,
+       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                               p -> p[1]::DOUBLE * p[2]::DOUBLE))
+       / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+        * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+FROM ec a JOIN ec b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              p -> p[1]::DOUBLE * p[2]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= {SEMANTIC_COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+)

@@ -1,0 +1,57 @@
+"""as-of join: generic-helper semantics + the attribution query, checked
+against a row-by-row naive computation (cross-engine parity is covered
+by test_queries_oracle)."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oracledb_datapump_spark.operators import clustering as CL
+from oracledb_datapump_spark.operators import dedup as D
+from oracledb_datapump_spark.operators.temporal import asof_attribution, asof_join
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", t=10, lid=1), Row(k="a", t=20, lid=2), Row(k="b", t=5, lid=3)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=10, val="x"), Row(k="a", rt=15, val="y"), Row(k="b", rt=9, val="z")]
+    )
+    out = {
+        r.lid: r.val
+        for r in asof_join(left, right, by="k", ts_left="t", ts_right="rt", carry=["val"]).collect()
+    }
+    # t=10 matches rt=10 (inclusive), t=20 matches rt=15, t=5 has no prior
+    assert out == {1: "x", 2: "y", 3: None}
+
+
+def test_asof_attribution_matches_naive(spark, sf_dir):
+    rows = asof_attribution(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    clicks = sorted(
+        ((r.user_id, r.ts // 1000, r.event_id) for r in ev if r.event_type == "click")
+    )
+    by_user: dict = {}
+    for uid, ts, eid in clicks:
+        by_user.setdefault(uid, []).append((ts, eid))
+    import bisect
+
+    for r in rows[:50]:
+        lst = by_user.get(r.user_id, [])
+        i = bisect.bisect_right(lst, (r.purchase_ts_us, float("inf"))) - 1
+        if i < 0:
+            assert r.click_id is None
+        else:
+            assert r.click_id == lst[i][1]
+            assert r.gap_us == r.purchase_ts_us - lst[i][0]
+
+
+def test_dedup_semantic_subset_of_bruteforce(spark, sf_dir):
+    sem = {(r.vec_a, r.vec_b) for r in CL.dedup_semantic(spark, sf_dir).collect()}
+    brute = {
+        (r.vec_a, r.vec_b) for r in D.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert sem  # finds real pairs
+    assert sem <= brute  # cluster scoping never invents pairs
