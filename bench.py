@@ -62,6 +62,14 @@ def main() -> None:
         "token_count",
         "media_features",
         "curated_corpus",
+        "q2_min_cost_supplier",
+        "q21_suppliers_kept_waiting",
+        "quality_gopher",
+        "contamination_ngram",
+        "vocab_ngram_counts",
+        "kmeans_assign",
+        "dedup_semantic",
+        "asof_attribution",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

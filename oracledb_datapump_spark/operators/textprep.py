@@ -174,17 +174,19 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the eval side (a benchmark suite, ~10^6 grams) broadcasts.
     One groupBy per train doc at the end."""
     d = _docs(spark, sf_dir)
-    toks = tokens("text")
+    # materialize the token array once per row — referencing tokens("text")
+    # inside the gram lambda would re-split the text per slice
+    wt = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= CONTAM_N
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - CONTAM_N),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, CONTAM_N)),
+            F.sequence(F.lit(0), F.size("toks") - CONTAM_N),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, CONTAM_N)),
         )
     )
-    g = (
-        d.filter(F.size(toks) >= CONTAM_N)
-        .select("doc_id", F.explode(grams).alias("gram"))
-        .select("doc_id", hash64(F.col("gram")).alias("gh"))
+    g = wt.select("doc_id", F.explode(grams).alias("gram")).select(
+        "doc_id", hash64(F.col("gram")).alias("gh")
     )
     ev = g.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "gh"
@@ -273,14 +275,13 @@ def vocab_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(gram); n_docs is a distinct-count inside the same
     aggregation. Deterministic order: count desc, gram asc."""
     d = _docs(spark, sf_dir)
-    toks = tokens("text")
+    wt = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
     )
     return (
-        d.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("gram"))
+        wt.select("doc_id", F.explode(bigrams).alias("gram"))
         .groupBy("gram")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
