@@ -41,29 +41,38 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _nearest(centroids: list[tuple[int, list[int]]]):
-    """(dist_sq, cluster) columns: argmin over squared-L2 against literal
-    centroid arrays; struct array_min gives the (distance, id) lexical
-    minimum = deterministic lowest-id tie-break."""
-    arr = F.array(
-        *[
-            F.struct(
+def _with_nearest(spark: SparkSession, q: DataFrame, centroids: list[tuple[int, list[int]]]):
+    """Return ``q`` extended with (dist_sq, cluster): argmin over
+    squared-L2 against the centroids; struct array_min gives the
+    (distance, id) lexical minimum = deterministic lowest-id tie-break.
+
+    The centroids travel as ONE broadcast row holding an
+    array<struct<cid,cv>> — not as inline literals — so the expression
+    tree is small and structurally identical every iteration (the
+    literal form re-analyzed K*dim constants per pass and dominated
+    wall-clock at small SF). Still zero shuffle: a broadcast
+    single-row cross join is a map-side constant."""
+    cent_df = spark.createDataFrame(
+        [(int(cid), [int(v) for v in vec]) for cid, vec in centroids],
+        "cid long, cv array<long>",
+    )
+    packed = cent_df.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    m = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
                 F.aggregate(
-                    F.zip_with(
-                        F.col("qv"),
-                        F.array(*[F.lit(v).cast("long") for v in vec]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
+                    F.zip_with(F.col("qv"), c["cv"], lambda a, b: (a - b) * (a - b)),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x,
                 ).alias("d"),
-                F.lit(cid).cast("long").alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
+                c["cid"].alias("cid"),
+            ),
+        )
     )
-    m = F.array_min(arr)
-    return m["d"], m["cid"]
+    return q.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "qv", m["d"].alias("dist_sq"), m["cid"].alias("cluster")
+    )
 
 
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,8 +86,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = q.filter(F.col("vec_id") < KMEANS_K).collect()
     centroids = sorted((int(r.vec_id), list(r.qv)) for r in init)
     for _ in range(KMEANS_ITERS):
-        d, cid = _nearest(centroids)
-        assigned = q.select("vec_id", "qv", cid.alias("cluster"))
+        assigned = _with_nearest(spark, q, centroids)
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("i", "v"))
             .groupBy("cluster", "i")
@@ -101,10 +109,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for c, dims in sorted(by_cluster.items())
         ]
-    d, cid = _nearest(centroids)
-    out = q.select(
-        "vec_id", cid.alias("cluster"), d.alias("dist_sq")
-    ).orderBy("vec_id")
+    out = (
+        _with_nearest(spark, q, centroids)
+        .select("vec_id", "cluster", "dist_sq")
+        .orderBy("vec_id")
+    )
     q.unpersist()
     return out
 
