@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": D.simhash_fingerprints,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "dedup_groups": D.dedup_groups,
         # similarity search
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": D.SIMHASH_SQL,
         "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_COSINE_SQL,
+        "dedup_groups": D.DEDUP_GROUPS_SQL,
         "embedding_normalize": EM.EMBEDDING_NORMALIZE_SQL,
         "embedding_quantize": EM.EMBEDDING_QUANTIZE_SQL,
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,

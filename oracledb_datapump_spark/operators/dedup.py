@@ -516,3 +516,109 @@ SELECT vec_a, vec_b, cosine FROM pairs
 WHERE cosine >= {COSINE_DUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster formation: connected components over verified pairs
+# ---------------------------------------------------------------------------
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, group_id, group_size): every document labeled with the
+    minimum doc_id of its duplicate cluster — the transitive closure of
+    the LSH-verified pair list. Pairwise keep-the-lower-id dedup misses
+    chains (a~b, b~c but not a~c); group formation is what production
+    dedup actually ships (keep ``doc_id == group_id``).
+
+    Spark plan: min-label propagation to a fixpoint. The verified edge
+    list is cached once; each round is one join (pull neighbor labels)
+    + one groupBy(min) + one label merge, i.e. O(|E|) shuffle per
+    round. LSH-verified clusters are near-cliques (diameter ~2), so
+    convergence takes ~2-3 rounds; the driver only ever sees a changed-
+    row COUNT, never data. At 100 TB with adversarial long-chain
+    components, swap the propagation loop for alternating large-star/
+    small-star contraction (Kiveris et al., "Connected Components in
+    MapReduce") — same per-round plan shape, O(log n) rounds.
+
+    Oracle: DuckDB recursive CTE computing min reachable label — exact
+    same fixpoint, so the hash matches.
+    """
+    pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .cache()
+    )
+    labels.count()
+    while True:
+        pulled = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("lbl").alias("dst_lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("dst_lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(pulled, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
+            .join(labels, "doc_id")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))
+    out = (
+        labels.join(F.broadcast(sizes), "lbl")
+        .select(
+            "doc_id", F.col("lbl").alias("group_id"), "group_size"
+        )
+        .orderBy("doc_id")
+    )
+    edges.unpersist()
+    return out
+
+
+DEDUP_GROUPS_SQL = (
+    "WITH RECURSIVE pairs AS ("
+    + DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    + """),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.group_id, s.group_size
+FROM comp c
+JOIN (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id) s
+  USING (group_id)
+ORDER BY c.doc_id
+"""
+)

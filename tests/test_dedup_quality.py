@@ -58,3 +58,32 @@ def test_exact_dedup_keeps_min_doc_id(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r.dup_count for r in rows) == n_docs
     assert all(r.dup_count >= 1 for r in rows)
+
+
+def test_dedup_groups_transitive_chain(spark, tmp_path):
+    """a~b and b~c (but a,c share fewer shingles) must still land in one
+    group: connected components close the chain pairwise dedup misses."""
+    core = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    extras = "uniform victor whiskey xray yankee zulu maple cedar".split()
+    # doc_k = core + first k extra words: adjacent J = (10+k)/(11+k) >= 0.91
+    # (always LSH-recalled), ends J = 10/18 = 0.56 < 0.6 (transitive only)
+    chain = [(k, " ".join([core] + extras[:k])) for k in range(9)]
+    rows = chain + [
+        (i, f"totally unrelated document number {i} with its own words "
+            f"about topic {i * 7} and nothing shared") for i in range(9, 30)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_verified(spark, str(tmp_path)).collect()
+    }
+    # precondition: the fixture's adjacent edges are all LSH-recalled and
+    # its ends are not directly paired (fails loudly if dedup constants move)
+    assert all((k, k + 1) in verified for k in range(8)), verified
+    assert (0, 8) not in verified, "chain ends must only connect transitively"
+    out = {r.doc_id: (r.group_id, r.group_size)
+           for r in D.dedup_groups(spark, str(tmp_path)).collect()}
+    assert all(out[k] == (0, 9) for k in range(9)), out
+    assert out[15] == (15, 1)
