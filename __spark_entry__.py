@@ -30,6 +30,8 @@ from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import multimodal as M
+from oracledb_datapump_spark.operators import privacy as PV
+from oracledb_datapump_spark.operators import sampling as SP
 from oracledb_datapump_spark.operators import similarity as S
 from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
@@ -109,6 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_ngram": TP.contamination_ngram,
         "corpus_split": TP.corpus_split,
         "vocab_ngram_counts": TP.vocab_ngram_counts,
+        # corpus sampling / mixing
+        "stratified_sample": SP.stratified_sample,
+        "mix_weights": SP.mix_weights,
+        "pii_redact": PV.pii_redact,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -177,6 +183,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": TP.CONTAMINATION_SQL,
         "corpus_split": TP.CORPUS_SPLIT_SQL,
         "vocab_ngram_counts": TP.VOCAB_NGRAM_SQL,
+        "stratified_sample": SP.STRATIFIED_SAMPLE_SQL,
+        "mix_weights": SP.MIX_WEIGHTS_SQL,
+        "pii_redact": PV.PII_REDACT_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

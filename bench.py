@@ -22,6 +22,9 @@ def main() -> None:
     from oracledb_datapump_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
+    # 32 headline queries in one JVM accumulate codegen/plan state; 8g
+    # heap showed ~30% GC drag on the tail queries at sf0.1
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(
         app_name="datapump-bench",
         master=f"local[{CPUS}]",
@@ -70,6 +73,9 @@ def main() -> None:
         "kmeans_assign",
         "dedup_semantic",
         "asof_attribution",
+        "dedup_groups",
+        "stratified_sample",
+        "pii_redact",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
