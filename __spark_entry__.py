@@ -33,6 +33,7 @@ from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import privacy as PV
 from oracledb_datapump_spark.operators import sampling as SP
 from oracledb_datapump_spark.operators import similarity as S
+from oracledb_datapump_spark.operators import sketches as SK
 from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": SP.stratified_sample,
         "mix_weights": SP.mix_weights,
         "pii_redact": PV.pii_redact,
+        "hll_distinct": SK.hll_distinct,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -186,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SP.STRATIFIED_SAMPLE_SQL,
         "mix_weights": SP.MIX_WEIGHTS_SQL,
         "pii_redact": PV.PII_REDACT_SQL,
+        "hll_distinct": SK.HLL_DISTINCT_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

@@ -76,6 +76,7 @@ def main() -> None:
         "dedup_groups",
         "stratified_sample",
         "pii_redact",
+        "hll_distinct",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

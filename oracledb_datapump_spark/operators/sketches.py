@@ -1,0 +1,142 @@
+"""Distinct-count sketches over the fixture tables.
+
+hll_distinct: a from-scratch HyperLogLog whose every step is
+deterministic and engine-portable, so the *estimate itself* hash-matches
+a DuckDB twin — normally sketches are unverifiable across engines
+because they use engine-native hashing; building on the shared md5-based
+hash64 makes the whole sketch part of the hard correctness gate.
+
+Construction (P=9, m=512 buckets, standard HLL):
+- h = hash64(value) in [0, 2^60)
+- bucket = top 9 bits, rest = low 51 bits
+- rank = leading-zeros(rest) + 1 = 52 - bitlen(rest), via
+  length(bin(x)) — an integer string op, identical in both engines
+- per (group, bucket): M = max(rank)        <- the only data-sized agg
+- S = sum over buckets of 2^(52 - M) as BIGINT (exact integer; the
+  classic sum of 2^-M floats is order-dependent in the last ulp, so we
+  scale by 2^52 and stay integral), V = count of empty buckets
+- estimate = alpha * m^2 * 2^52 / S, with the small-range linear-count
+  branch (V > 0 and est <= 2.5m -> m * ln(m / V)); the final float
+  expression is a single identical formula in both engines.
+
+Scale: one groupBy(group, value)-free pass — the sketch is
+groupBy(group, bucket) max, i.e. at most |groups| * 512 rows out of the
+shuffle regardless of corpus size; that is the whole point of HLL at
+100 TB (exact COUNT(DISTINCT) shuffles every distinct value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import hash64, sql_hash64
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512
+_REST_BITS = 60 - HLL_P  # 51
+_TWO_REST = 1 << _REST_BITS
+_MAX_RANK = _REST_BITS + 1  # 52
+_TWO52 = float(1 << 52)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, exact_distinct, hll_estimate): distinct
+    customers per order priority, exactly and by the deterministic HLL."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", F.col("o_custkey").cast("string").alias("v")
+    )
+    h = hash64(F.col("v"))
+    rest = h % F.lit(_TWO_REST)
+    rank = F.when(rest == 0, F.lit(_MAX_RANK)).otherwise(
+        F.lit(_MAX_RANK) - F.length(F.bin(rest))
+    )
+    buckets = (
+        o.select(
+            "o_orderpriority",
+            # integer shift, NOT `/`: h has 60 bits and long `/` goes
+            # through double (53-bit mantissa), which can flip buckets
+            F.shiftright(h, _REST_BITS).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+    agg = buckets.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m_rank)")).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    v = F.lit(HLL_M) - F.col("nonzero")  # empty buckets
+    # empty buckets have M=0 and contribute 2^52 each; the groupBy only
+    # saw observed buckets, so add the missing terms back
+    s_full = F.col("s") + v.cast("long") * F.lit(1 << 52).cast("long")
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(_TWO52) / s_full.cast(
+        "double"
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+    )
+    return (
+        agg.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            F.floor(est).cast("long").alias("hll_estimate"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+HLL_DISTINCT_SQL = f"""
+WITH hashed AS (
+  SELECT o_orderpriority,
+         {sql_hash64("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders
+),
+ranks AS (
+  SELECT o_orderpriority,
+         (h >> {_REST_BITS}) AS bucket,
+         CASE WHEN h % {_TWO_REST} = 0 THEN {_MAX_RANK}
+              ELSE {_MAX_RANK} - length(bin(h % {_TWO_REST})) END AS rank
+  FROM hashed
+),
+buckets AS (
+  SELECT o_orderpriority, bucket, MAX(rank) AS m_rank
+  FROM ranks GROUP BY o_orderpriority, bucket
+),
+agg AS (
+  SELECT o_orderpriority,
+         SUM((1::BIGINT << (52 - m_rank))) AS s,
+         COUNT(*) AS nonzero
+  FROM buckets GROUP BY o_orderpriority
+),
+sfull AS (
+  SELECT o_orderpriority, nonzero,
+         s + ({HLL_M} - nonzero) * (1::BIGINT << 52) AS s_full
+  FROM agg
+),
+est AS (
+  SELECT o_orderpriority,
+         CASE WHEN ({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                    * {_TWO52!r}::DOUBLE / CAST(s_full AS DOUBLE)) <= {2.5 * HLL_M!r}::DOUBLE
+                   AND ({HLL_M} - nonzero) > 0
+              THEN {float(HLL_M)!r}::DOUBLE
+                   * ln({float(HLL_M)!r}::DOUBLE / CAST({HLL_M} - nonzero AS DOUBLE))
+              ELSE ({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                    * {_TWO52!r}::DOUBLE / CAST(s_full AS DOUBLE)) END AS est
+  FROM sfull
+)
+SELECT e.o_orderpriority, x.exact_distinct,
+       CAST(FLOOR(e.est) AS BIGINT) AS hll_estimate
+FROM est e
+JOIN (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+      FROM orders GROUP BY o_orderpriority) x USING (o_orderpriority)
+ORDER BY e.o_orderpriority
+"""

@@ -55,3 +55,16 @@ def test_pii_redact_scrubs_everything(spark, sf_dir):
     assert found.e > 0 and found.i > 0 and found.p > 0
     marked = out.filter(F.col("clean_text").contains("<EMAIL>")).count()
     assert marked == found.e
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    """HLL with m=512 has ~4.6% std error; every group must land within
+    15% of exact (and the linear-counting branch must engage sanely at
+    small cardinalities)."""
+    from oracledb_datapump_spark.operators import sketches as SK
+
+    rows = SK.hll_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert err < 0.15, (r.o_orderpriority, r.exact_distinct, r.hll_estimate)
