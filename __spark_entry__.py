@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": CL.dedup_semantic,
         # temporal: as-of join (window-composed; DuckDB native ASOF oracle)
         "asof_attribution": TM.asof_attribution,
+        "range_join_nearby": TM.range_join_nearby,
+        "rolling_window_activity": TM.rolling_window_activity,
         # text analysis
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cluster_sizes": CL.CLUSTER_SIZES_SQL,
         "dedup_semantic": CL.DEDUP_SEMANTIC_SQL,
         "asof_attribution": TM.ASOF_ATTRIBUTION_SQL,
+        "range_join_nearby": TM.RANGE_JOIN_NEARBY_SQL,
+        "rolling_window_activity": TM.ROLLING_WINDOW_SQL,
         "lang_id": T.LANG_ID_SQL,
         "quality_score": T.QUALITY_SQL,
         "token_count": T.TOKEN_COUNT_SQL,

@@ -77,6 +77,8 @@ def main() -> None:
         "stratified_sample",
         "pii_redact",
         "hll_distinct",
+        "range_join_nearby",
+        "rolling_window_activity",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

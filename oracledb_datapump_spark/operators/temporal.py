@@ -110,3 +110,107 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY purchase_id
 """
+
+
+# ---------------------------------------------------------------------------
+# interval/range join: bin-bucketed equi-join (Spark has no range join)
+# ---------------------------------------------------------------------------
+
+RANGE_W_US = 120_000_000  # +/- 2 minutes
+
+
+def range_join_nearby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, n_nearby): for every purchase event, how many events
+    (any type, any user, self included) happened within +/-2 minutes.
+
+    A naive range-predicate join plans as broadcast-nested-loop (O(n*m)
+    probes). The scale path bins both sides at the window width W:
+    every match within +/-W lands in the probe bin or an adjacent one,
+    so the probe side expands to exactly 3 (bin, probe) rows and the
+    join is a plain hash equi-join on bin, followed by the exact |dt|
+    filter. Shuffle volume is 3x probes + 1x build regardless of W's
+    selectivity; hot bins (event bursts) are the skew lever — salt the
+    bin key or let AQE split them.
+
+    Oracle: DuckDB runs the literal inequality join (its optimizer
+    plans IEJoin, fine at fixture scale)."""
+    from .analytics import _events
+
+    e = _events(spark, sf_dir)
+    build = e.select(
+        (F.col("ts_us") - (F.col("ts_us") % RANGE_W_US)).alias("bin"),
+        F.col("ts_us").alias("b_ts"),
+    )
+    probes = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts_us")
+        .withColumn("__off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "event_id",
+            "ts_us",
+            (
+                F.col("ts_us")
+                - (F.col("ts_us") % RANGE_W_US)
+                + F.col("__off") * RANGE_W_US
+            ).alias("bin"),
+        )
+    )
+    return (
+        probes.join(build, "bin")
+        .filter(F.abs(F.col("b_ts") - F.col("ts_us")) <= RANGE_W_US)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_NEARBY_SQL = f"""
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+SELECT p.event_id, COUNT(*) AS n_nearby
+FROM (SELECT event_id, ts_us FROM e WHERE event_type = 'purchase') p
+JOIN e b ON b.ts_us BETWEEN p.ts_us - {RANGE_W_US} AND p.ts_us + {RANGE_W_US}
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling time-range window: trailing-hour activity per user
+# ---------------------------------------------------------------------------
+
+ROLL_W_US = 3_600_000_000  # 1 hour
+
+
+def rolling_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, user_id, ts_us, n_prev_hour, max_value_prev_hour):
+    per-user trailing-1-hour event count and max value — a RANGE-frame
+    window (peers by timestamp, not row position), one hash shuffle on
+    user_id; per-user state is the in-frame buffer only. Aggregates are
+    COUNT and MAX (order-independent), never a float SUM, so the frame
+    evaluation order of either engine cannot perturb the hash."""
+    from .analytics import _events
+
+    e = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLL_W_US, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.max("value").over(w).alias("max_value_prev_hour"),
+    ).orderBy("event_id")
+
+
+ROLLING_WINDOW_SQL = f"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       COUNT(*) OVER w AS n_prev_hour,
+       MAX(value) OVER w AS max_value_prev_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_W_US} PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""

@@ -55,3 +55,40 @@ def test_dedup_semantic_subset_of_bruteforce(spark, sf_dir):
     }
     assert sem  # finds real pairs
     assert sem <= brute  # cluster scoping never invents pairs
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bin-bucketed range join must plan as a hash equi-join on the
+    bin key — never a broadcast-nested-loop over the range predicate."""
+    from oracledb_datapump_spark.operators.temporal import range_join_nearby
+
+    df = range_join_nearby(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_rolling_window_trailing_hour(spark, sf_dir):
+    """Hand-check one user: n_prev_hour counts exactly the user's events
+    in (ts - 1h, ts]."""
+    from pyspark.sql import functions as F
+    from oracledb_datapump_spark.operators.analytics import _events
+    from oracledb_datapump_spark.operators.temporal import (
+        ROLL_W_US,
+        rolling_window_activity,
+    )
+
+    out = rolling_window_activity(spark, sf_dir)
+    uid = out.select("user_id").first().user_id
+    evs = sorted(
+        r.ts_us
+        for r in _events(spark, sf_dir).filter(F.col("user_id") == uid).collect()
+    )
+    expect = {
+        ts: sum(1 for t in evs if ts - ROLL_W_US <= t <= ts) for ts in evs
+    }
+    got = {
+        r.ts_us: r.n_prev_hour
+        for r in out.filter(F.col("user_id") == uid).collect()
+    }
+    assert got == expect
