@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_weights": SP.mix_weights,
         "pii_redact": PV.pii_redact,
         "hll_distinct": SK.hll_distinct,
+        "cms_heavy_hitters": SK.cms_heavy_hitters,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_weights": SP.MIX_WEIGHTS_SQL,
         "pii_redact": PV.PII_REDACT_SQL,
         "hll_distinct": SK.HLL_DISTINCT_SQL,
+        "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

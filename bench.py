@@ -79,6 +79,7 @@ def main() -> None:
         "hll_distinct",
         "range_join_nearby",
         "rolling_window_activity",
+        "cms_heavy_hitters",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

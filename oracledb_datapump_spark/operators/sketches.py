@@ -140,3 +140,106 @@ JOIN (SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
       FROM orders GROUP BY o_orderpriority) x USING (o_orderpriority)
 ORDER BY e.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, est_count, exact_count): the CMS_TOPK most frequent
+    document tokens, frequency estimated by a Count-Min sketch and
+    verified against the exact count in the same result.
+
+    The sketch is CMS_D x CMS_W integer counters built in ONE
+    groupBy(row, counter) over the token stream — sketch state out of
+    the shuffle is 4096 rows regardless of corpus size, the whole point
+    at 100 TB (exact top-k shuffles every distinct token). Hashes are
+    the shared md5-based hash64 with per-row salts, so every counter —
+    and therefore the estimate — is bit-identical in DuckDB and part of
+    the hard hash gate. est >= exact always (CMS never undercounts);
+    collisions in 1024-wide rows make the overestimate visible, which
+    is the honest demonstration of the sketch's error bound.
+
+    The estimate-every-candidate join below scans distinct tokens (fine
+    here; production keeps a per-partition candidate pre-filter so only
+    locally-frequent tokens probe the sketch). Ordering: est desc,
+    token asc — deterministic."""
+    from ..functions.text import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    rows = toks.withColumn(
+        "row", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)]))
+    ).select(
+        "token",
+        "row",
+        (
+            hash64(F.concat(F.lit("cms"), F.col("row"), F.lit(":"), F.col("token")))
+            % CMS_W
+        ).alias("counter"),
+    )
+    sketch = rows.groupBy("row", "counter").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = exact.select(
+        "token",
+        "exact_count",
+        F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("row"),
+    ).select(
+        "token",
+        "exact_count",
+        "row",
+        (
+            hash64(F.concat(F.lit("cms"), F.col("row"), F.lit(":"), F.col("token")))
+            % CMS_W
+        ).alias("counter"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "counter"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.desc("est_count"), "token")
+        .limit(CMS_TOPK)
+        .select("token", "est_count", "exact_count")
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t != '')) AS token
+  FROM documents
+),
+rows_ AS (
+  SELECT token, r.row,
+         {sql_hash64("'cms' || CAST(r.row AS VARCHAR) || ':' || token")} % {CMS_W}
+           AS counter
+  FROM toks CROSS JOIN (SELECT unnest(range({CMS_D})) AS row) r
+),
+sketch AS (
+  SELECT row, counter, COUNT(*) AS c FROM rows_ GROUP BY row, counter
+),
+exact AS (SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token),
+probes AS (
+  SELECT e.token, e.exact_count, r.row,
+         {sql_hash64("'cms' || CAST(r.row AS VARCHAR) || ':' || e.token")} % {CMS_W}
+           AS counter
+  FROM exact e CROSS JOIN (SELECT unnest(range({CMS_D})) AS row) r
+),
+est AS (
+  SELECT p.token, p.exact_count, MIN(s.c) AS est_count
+  FROM probes p JOIN sketch s USING (row, counter)
+  GROUP BY p.token, p.exact_count
+)
+SELECT token, est_count, exact_count
+FROM est
+ORDER BY est_count DESC, token ASC
+LIMIT {CMS_TOPK}
+"""

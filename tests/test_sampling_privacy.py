@@ -68,3 +68,12 @@ def test_hll_estimate_accuracy(spark, sf_dir):
     for r in rows:
         err = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
         assert err < 0.15, (r.o_orderpriority, r.exact_distinct, r.hll_estimate)
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    from oracledb_datapump_spark.operators import sketches as SK
+
+    rows = SK.cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == SK.CMS_TOPK
+    for r in rows:
+        assert r.est_count >= r.exact_count, (r.token, r.est_count, r.exact_count)
