@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": A5.q20_part_promotion,
         "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         "sales_rollup": A2.sales_rollup,
+        "sales_cube": A5.sales_cube,
+        "funnel_conversion": A5.funnel_conversion,
         "shipmode_pivot": A2.shipmode_pivot,
         "price_quantiles": A2.price_quantiles,
         # datapump ETL core (SURVEY.md §2.1/§2.4/§2.5) — full job lifecycle
@@ -159,6 +161,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_part_promotion": A5.Q20_SQL,
         "q21_suppliers_kept_waiting": A5.Q21_SQL,
         "sales_rollup": A2.SALES_ROLLUP_SQL,
+        "sales_cube": A5.SALES_CUBE_SQL,
+        "funnel_conversion": A5.FUNNEL_SQL,
         "shipmode_pivot": A2.SHIPMODE_PIVOT_SQL,
         "price_quantiles": A2.PRICE_QUANTILES_SQL,
         "datapump_roundtrip_nation": E.ROUNDTRIP_NATION_SQL,

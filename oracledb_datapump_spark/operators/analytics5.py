@@ -291,3 +291,113 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion: sequential view -> click -> purchase per user
+# ---------------------------------------------------------------------------
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(users_viewed, users_clicked_after, users_purchased_after): how
+    many users progressed through view -> click (strictly after the
+    first view) -> purchase (strictly after that click) — the classic
+    ordered-funnel shape sessionization cannot express.
+
+    Plan: three groupBy(user_id) aggregations chained by joins on
+    user_id. After the first shuffle the stream is hash-partitioned on
+    user_id, so EnsureRequirements reuses the partitioning for the
+    subsequent joins/aggs — effectively one shuffle of the events table
+    at 100 TB. Strict > comparisons on epoch-µs keep step boundaries
+    deterministic."""
+    from .analytics import _events
+
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("users_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("users_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("users_purchased_after")))
+    )
+
+
+FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e WHERE event_type = 'view'
+      GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+      FROM e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts_us > v.t1
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS users_viewed,
+       (SELECT COUNT(*) FROM c) AS users_clicked_after,
+       (SELECT COUNT(*) FROM p) AS users_purchased_after
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping sets over (returnflag, shipmode-ish priority)
+# ---------------------------------------------------------------------------
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE coverage (rollup's sibling): line counts and quantity by
+    every grouping set of (l_returnflag, l_linestatus) — 2^2 sets in
+    one pass (Spark expands grouping sets inside a single aggregate;
+    shuffle volume is sum over sets of |groups|, still tiny)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_lines",
+            "sum_qty",
+        )
+        .orderBy("g_flag", "g_status", "returnflag", "linestatus")
+    )
+
+
+SALES_CUBE_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, returnflag, linestatus
+"""
