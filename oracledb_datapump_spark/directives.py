@@ -77,6 +77,7 @@ class PlanConfig:
     table_predicates: dict[str, str] = field(default_factory=dict)
     table_columns: dict[str, list[str]] = field(default_factory=dict)
     table_partition_by: dict[str, str] = field(default_factory=dict)
+    table_sort_by: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
@@ -294,6 +295,18 @@ class ExportPartitionBy(Filter, name="EXPORT_PARTITION_BY"):
 
     def apply(self, config: PlanConfig) -> None:
         config.table_partition_by[self.object_path or "*"] = str(self.value)
+
+
+class ExportSortBy(Filter, name="EXPORT_SORT_BY"):
+    """Sort rows *within* each output partition by the given
+    comma-separated columns before the dump write. No extra shuffle —
+    ``sortWithinPartitions`` is a per-partition local sort — but
+    run-length/dictionary encoding on the sort key typically shrinks
+    the parquet dump substantially and gives importers clustered scans
+    (row-group min/max pruning on the sort key)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_sort_by[self.object_path or "*"] = str(self.value)
 
 
 # -- Parameters (reference directives.py:186-409) ---------------------------

@@ -134,6 +134,12 @@ def export_table(
         prev_rows = prev_size = prev_files = 0
         if write_mode == "append" and os.path.isdir(out_dir):
             prev_rows, prev_size, prev_files = _count_parquet_rows(out_dir)
+        if plan.sort_by:
+            # local per-partition sort (no shuffle): clusters the sort key
+            # for parquet RLE/dictionary pages and row-group pruning
+            df = df.sortWithinPartitions(
+                *[c.strip() for c in plan.sort_by.split(",") if c.strip()]
+            )
         writer = df.write.mode(write_mode).option("compression", plan.codec)
         if plan.partition_by:
             # hive-partitioned dump layout (EXPORT_PARTITION_BY extension);

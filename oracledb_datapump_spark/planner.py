@@ -32,6 +32,7 @@ class TablePlan:
     columns: list[str] | None = None
     as_of: str | None = None
     partition_by: str | None = None
+    sort_by: str | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -107,6 +108,9 @@ def plan_export(
                     data_included=data_included,
                     partition_by=config.table_partition_by.get(
                         table, config.table_partition_by.get("*")
+                    ),
+                    sort_by=config.table_sort_by.get(
+                        table, config.table_sort_by.get("*")
                     ),
                 )
             )

@@ -121,3 +121,35 @@ def test_parse_colon_delimited_raises():
     assert parse_colon_delimited("A:B") == ("A", "B")
     with pytest.raises(UsageError):
         parse_colon_delimited("no-colon-here")
+
+
+def test_export_sort_by_clusters_rows(spark, tmp_path):
+    """EXPORT_SORT_BY sorts rows inside each part-file (no shuffle), so
+    every output file must be internally ordered on the sort key."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+
+    src = DuckDbConnector(":memory:")
+    src.load_parquet_dir("hr", "/root/testdata/sf0.001")
+    dump = f"{tmp_path}/dump"
+    st = Job(
+        "EXPORT",
+        "TABLE",
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("hr"),
+            D.INCLUDE_TABLE("lineitem"),
+            D.PARALLEL(2),
+            D.EXPORT_SORT_BY("l_shipdate"),
+        ],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+    files = glob.glob(f"{dump}/**/*.parquet", recursive=True)
+    assert files
+    for f in files:
+        col = pq.read_table(f, columns=["l_shipdate"]).column(0).to_pylist()
+        assert col == sorted(col), f
