@@ -29,6 +29,7 @@ from oracledb_datapump_spark.operators import curation as CU
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
+from oracledb_datapump_spark.operators import graph as G
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import privacy as PV
 from oracledb_datapump_spark.operators import sampling as SP
@@ -122,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": PV.pii_redact,
         "hll_distinct": SK.hll_distinct,
         "cms_heavy_hitters": SK.cms_heavy_hitters,
+        "pagerank_topk": G.pagerank_topk,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -199,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": PV.PII_REDACT_SQL,
         "hll_distinct": SK.HLL_DISTINCT_SQL,
         "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_SQL,
+        "pagerank_topk": G.PAGERANK_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

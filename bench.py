@@ -80,6 +80,7 @@ def main() -> None:
         "range_join_nearby",
         "rolling_window_activity",
         "cms_heavy_hitters",
+        "pagerank_topk",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
