@@ -47,3 +47,51 @@ def run_dedup_export(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     )
     q.awaitTermination()
     return {"sink_path": os.path.join(out_dir, "deduped")}
+
+
+# ---------------------------------------------------------------------------
+# watermarked windowed aggregation (streaming twin of events_hourly_rollup)
+# ---------------------------------------------------------------------------
+
+ROLLUP_LATENESS = "30 minutes"
+
+
+def stream_hourly_rollup(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Tumbling 1-hour (event_type, window) counts over a watermarked
+    stream — the standard late-data-tolerant windowed aggregation.
+    Events later than ROLLUP_LATENESS behind the max seen event time are
+    dropped; closed windows are emitted once (append mode) and their
+    state GC'd, so state is bounded by windows-in-horizon, not stream
+    length. Batch twin: operators.analytics.events_hourly_rollup."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(src_dir)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    return (
+        events.withWatermark("event_time", ROLLUP_LATENESS)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_rollup_export(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
+    """availableNow cycle: closed hourly windows appended to parquet with
+    checkpointed state across cycles."""
+    q = (
+        stream_hourly_rollup(spark, src_dir)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "rollup"))
+        .option("checkpointLocation", os.path.join(out_dir, "_rollup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"sink_path": os.path.join(out_dir, "rollup")}

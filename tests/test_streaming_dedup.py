@@ -31,3 +31,37 @@ def test_stream_dedup_suppresses_replays(spark, sf_dir, tmp_path):
     # (events within the watermark horizon); only genuinely new ids added
     assert distinct == 500
     assert total == distinct, f"duplicates leaked: {total} rows, {distinct} ids"
+
+
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """Closed windows emitted by the watermarked streaming rollup must
+    carry exactly the batch counts; open windows (inside the lateness
+    horizon of the max event time) are withheld, not wrong."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "rsrc")
+    os.makedirs(src)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(t, os.path.join(src, "a.parquet"), version="2.6", coerce_timestamps=None)
+    out = str(tmp_path / "rout")
+    info = SD.run_rollup_export(spark, src, out)
+    got = {
+        (r.hour_start, r.event_type): r.n_events
+        for r in spark.read.parquet(info["sink_path"]).collect()
+    }
+    assert got, "some windows must have closed"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(src)
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("h"), "event_type", "n"
+        )
+    )
+    expect = {(r.h, r.event_type): r.n for r in batch.collect()}
+    for k, v in got.items():
+        assert expect[k] == v, (k, v, expect[k])
+    # the open tail is withheld: emitted windows < all windows
+    assert len(got) < len(expect)
