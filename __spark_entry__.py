@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         "sales_rollup": A2.sales_rollup,
         "sales_cube": A5.sales_cube,
+        "skew_salted_revenue": A5.skew_salted_revenue,
         "funnel_conversion": A5.funnel_conversion,
         "shipmode_pivot": A2.shipmode_pivot,
         "price_quantiles": A2.price_quantiles,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_suppliers_kept_waiting": A5.Q21_SQL,
         "sales_rollup": A2.SALES_ROLLUP_SQL,
         "sales_cube": A5.SALES_CUBE_SQL,
+        "skew_salted_revenue": A5.SKEW_SALTED_REVENUE_SQL,
         "funnel_conversion": A5.FUNNEL_SQL,
         "shipmode_pivot": A2.SHIPMODE_PIVOT_SQL,
         "price_quantiles": A2.PRICE_QUANTILES_SQL,

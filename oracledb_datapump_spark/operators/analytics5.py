@@ -401,3 +401,51 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY g_flag, g_status, returnflag, linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# skew-salted aggregation, inside the hard gate
+# ---------------------------------------------------------------------------
+
+
+def skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_suppkey, n_lines, revenue): per-supplier revenue via the
+    two-phase salted aggregation (functions.skew.salted_agg) — the lever
+    for hot keys AQE can't split (skewed *aggregations*). Phase 1
+    spreads each key over 16 salt reducers; phase 2 combines
+    |keys| x 16 rows. The oracle is the plain GROUP BY: salting must be
+    invisible in the result, and the hash gate proves it. Decimal sums
+    keep the two-phase reassociation exact (decimal addition is
+    associative; a double SUM here would NOT be salt-order-stable)."""
+    from ..functions.skew import salted_agg
+
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(25,2)")
+        * (F.lit(1).cast("decimal(25,2)") - F.col("l_discount").cast("decimal(25,2)"))
+    )
+    out = salted_agg(
+        l.select("l_suppkey", "l_orderkey", rev.alias("rev")),
+        ["l_suppkey"],
+        [F.count(F.lit(1)).alias("c"), F.sum("rev").alias("s")],
+        lambda pre: [
+            F.sum("c").alias("n_lines"),
+            F.sum("s").cast("double").alias("revenue"),
+        ],
+        salt_from=["l_orderkey"],
+    )
+    return out.select(
+        F.col("l_suppkey").cast("long").alias("l_suppkey"), "n_lines", "revenue"
+    ).orderBy("l_suppkey")
+
+
+SKEW_SALTED_REVENUE_SQL = """
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))
+                * (CAST(1 AS DECIMAL(25,2)) - CAST(l_discount AS DECIMAL(25,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
