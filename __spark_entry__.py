@@ -35,6 +35,7 @@ from oracledb_datapump_spark.operators import privacy as PV
 from oracledb_datapump_spark.operators import sampling as SP
 from oracledb_datapump_spark.operators import similarity as S
 from oracledb_datapump_spark.operators import sketches as SK
+from oracledb_datapump_spark.operators import sparse_text as SX
 from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
@@ -125,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": SK.hll_distinct,
         "cms_heavy_hitters": SK.cms_heavy_hitters,
         "pagerank_topk": G.pagerank_topk,
+        # sparse-text: exact-substring dup scoring + inverted-index search
+        "span_dup_score": SX.span_dup_score,
+        "tfidf_search_topk": SX.tfidf_search_topk,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -204,6 +208,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": SK.HLL_DISTINCT_SQL,
         "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_SQL,
         "pagerank_topk": G.PAGERANK_SQL,
+        "span_dup_score": SX.SPAN_DUP_SQL,
+        "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

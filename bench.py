@@ -81,6 +81,8 @@ def main() -> None:
         "rolling_window_activity",
         "cms_heavy_hitters",
         "pagerank_topk",
+        "span_dup_score",
+        "tfidf_search_topk",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -1,0 +1,269 @@
+"""Sparse-text operators: exact-substring duplication scoring and
+inverted-index TF-IDF search.
+
+Two LLM-training-pipeline workhorses the dense-embedding family can't
+replace:
+
+- ``span_dup_score`` — per-document exact-substring duplication
+  statistics (the signal behind "Deduplicating Training Data Makes
+  Language Models Better"-style span removal): how many of a document's
+  N-token spans occur elsewhere in the corpus.
+- ``tfidf_search_topk`` — classic inverted-index retrieval: a small
+  query set scored against the corpus by TF-IDF cosine, top-k per
+  query. This is the sparse twin of ``similarity.ann_*`` — at 100 TB
+  you keep BOTH paths (BM25-ish recall + dense rerank).
+
+Determinism contract: all weights are integers (floor-division idf,
+integer tf) and the cosine is quantized through DECIMAL(38,0)
+arithmetic, so Spark and DuckDB produce bit-identical BIGINT scores —
+these queries sit inside the cross-engine hash gate, not the weaker
+rows-only check.
+
+Scale notes per operator below; tokenization is the shared contract in
+``functions.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, tokens
+
+SPAN_N = 5  # tokens per span for exact-substring scoring
+TFIDF_TOP_K = 5
+TFIDF_N_QUERIES = 20  # doc_id < 20 form the query set
+# idf_q = floor(N_docs * IDF_SCALE / df).  100 (not 1000) keeps the
+# worst-case dot^2 * 1e6 below HUGEINT/DECIMAL(38,0) range even at sf1.
+IDF_SCALE = 100
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (token-span) duplication scoring
+# ---------------------------------------------------------------------------
+
+
+def span_dup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans, dup_frac_q): for every document,
+    the number of {SPAN_N}-token spans, how many of those spans occur
+    at least twice in the whole corpus (in any document, including this
+    one), and the duplicated fraction quantized to parts-per-million.
+
+    Plan (the standard two-pass over an inverted span index):
+      1. spans are built row-locally (sequence+transform — no shuffle,
+         pipelined into the first aggregation),
+      2. groupBy(span_hash) with map-side partial aggregation produces
+         corpus occurrence counts — shuffle volume is |distinct spans|,
+      3. the (doc, span_hash, count) stream joins the occurrence table
+         on span_hash — the join carries one row per DISTINCT span per
+         doc, never the raw span stream,
+      4. final groupBy(doc_id) reduces to one row per document.
+    Hot spans (boilerplate) are exactly the high-occurrence keys; at
+    100 TB cap their fan-out by pre-aggregating per (doc, span) first —
+    which step 2b already does. Spans travel as 60-bit hashes (8 bytes),
+    never as text.
+    """
+    d = _docs(spark, sf_dir)
+    wt = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= SPAN_N
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - SPAN_N),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, SPAN_N)),
+    )
+    span_stream = wt.select(
+        "doc_id", F.explode(grams).alias("gram")
+    ).select("doc_id", hash64(F.col("gram")).alias("gid"))
+    # one row per (doc, distinct span): c = in-doc occurrences
+    per_doc = span_stream.groupBy("doc_id", "gid").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    occ = per_doc.groupBy("gid").agg(F.sum("c").alias("occ"))
+    return (
+        per_doc.join(occ, "gid")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.floor(F.lit(1000000) * F.col("n_dup_spans") / F.col("n_spans"))
+            .cast("long")
+            .alias("dup_frac_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SPAN_DUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '') AS l
+  FROM documents
+), spans AS (
+  SELECT doc_id,
+         {sql_hash64("array_to_string(l[i+1:i+" + str(SPAN_N) + "], ' ')")} AS gid
+  FROM toks, unnest(range(len(l) - {SPAN_N} + 1)) AS t(i)
+  WHERE len(l) >= {SPAN_N}
+), per_doc AS (
+  SELECT doc_id, gid, COUNT(*) AS c FROM spans GROUP BY doc_id, gid
+), occ AS (
+  SELECT gid, SUM(c) AS occ FROM per_doc GROUP BY gid
+)
+SELECT p.doc_id,
+       CAST(SUM(p.c) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN o.occ >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       CAST(FLOOR(1000000 * SUM(CASE WHEN o.occ >= 2 THEN p.c ELSE 0 END)
+                  / SUM(p.c)) AS BIGINT) AS dup_frac_q
+FROM per_doc p JOIN occ o USING (gid)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# inverted-index TF-IDF top-k search
+# ---------------------------------------------------------------------------
+
+
+def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_doc, match_doc, rank, sim_q): TF-IDF cosine top-{TFIDF_TOP_K}
+    corpus matches for each query document (doc_id < {TFIDF_N_QUERIES}),
+    self-matches excluded.
+
+    Weights are integers end to end: tf is a count, idf_q =
+    floor(N_docs*{IDF_SCALE}/df) (floor-division "idf" — monotone in
+    1/df, cross-engine exact), w = tf*idf_q. Cosine is compared as
+    sim_q = floor(dot^2 * 1e6 / (|a|^2 * |b|^2)) computed in
+    DECIMAL(38,0), so ordering matches true cosine ordering exactly and
+    both engines hash identically.
+
+    Plan: the corpus inverted index (doc, tok, w) is built with one
+    groupBy; the query side is {TFIDF_N_QUERIES} docs → its (tok, w)
+    postings are BROADCAST into the index join, so the corpus is
+    streamed exactly once with no shuffle for the join itself; the
+    per-(query, match) dot product is one more partial-aggregated
+    groupBy whose key space is |queries| x |matched docs|. Top-k is a
+    window over that small result. At 100 TB the only change is a df
+    cap on the index (drop stopword-frequency tokens) to bound posting
+    lists — on this synthetic vocab-30 corpus a cap would drop
+    everything, so it is intentionally not applied here.
+    """
+    d = _docs(spark, sf_dir)
+    # corpus size as a one-row broadcast (no driver-side .first() read)
+    nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idx = tf.join(df_tbl, "tok").crossJoin(F.broadcast(nd)).select(
+        "doc_id",
+        "tok",
+        (
+            F.col("tf")
+            * F.floor((F.col("n_docs") * IDF_SCALE) / F.col("df"))
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    norms = idx.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("norm2")
+    )
+    q_idx = idx.filter(F.col("doc_id") < TFIDF_N_QUERIES).select(
+        F.col("doc_id").alias("query_doc"), "tok", F.col("w").alias("qw")
+    )
+    dots = (
+        F.broadcast(q_idx)
+        .join(idx, "tok")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .groupBy("query_doc", F.col("doc_id").alias("match_doc"))
+        .agg(
+            F.sum(F.col("qw") * F.col("w")).cast("decimal(38,0)").alias("dot")
+        )
+    )
+    qn = norms.select(
+        F.col("doc_id").alias("query_doc"), F.col("norm2").alias("qnorm2")
+    )
+    mn = norms.select(
+        F.col("doc_id").alias("match_doc"), F.col("norm2").alias("mnorm2")
+    )
+    # sim_q via integral division (`div`), NOT float `/` + floor: decimal
+    # division rounds to a fixed scale before floor, which can disagree
+    # with DuckDB's exact HUGEINT `//` near integer boundaries.
+    scored = (
+        dots.join(F.broadcast(qn), "query_doc")
+        .join(mn, "match_doc")
+        .select(
+            "query_doc",
+            "match_doc",
+            F.expr(
+                "CAST((dot * dot * CAST(1000000 AS DECIMAL(38,0)))"
+                " div (qnorm2 * mnorm2) AS BIGINT)"
+            ).alias("sim_q"),
+        )
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("sim_q"), F.asc("match_doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("query_doc", "match_doc", "rank", "sim_q")
+        .orderBy("query_doc", "rank")
+    )
+
+
+TFIDF_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), idx AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf * FLOOR(nd.n_docs * {IDF_SCALE} / dft.df) AS BIGINT) AS w
+  FROM tf JOIN dft USING (tok) CROSS JOIN nd
+), norms AS (
+  SELECT doc_id, CAST(SUM(CAST(w AS HUGEINT) * w) AS HUGEINT) AS norm2
+  FROM idx GROUP BY doc_id
+), dots AS (
+  SELECT q.doc_id AS query_doc, c.doc_id AS match_doc,
+         CAST(SUM(CAST(q.w AS HUGEINT) * c.w) AS HUGEINT) AS dot
+  FROM idx q JOIN idx c USING (tok)
+  WHERE q.doc_id < {TFIDF_N_QUERIES} AND c.doc_id != q.doc_id
+  GROUP BY q.doc_id, c.doc_id
+), scored AS (
+  -- `//` is exact HUGEINT floor division (twin of Spark's decimal `div`)
+  SELECT d.query_doc, d.match_doc,
+         CAST((d.dot * d.dot * CAST(1000000 AS HUGEINT))
+              // (qn.norm2 * mn.norm2) AS BIGINT) AS sim_q
+  FROM dots d
+  JOIN norms qn ON qn.doc_id = d.query_doc
+  JOIN norms mn ON mn.doc_id = d.match_doc
+), ranked AS (
+  SELECT query_doc, match_doc, sim_q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY sim_q DESC, match_doc ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_doc, match_doc, rank, sim_q
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY query_doc, rank
+"""
