@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse-text: exact-substring dup scoring + inverted-index search
         "span_dup_score": SX.span_dup_score,
         "tfidf_search_topk": SX.tfidf_search_topk,
+        "histogram_quantiles": SK.histogram_quantiles,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topk": G.PAGERANK_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
+        "histogram_quantiles": SK.HISTOGRAM_QUANTILES_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

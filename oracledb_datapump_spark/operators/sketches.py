@@ -27,7 +27,7 @@ shuffle regardless of corpus size; that is the whole point of HLL at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash64, sql_hash64
@@ -242,4 +242,80 @@ SELECT token, est_count, exact_count
 FROM est
 ORDER BY est_count DESC, token ASC
 LIMIT {CMS_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HIST_BIN_W = 1000  # dollars per bin
+HIST_PCTS = (25, 50, 75, 90, 99)
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pct, approx_lo, bin_id): percentile estimates of
+    lineitem.l_extendedprice from a fixed-width histogram — the
+    mergeable-sketch path for quantiles at 100 TB (t-digest/KLL stand-in
+    with fully deterministic arithmetic).
+
+    The estimate for percentile p is the lower edge of the first bin
+    whose cumulative count reaches ceil(p*N/100). Binning is
+    floor(x/{HIST_BIN_W}) — IEEE double division + floor, bit-identical
+    across engines — and every later step is BIGINT-exact, so the sketch
+    sits inside the cross-engine hash gate (the exact-quantile twin is
+    ``price_quantiles``, which shuffles the full column; this one's
+    shuffle output is |bins| rows regardless of corpus size, and the
+    cumulative window runs over those ~100 bin rows, not the data).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bins = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / HIST_BIN_W)
+            .cast("long")
+            .alias("bin_id")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w))
+    total = bins.agg(F.sum("cnt").alias("n"))
+    pcts = spark.range(0, len(HIST_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in HIST_PCTS]), (F.col("id") + 1).cast("int")
+        )
+        .cast("long")
+        .alias("pct")
+    )
+    return (
+        F.broadcast(pcts.crossJoin(total))
+        .join(cum, F.col("cum") >= F.expr("(pct * n + 99) div 100"))
+        .groupBy("pct")
+        .agg(F.min("bin_id").alias("bin_id"))
+        .select(
+            "pct",
+            (F.col("bin_id") * HIST_BIN_W).cast("long").alias("approx_lo"),
+            "bin_id",
+        )
+        .orderBy("pct")
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT CAST(FLOOR(l_extendedprice / {HIST_BIN_W}) AS BIGINT) AS bin_id,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT bin_id, CAST(SUM(cnt) OVER (ORDER BY bin_id) AS BIGINT) AS cum FROM b
+), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b),
+pcts AS (SELECT CAST(unnest({list(HIST_PCTS)}) AS BIGINT) AS pct)
+SELECT pct,
+       CAST(MIN(bin_id) * {HIST_BIN_W} AS BIGINT) AS approx_lo,
+       MIN(bin_id) AS bin_id
+FROM pcts CROSS JOIN tot
+JOIN cum ON cum.cum >= (pct * n + 99) // 100
+GROUP BY pct
+ORDER BY pct
 """

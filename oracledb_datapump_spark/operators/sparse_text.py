@@ -53,19 +53,20 @@ def span_dup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least twice in the whole corpus (in any document, including this
     one), and the duplicated fraction quantized to parts-per-million.
 
-    Plan (the standard two-pass over an inverted span index):
+    Plan (single pass over an inverted span index):
       1. spans are built row-locally (sequence+transform — no shuffle,
          pipelined into the first aggregation),
-      2. groupBy(span_hash) with map-side partial aggregation produces
-         corpus occurrence counts — shuffle volume is |distinct spans|,
-      3. the (doc, span_hash, count) stream joins the occurrence table
-         on span_hash — the join carries one row per DISTINCT span per
-         doc, never the raw span stream,
+      2. groupBy(doc, span_hash) with map-side partial aggregation
+         dedups in-doc repeats — shuffle volume is |distinct spans per
+         doc|, and spans travel as 60-bit hashes (8 bytes), never text,
+      3. corpus occurrence counts attach via a window SUM partitioned
+         by span_hash over that same stream — algebraically the
+         groupBy(span)+join-back, but the expensive span stream is
+         scanned ONCE (a join would re-run tokenize+hash for the second
+         input),
       4. final groupBy(doc_id) reduces to one row per document.
-    Hot spans (boilerplate) are exactly the high-occurrence keys; at
-    100 TB cap their fan-out by pre-aggregating per (doc, span) first —
-    which step 2b already does. Spans travel as 60-bit hashes (8 bytes),
-    never as text.
+    Hot spans (boilerplate) are exactly the skewed window partitions;
+    at 100 TB cap them with a df ceiling or salt the window key.
     """
     d = _docs(spark, sf_dir)
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(
@@ -82,10 +83,11 @@ def span_dup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = span_stream.groupBy("doc_id", "gid").agg(
         F.count(F.lit(1)).alias("c")
     )
-    occ = per_doc.groupBy("gid").agg(F.sum("c").alias("occ"))
+    with_occ = per_doc.withColumn(
+        "occ", F.sum("c").over(Window.partitionBy("gid"))
+    )
     return (
-        per_doc.join(occ, "gid")
-        .groupBy("doc_id")
+        with_occ.groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_spans"),
             F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(F.lit(0)))
@@ -177,6 +179,11 @@ def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("w"),
     )
+    # The index feeds three consumers (norms, query postings, corpus join
+    # side); persisting it turns three tokenize+aggregate passes into
+    # one.  At 100 TB you would write the inverted index to storage and
+    # reuse it across query batches — persist() is the in-session form.
+    idx = idx.persist()
     norms = idx.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("norm2")
     )
