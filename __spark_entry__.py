@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dup_score": SX.span_dup_score,
         "tfidf_search_topk": SX.tfidf_search_topk,
         "histogram_quantiles": SK.histogram_quantiles,
+        "triangle_participation": G.triangle_participation,
+        "unigram_surprise": T.unigram_surprise,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
@@ -212,6 +214,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "histogram_quantiles": SK.HISTOGRAM_QUANTILES_SQL,
+        "triangle_participation": G.TRIANGLE_SQL,
+        "unigram_surprise": T.UNIGRAM_SURPRISE_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

@@ -83,6 +83,8 @@ def main() -> None:
         "pagerank_topk",
         "span_dup_score",
         "tfidf_search_topk",
+        "unigram_surprise",
+        "histogram_quantiles",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

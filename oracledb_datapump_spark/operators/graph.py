@@ -140,3 +140,133 @@ LIMIT {PR_TOPK}
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+TRI_MIN_CO_ORDERS = 3
+TRI_TOPK = 20
+
+
+def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-supplier edges (a < b): supplier pairs that appear
+    in at least TRI_MIN_CO_ORDERS common orders. The pair stream is one
+    self-join of lineitem on orderkey (bounded fan-out: items per order
+    is small and fixed) followed by a partial-aggregated groupBy."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_suppkey").cast("long").alias("sk")
+    ).distinct()
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= TRI_MIN_CO_ORDERS)
+        .select("u", "v")
+    )
+
+
+def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(suppkey, n_triangles): the TRI_TOPK suppliers belonging to the
+    most triangles in the co-supplier graph (ties by suppkey asc).
+
+    The classic scale-safe formulation: orient every undirected edge
+    from the lower-(degree, id) endpoint to the higher, so each
+    triangle is counted exactly once and the wedge join's fan-out per
+    node is bounded by its OUT-degree — O(sqrt(|E|)) after orientation
+    even for power-law graphs (the hub's edges all point outward from
+    its low-degree neighbors). Plan: wedges = oriented ⋈ oriented on
+    the shared source, closed by one more join against the oriented
+    edge list; per-node counts explode each triangle to its 3 corners.
+    The synthetic corpus's co-supplier graph is near-complete (random
+    order assignment) — real co-occurrence graphs are sparse; the
+    orientation bound is what matters at scale.
+    """
+    edges = _co_supplier_edges(spark, sf_dir).persist()
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    # orient low (deg, id) -> high (deg, id)
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    ).persist()
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tris = (
+        e1.join(
+            e2,
+            (F.col("e1.s") == F.col("e2.s")) & (F.col("e1.t") < F.col("e2.t")),
+        )
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.t")) & (F.col("e3.t") == F.col("e2.t")),
+        )
+        .select(
+            F.col("e1.s").alias("x"), F.col("e1.t").alias("y"), F.col("e2.t").alias("z")
+        )
+    )
+    corners = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("suppkey"))
+        .groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("suppkey"))
+        .limit(TRI_TOPK)
+    )
+    return corners
+
+
+TRIANGLE_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS sk FROM lineitem
+), edges AS (
+  SELECT a.sk AS u, b.sk AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.sk < b.sk
+  GROUP BY a.sk, b.sk
+  HAVING COUNT(*) >= {TRI_MIN_CO_ORDERS}
+), deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+  ) GROUP BY n
+), oriented AS (
+  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM edges e
+  JOIN deg du ON du.n = e.u
+  JOIN deg dv ON dv.n = e.v
+), tris AS (
+  SELECT e1.s AS x, e1.t AS y, e2.t AS z
+  FROM oriented e1
+  JOIN oriented e2 ON e1.s = e2.s AND e1.t < e2.t
+  JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t
+), corners AS (
+  SELECT unnest([x, y, z]) AS suppkey FROM tris
+)
+SELECT suppkey, COUNT(*) AS n_triangles
+FROM corners
+GROUP BY suppkey
+ORDER BY n_triangles DESC, suppkey ASC
+LIMIT {TRI_TOPK}
+"""

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, sql_tokens_cte
+from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, sql_tokens_cte, tokens
 
 # ---------------------------------------------------------------------------
 # language ID: stopword-hit heuristic
@@ -244,3 +244,70 @@ FROM documents d LEFT JOIN winnow w ON d.doc_id = w.doc_id
 ORDER BY d.doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# unigram surprise (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_toks, surprise, surprise_per_tok_q): an integer
+    perplexity proxy — each token instance contributes
+    bitlen(T // occ(tok)), i.e. floor(log2(corpus rarity)) + 1, where T
+    is total corpus token instances and occ the token's instance count.
+    High values = improbable text under the corpus unigram model; the
+    quality-filtering signal a real pipeline gets from an LM, made
+    bit-exact (true log-probabilities are float and engine-divergent;
+    bitlen-of-integer-division is the same trick the HLL sketch uses).
+
+    Plan: one groupBy(tok) for the unigram table (|vocab| rows out of
+    the shuffle), broadcast back onto the token stream, one
+    groupBy(doc). At 100 TB the unigram table still fits in a broadcast
+    (vocab grows sub-linearly); nothing else shuffles more than one row
+    per document."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    occ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("occ"))
+    tot = occ.agg(F.sum("occ").alias("t"))
+    per_tok = (
+        toks.join(F.broadcast(occ), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.length(F.bin(F.expr("t div occ"))).cast("long").alias("bits"),
+        )
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("bits").alias("surprise"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "surprise",
+            F.expr("(surprise * 1000000) div n_toks").alias("surprise_per_tok_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_SURPRISE_SQL = f"""
+WITH {sql_tokens_cte()},
+occ AS (SELECT tok, COUNT(*) AS occ FROM tokens GROUP BY tok),
+tot AS (SELECT CAST(SUM(occ) AS BIGINT) AS t FROM occ),
+per_tok AS (
+  SELECT tk.doc_id,
+         CAST(length(bin(tot.t // occ.occ)) AS BIGINT) AS bits
+  FROM tokens tk JOIN occ USING (tok) CROSS JOIN tot
+)
+SELECT doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(bits) AS BIGINT) AS surprise,
+       CAST((SUM(bits) * 1000000) // COUNT(*) AS BIGINT) AS surprise_per_tok_q
+FROM per_tok
+GROUP BY doc_id
+ORDER BY doc_id
+"""
