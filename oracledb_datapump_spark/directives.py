@@ -78,6 +78,7 @@ class PlanConfig:
     table_columns: dict[str, list[str]] = field(default_factory=dict)
     table_partition_by: dict[str, str] = field(default_factory=dict)
     table_sort_by: dict[str, str] = field(default_factory=dict)
+    table_zorder_by: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
@@ -307,6 +308,19 @@ class ExportSortBy(Filter, name="EXPORT_SORT_BY"):
 
     def apply(self, config: PlanConfig) -> None:
         config.table_sort_by[self.object_path or "*"] = str(self.value)
+
+
+class ExportZorderBy(Filter, name="EXPORT_ZORDER_BY"):
+    """Lay the dump out along the Z-order (Morton) curve of the given
+    comma-separated numeric columns: quantize each to 16 bits against
+    its min/max, interleave the bits, range-partition + locally sort on
+    the Z-value. Importers filtering on ANY interleaved column then
+    prune row groups via parquet min/max stats — multi-dimensional
+    clustering where EXPORT_SORT_BY clusters one dimension. Costs one
+    min/max aggregate and one range shuffle at export time."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_zorder_by[self.object_path or "*"] = str(self.value)
 
 
 # -- Parameters (reference directives.py:186-409) ---------------------------

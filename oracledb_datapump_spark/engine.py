@@ -134,7 +134,15 @@ def export_table(
         prev_rows = prev_size = prev_files = 0
         if write_mode == "append" and os.path.isdir(out_dir):
             prev_rows, prev_size, prev_files = _count_parquet_rows(out_dir)
-        if plan.sort_by:
+        if plan.zorder_by:
+            # multi-dimensional clustering: range shuffle + local sort on
+            # the Morton value of the named columns (see functions.zorder)
+            from .functions.zorder import zorder_dataframe
+
+            df = zorder_dataframe(
+                df, [c.strip() for c in plan.zorder_by.split(",") if c.strip()]
+            )
+        elif plan.sort_by:
             # local per-partition sort (no shuffle): clusters the sort key
             # for parquet RLE/dictionary pages and row-group pruning
             df = df.sortWithinPartitions(

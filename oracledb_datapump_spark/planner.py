@@ -33,6 +33,7 @@ class TablePlan:
     as_of: str | None = None
     partition_by: str | None = None
     sort_by: str | None = None
+    zorder_by: str | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -111,6 +112,9 @@ def plan_export(
                     ),
                     sort_by=config.table_sort_by.get(
                         table, config.table_sort_by.get("*")
+                    ),
+                    zorder_by=config.table_zorder_by.get(
+                        table, config.table_zorder_by.get("*")
                     ),
                 )
             )

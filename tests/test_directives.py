@@ -153,3 +153,75 @@ def test_export_sort_by_clusters_rows(spark, tmp_path):
     for f in files:
         col = pq.read_table(f, columns=["l_shipdate"]).column(0).to_pylist()
         assert col == sorted(col), f
+
+
+def test_export_zorder_by_clusters_rows(spark, tmp_path):
+    """EXPORT_ZORDER_BY lays the dump along the Morton curve of two
+    columns: every part-file must be internally ordered on the
+    recomputed Z-value, row count must survive, and the per-file
+    min/max span of EACH interleaved column must be narrower than the
+    global span for most files (multi-dimensional clustering)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+    from oracledb_datapump_spark.functions.zorder import interleave, quantize
+
+    src = DuckDbConnector(":memory:")
+    src.load_parquet_dir("hr", "/root/testdata/sf0.001")
+    dump = f"{tmp_path}/dump"
+    st = Job(
+        "EXPORT",
+        "TABLE",
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("hr"),
+            D.INCLUDE_TABLE("lineitem"),
+            D.PARALLEL(4),
+            D.EXPORT_ZORDER_BY("l_orderkey,l_partkey"),
+        ],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+    files = sorted(glob.glob(f"{dump}/**/*.parquet", recursive=True))
+    assert len(files) >= 2
+    back = spark.read.parquet(f"{dump}/hr/lineitem")
+    assert back.count() == 6000
+
+    # recompute z per row of each file; files must be internally z-sorted
+    import pandas as pd
+
+    full = pq.read_table(
+        f"{dump}/hr/lineitem", columns=["l_orderkey", "l_partkey"]
+    ).to_pandas()
+    mins, maxs = full.min(), full.max()
+
+    def z_of(df: pd.DataFrame) -> list[int]:
+        out = []
+        for ok, pk in zip(df.l_orderkey, df.l_partkey):
+            zs = []
+            for c, v in (("l_orderkey", ok), ("l_partkey", pk)):
+                span = maxs[c] - mins[c]
+                q = int(((v - mins[c]) / span) * 65535) if span else 0
+                zs.append(max(0, min(q, 65535)))
+            z = 0
+            for i in range(16):
+                z |= ((zs[0] >> i) & 1) << (2 * i)
+                z |= ((zs[1] >> i) & 1) << (2 * i + 1)
+            out.append(z)
+        return out
+
+    narrower = 0
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey", "l_partkey"]).to_pandas()
+        zs = z_of(t)
+        assert zs == sorted(zs), f
+        if (t.l_orderkey.max() - t.l_orderkey.min()) < (
+            maxs.l_orderkey - mins.l_orderkey
+        ) and (t.l_partkey.max() - t.l_partkey.min()) < (
+            maxs.l_partkey - mins.l_partkey
+        ):
+            narrower += 1
+    assert narrower >= len(files) // 2, (narrower, len(files))
