@@ -174,6 +174,94 @@ class DumpSet:
             spark_schema_json=schema_json,
         )
 
+    # -- compaction (OPTIMIZE-style small-file consolidation) ----------------
+    DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+    def compact(
+        self,
+        spark,
+        target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+        min_files: int = 2,
+    ) -> dict[str, dict[str, int]]:
+        """Consolidate small part-files per table toward
+        ``target_file_bytes`` — the OPTIMIZE/compaction pass every
+        long-lived 100 TB dump store needs after incremental (CDC)
+        appends accumulate file counts. Tables already at or below the
+        target layout (fewer than ``min_files`` files, or average file
+        size >= target) are skipped, so the pass is idempotent.
+
+        Each table is rewritten atomically: coalesce to
+        ceil(bytes/target) partitions (coalesce — a compaction must not
+        pay a full shuffle), write to a sibling temp dir, swap, log a
+        TABLE_COMPACTED event. Returns {schema.table: {files_before,
+        files_after, bytes}}.
+        """
+        import math
+
+        report: dict[str, dict[str, int]] = {}
+        for schema, table in self.list_tables():
+            d = self.table_dir(schema, table)
+            parts = [
+                p
+                for p in glob.glob(os.path.join(d, "**", "*"), recursive=True)
+                if os.path.isfile(p)
+                and not os.path.basename(p).startswith(("_", "."))
+            ]
+            # hive-partitioned layouts (EXPORT_PARTITION_BY) are laid out
+            # for pruning, not file size; skip them (files under subdirs)
+            if any(os.path.dirname(p) != d for p in parts):
+                continue
+            nbytes = sum(os.path.getsize(p) for p in parts)
+            n_target = max(1, math.ceil(nbytes / target_file_bytes))
+            if len(parts) < min_files or len(parts) <= n_target:
+                continue
+            codec = "snappy"
+            try:
+                import pyarrow.parquet as pq
+
+                codec = (
+                    pq.ParquetFile(parts[0])
+                    .metadata.row_group(0)
+                    .column(0)
+                    .compression.lower()
+                )
+            except Exception:
+                pass
+            tmp = d + ".compact_tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                spark.read.parquet(d)
+                .coalesce(n_target)
+                .write.mode("overwrite")
+                .option("compression", codec)
+                .parquet(tmp)
+            )
+            old = d + ".compact_old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(d, old)
+            os.rename(tmp, d)
+            shutil.rmtree(old)
+            after = len(
+                [
+                    p
+                    for p in glob.glob(os.path.join(d, "*"))
+                    if os.path.isfile(p)
+                    and not os.path.basename(p).startswith(("_", "."))
+                ]
+            )
+            report[f"{schema}.{table}"] = {
+                "files_before": len(parts),
+                "files_after": after,
+                "bytes": nbytes,
+            }
+            self.log_event(
+                "TABLE_COMPACTED",
+                table=f"{schema}.{table}",
+                files_before=len(parts),
+                files_after=after,
+            )
+        return report
+
     # -- event log (replaces Oracle logfile parsing, status.py:449-579) ------
     _lock = threading.Lock()
 

@@ -91,3 +91,40 @@ def test_cleanup_orphans_skips_live_jobs(tmp_path):
     finally:
         st.deregister_job("LIVEJOB")
     assert cleanup_orphans(root, min_age_s=0.0) == [os.path.join(root, "live")]
+
+
+def test_dumpset_compact(spark, tmp_path):
+    """Compaction consolidates small part-files, preserves rows, logs a
+    TABLE_COMPACTED event, and is idempotent."""
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+    from oracledb_datapump_spark.dumpset import DumpSet
+
+    src = DuckDbConnector(":memory:")
+    src.load_parquet_dir("hr", "/root/testdata/sf0.001")
+    dump = f"{tmp_path}/dump"
+    st = Job(
+        "EXPORT",
+        "TABLE",
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("hr"),
+            D.INCLUDE_TABLE("lineitem"),
+            D.PARALLEL(8),
+        ],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+    ds = DumpSet(dump)
+    before = ds.get_dumpfile_info("hr", "lineitem")
+    assert before.file_count >= 8
+    report = ds.compact(spark)
+    key = "hr.lineitem"
+    assert report[key]["files_before"] == before.file_count
+    assert report[key]["files_after"] < before.file_count
+    after = ds.get_dumpfile_info("hr", "lineitem")
+    assert after.file_count == report[key]["files_after"]
+    assert spark.read.parquet(ds.table_dir("hr", "lineitem")).count() == 6000
+    # idempotent: second pass finds nothing to do
+    assert ds.compact(spark) == {}
+    assert any(e["event"] == "TABLE_COMPACTED" for e in ds.read_events())
