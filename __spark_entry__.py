@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprise": T.unigram_surprise,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
+        "media_resize": M.media_resize,
+        "frame_sample": M.frame_sample,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
         "curated_corpus": CU.curated_corpus,
     }
@@ -217,5 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_participation": G.TRIANGLE_SQL,
         "unigram_surprise": T.UNIGRAM_SURPRISE_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
+        "media_resize": M.MEDIA_RESIZE_SQL,
+        "frame_sample": M.FRAME_SAMPLE_SQL,
         "curated_corpus": CU.CURATED_SQL,
     }

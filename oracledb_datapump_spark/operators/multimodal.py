@@ -151,3 +151,150 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# resize (thumbnail) plumbing
+# ---------------------------------------------------------------------------
+
+THUMB_SRC = 4  # fake-decode grid is 4x4
+THUMB_OUT = 2  # average-pooled to 2x2
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, thumb_str): decode → {THUMB_SRC}x{THUMB_SRC} grid →
+    average-pool to {THUMB_OUT}x{THUMB_OUT} (integer division), emitted
+    comma-joined. Exercises the real resize plumbing — Arrow batches in,
+    payload dropped on output, fixed-size feature out — with the codec
+    stubbed (decode_image fake; a real build swaps in PIL/libvips and
+    nothing else changes). Pooling is integer math so the DuckDB twin
+    hash-matches."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = THUMB_SRC // THUMB_OUT
+        for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                grid = np.array(
+                    decode_image(bytes(p) if p is not None else b"", strict=False),
+                    dtype=np.int64,
+                )
+                pooled = (
+                    grid.reshape(THUMB_OUT, k, THUMB_OUT, k).sum(axis=(1, 3))
+                    // (k * k)
+                )
+                thumbs.append(",".join(str(int(v)) for v in pooled.ravel()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "thumb_str": thumbs})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("thumb_str", T.StringType(), True),
+        ]
+    )
+    return (
+        media_table(spark, sf_dir).mapInPandas(op, schema=out_schema).orderBy("doc_id")
+    )
+
+
+def _resize_sql() -> str:
+    # byte r*4+c of the ASCII payload, 0-padded past end-of-text
+    def px(i: int) -> str:
+        return (
+            f"CASE WHEN length(text) > {i} "
+            f"THEN ord(substr(text, {i + 1}, 1)) ELSE 0 END"
+        )
+
+    k = THUMB_SRC // THUMB_OUT
+    cells = []
+    for r in range(THUMB_OUT):
+        for c in range(THUMB_OUT):
+            terms = " + ".join(
+                px((r * k + dr) * THUMB_SRC + (c * k + dc))
+                for dr in range(k)
+                for dc in range(k)
+            )
+            cells.append(f"CAST(({terms}) // {k * k} AS VARCHAR)")
+    joined = " || ',' || ".join(cells)
+    return f"""
+SELECT doc_id, {joined} AS thumb_str
+FROM documents
+ORDER BY doc_id
+"""
+
+
+MEDIA_RESIZE_SQL = _resize_sql()
+
+
+# ---------------------------------------------------------------------------
+# frame-sample plumbing
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 3  # keep every 3rd frame
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, frame_len, frame_digest): treat the payload
+    as fixed-size {FRAME_BYTES}-byte frames, keep every
+    {FRAME_STRIDE}rd frame, emit per-frame length + md5 — the video
+    frame-sampling batch shape (a real build decodes container formats
+    instead of slicing; partitioning, Arrow batching, explode-on-output
+    schema are what this tests). Payload never survives the operator, so
+    nothing heavy shuffles."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, idxs, lens, digs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) if p is not None else b""
+                n_frames = (len(b) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    fr = b[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(fr))
+                    digs.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_digest": digs,
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("frame_len", T.LongType(), False),
+            T.StructField("frame_digest", T.StringType(), True),
+        ]
+    )
+    return (
+        media_table(spark, sf_dir)
+        .mapInPandas(op, schema=out_schema)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+# ASCII fixture ⇒ byte slicing == char slicing; md5(substr) matches.
+FRAME_SAMPLE_SQL = f"""
+WITH frames AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         substr(text, CAST(i * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES}) AS fr
+  FROM documents,
+       unnest(range(((length(text) + {FRAME_BYTES} - 1) // {FRAME_BYTES}))) AS t(i)
+  WHERE i % {FRAME_STRIDE} = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(length(fr) AS BIGINT) AS frame_len,
+       md5(fr) AS frame_digest
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
