@@ -79,6 +79,7 @@ class PlanConfig:
     table_partition_by: dict[str, str] = field(default_factory=dict)
     table_sort_by: dict[str, str] = field(default_factory=dict)
     table_zorder_by: dict[str, str] = field(default_factory=dict)
+    table_merge_key: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
@@ -147,6 +148,9 @@ class PlanConfig:
             "REPLACE": ("overwrite", False),
             "APPEND": ("append", False),
             "SKIP": ("ignore", False),
+            # upsert-by-key extension (needs MERGE_KEY); engine resolves
+            # to a newest-wins rewrite
+            "MERGE": ("merge", False),
         }.get(action, ("error", False))
 
     def as_of_marker(self) -> str | None:
@@ -323,6 +327,18 @@ class ExportZorderBy(Filter, name="EXPORT_ZORDER_BY"):
         config.table_zorder_by[self.object_path or "*"] = str(self.value)
 
 
+class MergeKey(Filter, name="MERGE_KEY"):
+    """Comma-separated natural-key columns for
+    TABLE_EXISTS_ACTION(MERGE): import upserts by this key, incoming
+    rows winning over existing ones. On plain parquet/JDBC targets a
+    merge is a key-deduplicated rewrite (one window over the union);
+    storage formats with native MERGE (Delta/Iceberg) would take the
+    same plan through their own writer."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_merge_key[self.object_path or "*"] = str(self.value)
+
+
 # -- Parameters (reference directives.py:186-409) ---------------------------
 
 
@@ -470,7 +486,7 @@ class FlashbackTime(Parameter, name="FLASHBACK_TIME"):
 
 
 class TableExistsAction(_EnumParameter, name="TABLE_EXISTS_ACTION"):
-    VALUES = ("TRUNCATE", "REPLACE", "APPEND", "SKIP")
+    VALUES = ("TRUNCATE", "REPLACE", "APPEND", "SKIP", "MERGE")
 
     def apply(self, config: PlanConfig) -> None:
         config.table_exists_action = self.value

@@ -249,11 +249,43 @@ def import_table(
             df = df.filter(plan.predicate)
         if plan.columns:
             df = df.select(*plan.columns)
+        mode = plan.write_mode
+        if mode == "merge":
+            # TABLE_EXISTS_ACTION(MERGE): newest-wins upsert by
+            # MERGE_KEY. One window over existing ∪ incoming (incoming
+            # tagged higher precedence), then a full rewrite — the plan a
+            # native-MERGE table format would also execute, minus its
+            # file-level pruning. The shuffle is on the merge key, so
+            # it scales like any keyed aggregation.
+            from .exceptions import UsageError
+
+            if not plan.merge_key:
+                raise UsageError(
+                    "TABLE_EXISTS_ACTION(MERGE) requires MERGE_KEY(<cols>)"
+                )
+            keys = [c.strip() for c in plan.merge_key.split(",") if c.strip()]
+            if connector.table_exists(plan.target_schema, plan.target_table):
+                from pyspark.sql import Window
+                from pyspark.sql import functions as F
+
+                existing = connector.read_table(
+                    spark, plan.target_schema, plan.target_table
+                )
+                merged = existing.withColumn(
+                    "__src", F.lit(0)
+                ).unionByName(df.withColumn("__src", F.lit(1)))
+                w = Window.partitionBy(*keys).orderBy(F.desc("__src"))
+                df = (
+                    merged.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn", "__src")
+                )
+            mode = "overwrite"
         connector.write_table(
             df,
             plan.target_schema,
             plan.target_table,
-            mode=plan.write_mode,
+            mode=mode,
             truncate=plan.truncate,
             options=plan.writer_options,
         )
@@ -265,7 +297,11 @@ def import_table(
                 spark, plan.target_schema, plan.target_table
             )
             written = back.count()
-            if plan.write_mode != "append" and rows is not None and written != rows:
+            if (
+                plan.write_mode not in ("append", "merge")
+                and rows is not None
+                and written != rows
+            ):
                 raise RuntimeError(
                     f"VALIDATE_TBL_DATA: wrote {written} rows, dump has {rows}"
                 )

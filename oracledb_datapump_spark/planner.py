@@ -34,6 +34,7 @@ class TablePlan:
     partition_by: str | None = None
     sort_by: str | None = None
     zorder_by: str | None = None
+    merge_key: str | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -116,6 +117,9 @@ def plan_export(
                     zorder_by=config.table_zorder_by.get(
                         table, config.table_zorder_by.get("*")
                     ),
+                    merge_key=config.table_merge_key.get(
+                        table, config.table_merge_key.get("*")
+                    ),
                 )
             )
     return plans
@@ -156,6 +160,9 @@ def plan_import(
                 columns=_match_columns(config, table),
                 write_mode=mode,
                 truncate=truncate,
+                merge_key=config.table_merge_key.get(
+                    table, config.table_merge_key.get("*")
+                ),
                 extra={"topo_level": levels.get(f"{schema}.{table}", 0)},
             )
         )

@@ -152,3 +152,68 @@ def test_full_mode_export_and_log_entry(spark, duck, tmp_path):
     assert "test1.lineitem" in exported
     job.log_entry("operator checkpoint reached")
     assert "operator checkpoint reached" in job.get_logfile()
+
+
+def test_merge_import_upserts_by_key(spark, tmp_path):
+    """TABLE_EXISTS_ACTION(MERGE) + MERGE_KEY: incoming rows replace
+    existing rows with the same key; new keys append; untouched keys
+    survive. Missing MERGE_KEY is a usage error."""
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+
+    src = DuckDbConnector(":memory:")
+    src.load_parquet_dir("hr", "/root/testdata/sf0.001")
+    dump1 = f"{tmp_path}/dump1"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump1,
+        directives=[D.INCLUDE_SCHEMA("hr"), D.INCLUDE_TABLE("nation")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+
+    # second dump: a modified slice of nation (3 changed + 1 new key)
+    src.execute(
+        "CREATE SCHEMA IF NOT EXISTS hr2; "
+        "CREATE TABLE hr2.nation AS "
+        "SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey "
+        "FROM hr.nation WHERE n_nationkey < 3 "
+        "UNION ALL SELECT 99, 'ATLANTIS', 0"
+    )
+    dump2 = f"{tmp_path}/dump2"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump2,
+        directives=[D.INCLUDE_SCHEMA("hr2"), D.INCLUDE_TABLE("nation")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+
+    # import dump1 fresh, then merge dump2 into it
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump1,
+        directives=[D.REMAP_SCHEMA("hr", "tgt")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump2,
+        directives=[
+            D.REMAP_SCHEMA("hr2", "tgt"),
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("n_nationkey"),
+        ],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED", st
+    rows = dict(
+        src.execute(
+            "SELECT n_nationkey, n_name FROM tgt.nation ORDER BY n_nationkey"
+        ).fetchall()
+    )
+    assert len(rows) == 26  # 25 original + 1 new key
+    assert rows[0].endswith("_V2") and rows[1].endswith("_V2") and rows[2].endswith("_V2")
+    assert rows[99] == "ATLANTIS"
+    assert not rows[5].endswith("_V2")  # untouched key survived
+
+    # MERGE without MERGE_KEY is a usage error surfaced as a failed job
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump2,
+        directives=[D.REMAP_SCHEMA("hr2", "tgt"), D.TABLE_EXISTS_ACTION("MERGE")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state in ("COMPLETED_WITH_ERRORS", "ERROR", "STOPPED"), st.job_state
