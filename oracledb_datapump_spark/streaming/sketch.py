@@ -1,0 +1,123 @@
+"""Streaming Count-Min sketch maintenance: bounded-state frequency
+counting over an unbounded stream.
+
+The batch CMS (operators.sketches.cms_heavy_hitters) builds its 4x1024
+counter grid in one groupBy; the streaming form maintains the SAME grid
+as explicit state with ``applyInPandasWithState`` keyed by (row,
+counter) cell. That inverts the usual stateful-streaming scaling
+problem: state size is the SKETCH size (CMS_D x CMS_W cells, a few KB)
+no matter how many distinct values the stream carries — per-key exact
+counting would grow state with stream cardinality, the precise failure
+the sketch exists to avoid at 100 TB/day ingest.
+
+Each micro-batch appends the cells it touched with their new running
+total (totals are monotone, so a reader folds the sink with max() per
+cell to get the current sketch — file sinks can't rewrite in place); an
+``availableNow`` catch-up over a static source converges to exactly the
+batch sketch (asserted in tests, cell by cell).
+
+Tokens are hashed with the shared md5-based hash64 + per-row salt —
+identical to the batch/DuckDB formulation, so all three agree.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.text import hash64
+from ..operators.sketches import CMS_D, CMS_W
+from .incremental import EVENTS_SCHEMA
+
+CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("row", T.IntegerType()),
+        T.StructField("counter", T.LongType()),
+        T.StructField("c", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType([T.StructField("c", T.LongType())])
+
+
+def _update_cell(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate one sketch cell. State = a single long."""
+    row, counter = key
+    total = state.get[0] if state.exists else 0
+    n = sum(len(p) for p in pdfs)
+    if n:
+        total += n
+        state.update((total,))
+        yield pd.DataFrame({"row": [row], "counter": [counter], "c": [total]})
+
+
+def stream_cms_cells(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming DataFrame of updated CMS cells over the ``event_type``
+    column of a parquet events stream."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    cells = (
+        ev.select(F.col("event_type").alias("token"))
+        .withColumn("row", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])))
+        .select(
+            F.col("row").cast("int").alias("row"),
+            (
+                hash64(
+                    F.concat(F.lit("cms"), F.col("row"), F.lit(":"), F.col("token"))
+                )
+                % CMS_W
+            ).alias("counter"),
+        )
+    )
+    return cells.groupBy("row", "counter").applyInPandasWithState(
+        _update_cell,
+        outputStructType=CELL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_cms_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
+    """availableNow catch-up: drain the source, persist the updated
+    cells, keep sketch state checkpointed for the next cycle."""
+    q = (
+        stream_cms_cells(spark, src_dir)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", os.path.join(out_dir, "cells"))
+        .option("checkpointLocation", os.path.join(out_dir, "_cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {"sink_path": os.path.join(out_dir, "cells")}
+
+
+def batch_cms_cells(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Batch twin: the same cells via one groupBy over the static data."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(src_dir)
+    return (
+        ev.select(F.col("event_type").alias("token"))
+        .withColumn("row", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])))
+        .select(
+            F.col("row").cast("int").alias("row"),
+            (
+                hash64(
+                    F.concat(F.lit("cms"), F.col("row"), F.lit(":"), F.col("token"))
+                )
+                % CMS_W
+            ).alias("counter"),
+        )
+        .groupBy("row", "counter")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

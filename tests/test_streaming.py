@@ -49,3 +49,38 @@ def test_second_cycle_is_incremental(spark, sf_dir, tmp_path):
     I.run_incremental_export(spark, src, out)
     n2 = spark.read.parquet(os.path.join(out, "windowed")).count()
     assert n2 == n1
+
+
+def test_stream_cms_converges_to_batch(spark, sf_dir, tmp_path):
+    """The streaming CMS's checkpointed cell state must equal the batch
+    sketch after an availableNow drain, and a second cycle over new data
+    must fold in only the increment (state survives the restart)."""
+    from pyspark.sql import functions as F
+
+    from oracledb_datapump_spark.streaming import sketch as SK
+
+    src = str(tmp_path / "cms_src")
+    out = str(tmp_path / "cms_out")
+    _copy_parquet(f"{sf_dir}/events.parquet", src, "part-0.parquet")
+
+    info = SK.run_cms_cycle(spark, src, out)
+    got = (
+        spark.read.parquet(info["sink_path"])
+        .groupBy("row", "counter")
+        .agg(F.max("c").alias("c"))
+    )
+    want = SK.batch_cms_cells(spark, src)
+    g = {(r.row, r.counter): r.c for r in got.collect()}
+    w = {(r.row, r.counter): r.c for r in want.collect()}
+    assert g == w
+
+    # cycle 2: duplicate the data; totals must double, via state + delta
+    _copy_parquet(f"{sf_dir}/events.parquet", src, "part-1.parquet")
+    SK.run_cms_cycle(spark, src, out)
+    got2 = (
+        spark.read.parquet(info["sink_path"])
+        .groupBy("row", "counter")
+        .agg(F.max("c").alias("c"))
+    )
+    g2 = {(r.row, r.counter): r.c for r in got2.collect()}
+    assert g2 == {k: 2 * v for k, v in w.items()}
