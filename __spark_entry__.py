@@ -31,6 +31,7 @@ from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
 from oracledb_datapump_spark.operators import graph as G
 from oracledb_datapump_spark.operators import multimodal as M
+from oracledb_datapump_spark.operators import outliers as OU
 from oracledb_datapump_spark.operators import privacy as PV
 from oracledb_datapump_spark.operators import sampling as SP
 from oracledb_datapump_spark.operators import similarity as S
@@ -122,6 +123,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus sampling / mixing
         "stratified_sample": SP.stratified_sample,
         "mix_weights": SP.mix_weights,
+        "corpus_mix": SP.corpus_mix,
+        "price_outliers_by_brand": OU.price_outliers_by_brand,
         "pii_redact": PV.pii_redact,
         "hll_distinct": SK.hll_distinct,
         "cms_heavy_hitters": SK.cms_heavy_hitters,
@@ -209,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_ngram_counts": TP.VOCAB_NGRAM_SQL,
         "stratified_sample": SP.STRATIFIED_SAMPLE_SQL,
         "mix_weights": SP.MIX_WEIGHTS_SQL,
+        "corpus_mix": SP.CORPUS_MIX_SQL,
+        "price_outliers_by_brand": OU.PRICE_OUTLIERS_SQL,
         "pii_redact": PV.PII_REDACT_SQL,
         "hll_distinct": SK.HLL_DISTINCT_SQL,
         "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_SQL,

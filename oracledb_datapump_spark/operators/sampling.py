@@ -126,3 +126,53 @@ FROM lang l JOIN hist h USING (lang_pred) CROSS JOIN tot t
 ORDER BY l.doc_id
 """
 )
+
+
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang_pred, n_copies): MATERIALIZE the mixture that
+    mix_weights only scores — each document is kept with
+    n_copies = weight//1e6 guaranteed copies plus one more with
+    probability (weight mod 1e6)/1e6, decided by a deterministic hash
+    of the doc id (so expected copies == weight exactly, and the
+    realized sample is reproducible run-to-run and engine-to-engine —
+    no RNG). Docs drawing zero copies are dropped.
+
+    Plan: mix_weights' broadcast-histogram pass plus one row-local
+    hash-compare — the materialization adds no shuffle. This is how a
+    100 TB pipeline applies source-mixing rates: a hash threshold per
+    row, never a global sort or sample() (whose seeds are
+    partitioning-dependent)."""
+    w = mix_weights(spark, sf_dir)
+    draw = hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % F.lit(
+        WEIGHT_SCALE
+    )
+    n_copies = (
+        F.expr(f"weight_ppm div {WEIGHT_SCALE}")
+        + F.when(draw < F.col("weight_ppm") % WEIGHT_SCALE, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    return (
+        w.select("doc_id", "lang_pred", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_MIX_SQL = (
+    "WITH mixw AS ("
+    + MIX_WEIGHTS_SQL.replace("ORDER BY l.doc_id", "")
+    + f""")
+SELECT doc_id, lang_pred,
+       CAST(weight_ppm // {WEIGHT_SCALE}
+            + CASE WHEN {sql_hash64("'mix:' || CAST(doc_id AS VARCHAR)")}
+                       % {WEIGHT_SCALE} < weight_ppm % {WEIGHT_SCALE}
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM mixw
+WHERE weight_ppm // {WEIGHT_SCALE}
+      + CASE WHEN {sql_hash64("'mix:' || CAST(doc_id AS VARCHAR)")}
+                 % {WEIGHT_SCALE} < weight_ppm % {WEIGHT_SCALE}
+             THEN 1 ELSE 0 END > 0
+ORDER BY doc_id
+"""
+)
