@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search_topk": SX.tfidf_search_topk,
         "histogram_quantiles": SK.histogram_quantiles,
         "triangle_participation": G.triangle_participation,
+        "basket_lift_topk": G.basket_lift_topk,
         "unigram_surprise": T.unigram_surprise,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "histogram_quantiles": SK.HISTOGRAM_QUANTILES_SQL,
         "triangle_participation": G.TRIANGLE_SQL,
+        "basket_lift_topk": G.BASKET_LIFT_SQL,
         "unigram_surprise": T.UNIGRAM_SURPRISE_SQL,
         "media_features": M.MEDIA_FEATURES_SQL,
         "media_resize": M.MEDIA_RESIZE_SQL,

@@ -270,3 +270,86 @@ GROUP BY suppkey
 ORDER BY n_triangles DESC, suppkey ASC
 LIMIT {TRI_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket association (integer lift)
+# ---------------------------------------------------------------------------
+
+LIFT_MIN_CO = 3
+LIFT_TOPK = 25
+LIFT_SCALE = 1_000_000
+
+
+def basket_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(supp_a, supp_b, co_orders, lift_q): the LIFT_TOPK supplier pairs
+    most over-represented in shared orders — association-rule mining's
+    lift, kept integral: lift_q = (co * N * 1e6) div (n_a * n_b), i.e.
+    P(a,b)/(P(a)P(b)) scaled to ppm with exact integer arithmetic (no
+    log/float, so the ranking hash-matches DuckDB bit for bit).
+
+    Plan: one distinct projection of lineitem, one bounded self-join per
+    order (items/order is small), two broadcast joins for the per-item
+    order counts and the scalar N. The pair stream is the only large
+    shuffle; min-support (co >= {LIFT_MIN_CO}) prunes before ranking.
+    At 100 TB this is the standard frequent-pair pass of Apriori with
+    support pruning."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", F.col("l_suppkey").cast("long").alias("sk"))
+        .distinct()
+    )
+    n_orders = li.select(F.countDistinct("l_orderkey").alias("n"))
+    per_item = li.groupBy("sk").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("supp_a"), F.col("b.sk").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= LIFT_MIN_CO)
+    )
+    na = per_item.select(F.col("sk").alias("supp_a"), F.col("n_item").alias("n_a"))
+    nb = per_item.select(F.col("sk").alias("supp_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "supp_a")
+        .join(F.broadcast(nb), "supp_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "supp_a",
+            "supp_b",
+            "co_orders",
+            F.expr(
+                f"CAST((co_orders * n * CAST({LIFT_SCALE} AS BIGINT))"
+                " div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_q"),
+        )
+        .orderBy(F.desc("lift_q"), F.asc("supp_a"), F.asc("supp_b"))
+        .limit(LIFT_TOPK)
+    )
+
+
+BASKET_LIFT_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, CAST(l_suppkey AS BIGINT) AS sk FROM lineitem
+), n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM li),
+per_item AS (SELECT sk, COUNT(*) AS n_item FROM li GROUP BY sk),
+pairs AS (
+  SELECT a.sk AS supp_a, b.sk AS supp_b, COUNT(*) AS co_orders
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.sk < b.sk
+  GROUP BY a.sk, b.sk
+  HAVING COUNT(*) >= {LIFT_MIN_CO}
+)
+SELECT p.supp_a, p.supp_b, p.co_orders,
+       CAST((p.co_orders * n.n * {LIFT_SCALE}) // (na.n_item * nb.n_item)
+            AS BIGINT) AS lift_q
+FROM pairs p
+JOIN per_item na ON na.sk = p.supp_a
+JOIN per_item nb ON nb.sk = p.supp_b
+CROSS JOIN n_orders n
+ORDER BY lift_q DESC, supp_a ASC, supp_b ASC
+LIMIT {LIFT_TOPK}
+"""
