@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": M.frame_sample,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
         "curated_corpus": CU.curated_corpus,
+        "curated_corpus_v2": CU.curated_corpus_v2,
     }
 
 
@@ -229,4 +230,5 @@ def oracle_sql() -> dict[str, str]:
         "media_resize": M.MEDIA_RESIZE_SQL,
         "frame_sample": M.FRAME_SAMPLE_SQL,
         "curated_corpus": CU.CURATED_SQL,
+        "curated_corpus_v2": CU.CURATED_V2_SQL,
     }

@@ -85,6 +85,7 @@ def main() -> None:
         "tfidf_search_topk",
         "unigram_surprise",
         "histogram_quantiles",
+        "curated_corpus_v2",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

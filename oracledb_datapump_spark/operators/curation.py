@@ -64,3 +64,98 @@ WHERE q.quality_score >= {MIN_QUALITY}
   AND q.doc_id NOT IN (SELECT DISTINCT doc_b FROM dup)
 ORDER BY q.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# curated_corpus_v2: the full modern pipeline
+# ---------------------------------------------------------------------------
+
+MAX_SPAN_DUP_Q = 200_000  # ≤20% of 5-token spans duplicated elsewhere
+SURPRISE_LO = 4_500_000  # unigram-surprise band (ppm per token):
+SURPRISE_HI = 5_060_000  # drop boilerplate-low and garbage-high tails
+
+
+def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, quality_score, lang_pred, dup_frac_q,
+    surprise_per_tok_q): every gate a current training-data pipeline
+    runs, composed declaratively —
+
+        quality heuristics  ∧  Gopher repetition rules
+      ∧ language == {KEEP_LANG}
+      ∧ exact-substring duplication ≤ {MAX_SPAN_DUP_Q} ppm
+      ∧ unigram surprise in [{SURPRISE_LO}, {SURPRISE_HI}] ppm/token
+        (perplexity-band filtering, LM proxy)
+      ∧ not benchmark-contaminated (n-gram overlap)
+      ∧ not the dropped side of an LSH-verified near-dup pair
+
+    Each arm is its own audited operator; Catalyst fuses the shared
+    token/scan work where it can. The expensive arms (LSH verify, span
+    index) stay candidate-bounded exactly as standalone. This query is
+    the engine's thesis statement: the whole pipeline is one
+    declarative plan, no orchestration glue."""
+    from .sparse_text import span_dup_score
+    from .textprep import contamination_ngram, quality_gopher
+    from .textstats import unigram_surprise
+
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
+    lng = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    gop = quality_gopher(spark, sf_dir).filter(F.col("passes")).select("doc_id")
+    span = span_dup_score(spark, sf_dir).select("doc_id", "dup_frac_q")
+    sur = unigram_surprise(spark, sf_dir).select("doc_id", "surprise_per_tok_q")
+    contam = contamination_ngram(spark, sf_dir).select(
+        F.col("train_doc_id").alias("doc_id")
+    )
+    dup_losers = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        q.join(lng, "doc_id")
+        .join(gop, "doc_id")
+        .join(span, "doc_id")
+        .join(sur, "doc_id")
+        .filter(
+            (F.col("quality_score") >= MIN_QUALITY)
+            & (F.col("lang_pred") == KEEP_LANG)
+            & (F.col("dup_frac_q") <= MAX_SPAN_DUP_Q)
+            & (F.col("surprise_per_tok_q") >= SURPRISE_LO)
+            & (F.col("surprise_per_tok_q") <= SURPRISE_HI)
+        )
+        .join(contam, "doc_id", "left_anti")
+        .join(dup_losers, "doc_id", "left_anti")
+        .orderBy("doc_id")
+    )
+
+
+def _curated_v2_sql() -> str:
+    from .sparse_text import SPAN_DUP_SQL
+    from .textprep import CONTAMINATION_SQL, QUALITY_GOPHER_SQL
+    from .textstats import UNIGRAM_SURPRISE_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+lng AS ({LANG_ID_SQL}),
+gop AS ({QUALITY_GOPHER_SQL}),
+span AS ({SPAN_DUP_SQL}),
+sur AS ({UNIGRAM_SURPRISE_SQL}),
+contam AS ({CONTAMINATION_SQL}),
+dup AS ({DEDUP_MINHASH_VERIFIED_SQL})
+SELECT q.doc_id, q.n_tokens, q.quality_score, lng.lang_pred,
+       span.dup_frac_q, sur.surprise_per_tok_q
+FROM q
+JOIN lng ON q.doc_id = lng.doc_id
+JOIN gop ON q.doc_id = gop.doc_id AND gop.passes
+JOIN span ON q.doc_id = span.doc_id
+JOIN sur ON q.doc_id = sur.doc_id
+WHERE q.quality_score >= {MIN_QUALITY}
+  AND lng.lang_pred = '{KEEP_LANG}'
+  AND span.dup_frac_q <= {MAX_SPAN_DUP_Q}
+  AND sur.surprise_per_tok_q BETWEEN {SURPRISE_LO} AND {SURPRISE_HI}
+  AND q.doc_id NOT IN (SELECT train_doc_id FROM contam)
+  AND q.doc_id NOT IN (SELECT DISTINCT doc_b FROM dup)
+ORDER BY q.doc_id
+"""
+
+
+CURATED_V2_SQL = _curated_v2_sql()
