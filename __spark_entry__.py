@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": CL.dedup_semantic,
         # temporal: as-of join (window-composed; DuckDB native ASOF oracle)
         "asof_attribution": TM.asof_attribution,
+        "scd2_user_value": TM.scd2_user_value,
         "range_join_nearby": TM.range_join_nearby,
         "rolling_window_activity": TM.rolling_window_activity,
         # text analysis
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_cluster_sizes": CL.CLUSTER_SIZES_SQL,
         "dedup_semantic": CL.DEDUP_SEMANTIC_SQL,
         "asof_attribution": TM.ASOF_ATTRIBUTION_SQL,
+        "scd2_user_value": TM.SCD2_SQL,
         "range_join_nearby": TM.RANGE_JOIN_NEARBY_SQL,
         "rolling_window_activity": TM.ROLLING_WINDOW_SQL,
         "lang_id": T.LANG_ID_SQL,

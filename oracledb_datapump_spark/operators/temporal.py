@@ -214,3 +214,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {ROLL_W_US} PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build
+# ---------------------------------------------------------------------------
+
+SCD2_EVENT = "purchase"
+
+
+def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, version, value_cents, valid_from_us, valid_to_us,
+    is_current): a type-2 slowly-changing dimension built from the
+    '{SCD2_EVENT}' event stream — each change to a user's value opens a
+    new version row; the previous version closes at the new row's
+    timestamp (valid_to is NULL on the current version).
+
+    One window per user (lead for the closing edge, row_number for the
+    version) — a single hash shuffle on user_id, per-user state is rank
+    bookkeeping; exactly the plan that builds billion-row SCD2
+    dimensions from CDC feeds. value is compared in integer cents so
+    the change-detection predicate is bit-stable cross-engine."""
+    from .analytics import _events
+
+    e = _events(spark, sf_dir).filter(F.col("event_type") == SCD2_EVENT)
+    rows = e.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # keep only CHANGE rows (value differs from the previous event)
+    changes = (
+        rows.withColumn("prev_cents", F.lag("value_cents").over(w))
+        .filter(
+            F.col("prev_cents").isNull()
+            | (F.col("value_cents") != F.col("prev_cents"))
+        )
+        .drop("prev_cents")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.row_number().over(w2).cast("long").alias("version"),
+            "value_cents",
+            F.col("ts_us").alias("valid_from_us"),
+            F.lead("ts_us").over(w2).alias("valid_to_us"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE event_type = '{SCD2_EVENT}'
+), changes AS (
+  SELECT user_id, ts_us, event_id, value_cents
+  FROM (SELECT *, LAG(value_cents) OVER w AS prev_cents
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+  WHERE prev_cents IS NULL OR value_cents != prev_cents
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+       value_cents,
+       ts_us AS valid_from_us,
+       LEAD(ts_us) OVER w2 AS valid_to_us,
+       LEAD(ts_us) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, version
+"""
