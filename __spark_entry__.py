@@ -33,6 +33,7 @@ from oracledb_datapump_spark.operators import graph as G
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import outliers as OU
 from oracledb_datapump_spark.operators import privacy as PV
+from oracledb_datapump_spark.operators import profiling as PF
 from oracledb_datapump_spark.operators import sampling as SP
 from oracledb_datapump_spark.operators import similarity as S
 from oracledb_datapump_spark.operators import sketches as SK
@@ -110,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_value": TM.scd2_user_value,
         "range_join_nearby": TM.range_join_nearby,
         "rolling_window_activity": TM.rolling_window_activity,
+        "cohort_retention": TM.cohort_retention,
+        "gapfill_hourly": TM.gapfill_hourly,
+        "table_profile": PF.table_profile,
         # text analysis
         "lang_id": T.lang_id,
         "quality_score": T.quality_score,
@@ -203,6 +207,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": CL.DEDUP_SEMANTIC_SQL,
         "asof_attribution": TM.ASOF_ATTRIBUTION_SQL,
         "scd2_user_value": TM.SCD2_SQL,
+        "cohort_retention": TM.COHORT_RETENTION_SQL,
+        "gapfill_hourly": TM.GAPFILL_HOURLY_SQL,
+        "table_profile": PF.TABLE_PROFILE_SQL,
         "range_join_nearby": TM.RANGE_JOIN_NEARBY_SQL,
         "rolling_window_activity": TM.ROLLING_WINDOW_SQL,
         "lang_id": T.LANG_ID_SQL,

@@ -86,6 +86,9 @@ def main() -> None:
         "unigram_surprise",
         "histogram_quantiles",
         "curated_corpus_v2",
+        "cohort_retention",
+        "gapfill_hourly",
+        "table_profile",
     ]
     qs = entry_mod.queries()
     timings: dict[str, float] = {}

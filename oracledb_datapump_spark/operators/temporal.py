@@ -268,6 +268,125 @@ def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# cohort retention: the classic growth-analytics matrix
+# ---------------------------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort_day, day_offset, n_users): users cohorted by first-seen
+    epoch-day; each cell counts distinct cohort users active again
+    day_offset days later — the retention matrix every product/growth
+    pipeline derives from an event stream.
+
+    Plan: the first-seen day is a min() window over the user_id
+    partition (one hash shuffle, reused straight from the scan); the
+    (cohort, offset, user) triples are then distinct-ed and counted —
+    both aggregates partial-combine map-side, so shuffle volume is
+    |users| x |active offsets|, not |events|. The same plan holds when
+    the stream is billions of events: per-user state in the window is
+    one running min."""
+    from .analytics import _events
+
+    e = _events(spark, sf_dir).select(
+        "user_id", F.expr(f"ts_us DIV {DAY_US}").alias("day")
+    )
+    w = W.partitionBy("user_id")
+    return (
+        e.withColumn("cohort_day", F.min("day").over(w))
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {DAY_US} AS day FROM events
+), cohorted AS (
+  SELECT DISTINCT MIN(day) OVER (PARTITION BY user_id) AS cohort_day,
+         day - MIN(day) OVER (PARTITION BY user_id) AS day_offset,
+         user_id
+  FROM e
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM cohorted
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap-filled resample: dense hourly series with zero-filled holes
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+
+def gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour, n_events): dense hourly count series per
+    event_type — hours with no events appear with n_events = 0, between
+    that type's first and last active hour. Downstream time-series
+    models (and SCALE.md's streaming rollups) need the dense spine.
+
+    Plan: the sparse counts are one groupBy; the spine is generated
+    from the tiny per-type (min,max) aggregate via sequence+explode —
+    |types| rows exploding to |types| x |hours|, never a driver loop —
+    then a hash left-join back onto the sparse counts. Spine size is
+    independent of |events|, so the join's build side stays small
+    enough to broadcast at any data scale."""
+    from .analytics import _events
+
+    e = _events(spark, sf_dir).select(
+        "event_type", F.expr(f"ts_us DIV {HOUR_US}").alias("hour")
+    )
+    sparse = e.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    spine = (
+        e.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1")).alias("hour"),
+        )
+    )
+    return (
+        spine.join(sparse, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+GAPFILL_HOURLY_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {HOUR_US} AS hour FROM events
+), sparse AS (
+  SELECT event_type, hour, COUNT(*) AS n_events
+  FROM e GROUP BY event_type, hour
+), spine AS (
+  SELECT event_type, UNNEST(generate_series(MIN(hour), MAX(hour))) AS hour
+  FROM e GROUP BY event_type
+)
+SELECT s.event_type, s.hour, COALESCE(sp.n_events, 0) AS n_events
+FROM spine s
+LEFT JOIN sparse sp ON s.event_type = sp.event_type AND s.hour = sp.hour
+ORDER BY s.event_type, s.hour
+"""
+
+
 SCD2_SQL = f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) AS ts_us, event_id,
