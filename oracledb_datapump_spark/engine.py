@@ -274,12 +274,27 @@ def import_table(
                 merged = existing.withColumn(
                     "__src", F.lit(0)
                 ).unionByName(df.withColumn("__src", F.lit(1)))
-                w = Window.partitionBy(*keys).orderBy(F.desc("__src"))
+                # survivor order: incoming beats existing; duplicate keys
+                # WITHIN a side resolve by the 64-bit hash of the full
+                # row, so repeated runs pick the same survivor (ties only
+                # between bit-identical rows) — the job-hash determinism
+                # contract extends to MERGE.
+                data_cols = [c for c in merged.columns if c != "__src"]
+                w = Window.partitionBy(*keys).orderBy(
+                    F.desc("__src"), F.xxhash64(*data_cols)
+                )
                 df = (
                     merged.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1)
                     .drop("__rn", "__src")
                 )
+                # materialize BEFORE the overwrite: with a lazy connector
+                # (parquet/JDBC) the plan still reads the target being
+                # replaced — evaluating it after the truncate silently
+                # drops every non-matching existing row (or Spark refuses
+                # to overwrite a path it is reading). localCheckpoint
+                # severs the lineage to the target's files.
+                df = df.localCheckpoint(eager=True)
             mode = "overwrite"
         connector.write_table(
             df,

@@ -392,15 +392,13 @@ SELECT DISTINCT c_custkey FROM (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read it as long nanoseconds and derive an
-    epoch-microseconds column ``ts_us`` (floor-div — matches DuckDB's
-    ns→µs truncation at scan time)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not /1000: epoch-ns (~1.7e18) exceeds double's 53-bit
-    # mantissa, so float division corrupts the low microsecond digits.
-    return e.withColumn("ts_us", F.expr("ts DIV 1000"))
+    """events.parquet with the engine's ``ts_us`` (epoch-µs BIGINT)
+    contract; the physical type of ``ts`` (NANOS-as-long vs
+    timestamp[us]) is sniffed by events_source.load_events — the one
+    place that knows the fixture's on-disk type."""
+    from ..events_source import load_events
+
+    return load_events(spark, sf_dir)
 
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

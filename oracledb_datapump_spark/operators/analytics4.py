@@ -45,8 +45,9 @@ ORDER BY l_returnflag
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extract the integer field ``k`` from the props JSON string and
     aggregate it per event_type (count/min/max/exact integer sum)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..events_source import load_events
+
+    e = load_events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     return (
         e.select("event_type", k.alias("k"))

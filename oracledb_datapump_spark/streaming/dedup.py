@@ -15,18 +15,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .incremental import EVENTS_SCHEMA
+from ..events_source import event_time_expr, stream_events_raw
 
 DEDUP_HORIZON = "2 hours"
 
 
 def stream_dedup_events(spark: SparkSession, src_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(src_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    raw = stream_events_raw(spark, src_dir)
+    events = raw.withColumn("event_time", event_time_expr(raw))
     return events.withWatermark("event_time", DEDUP_HORIZON).dropDuplicates(
         ["event_id", "event_time"]
     )
@@ -63,12 +59,8 @@ def stream_hourly_rollup(spark: SparkSession, src_dir: str) -> DataFrame:
     dropped; closed windows are emitted once (append mode) and their
     state GC'd, so state is bounded by windows-in-horizon, not stream
     length. Batch twin: operators.analytics.events_hourly_rollup."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(src_dir)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    raw = stream_events_raw(spark, src_dir)
+    events = raw.withColumn("event_time", event_time_expr(raw))
     return (
         events.withWatermark("event_time", ROLLUP_LATENESS)
         .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))

@@ -21,32 +21,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # epoch nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from ..events_source import event_time_expr, stream_events_raw
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return df.withColumn("event_time", event_time_expr(df))
 
 
 def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
-    """readStream over a parquet directory (stand-in for Kafka)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _with_event_time(
-        spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
-    )
+    """readStream over a parquet directory (stand-in for Kafka); ``ts``
+    schema sniffed from the files present (ns-as-long or timestamp[us])."""
+    return _with_event_time(stream_events_raw(spark, src_dir))
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "30 minutes") -> DataFrame:
@@ -100,7 +86,9 @@ def run_incremental_export(
 
 def batch_equivalent(spark: SparkSession, src_dir: str) -> DataFrame:
     """The batch query the stream must converge to (same expressions)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..events_source import pin_utc
+
+    pin_utc(spark)
     df = _with_event_time(spark.read.parquet(src_dir))
     return (
         df.groupBy(F.window("event_time", "1 hour"), F.col("event_type"))

@@ -31,9 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..events_source import pin_utc, stream_events_raw
 from ..functions.text import hash64
 from ..operators.sketches import CMS_D, CMS_W
-from .incremental import EVENTS_SCHEMA
 
 CELL_SCHEMA = T.StructType(
     [
@@ -62,8 +62,7 @@ def _update_cell(
 def stream_cms_cells(spark: SparkSession, src_dir: str) -> DataFrame:
     """Streaming DataFrame of updated CMS cells over the ``event_type``
     column of a parquet events stream."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    ev = stream_events_raw(spark, src_dir)
     cells = (
         ev.select(F.col("event_type").alias("token"))
         .withColumn("row", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])))
@@ -104,8 +103,10 @@ def run_cms_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
 
 def batch_cms_cells(spark: SparkSession, src_dir: str) -> DataFrame:
     """Batch twin: the same cells via one groupBy over the static data."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.schema(EVENTS_SCHEMA).parquet(src_dir)
+    from ..events_source import events_stream_schema
+
+    pin_utc(spark)
+    ev = spark.read.schema(events_stream_schema(src_dir)).parquet(src_dir)
     return (
         ev.select(F.col("event_type").alias("token"))
         .withColumn("row", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])))

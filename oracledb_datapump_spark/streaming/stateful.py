@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .incremental import EVENTS_SCHEMA
+from ..events_source import stream_events_raw, ts_us_expr, validate_events_source
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 # Idle-flush timer (processing time), for CONTINUOUS deployments only:
@@ -118,23 +118,11 @@ def make_tracker(idle_flush_ms: int):
 
 
 def _validate_ns_source(spark: SparkSession, src_dir: str) -> None:
-    """Guard: our fixed schema reads ``ts`` as long (nanosAsLong). A file
-    whose ts is µs-precision silently yields zero rows instead of erroring
-    (observed), so check one footer up front."""
-    import glob as _glob
-
-    import pyarrow.parquet as _pq
-
-    files = sorted(_glob.glob(os.path.join(src_dir, "*.parquet")))
-    if not files:
-        return
-    field = _pq.ParquetFile(files[0]).schema_arrow.field("ts")
-    if str(field.type) not in ("timestamp[ns]", "int64"):
-        raise ValueError(
-            f"events source {files[0]} has ts type {field.type}; expected "
-            "timestamp[ns] (the nanosAsLong contract) — a µs-precision "
-            "source would silently produce no rows"
-        )
+    """Guard: a ``ts`` type the schema sniffer can't map silently yields
+    zero rows instead of erroring (observed), so check one footer up
+    front. Accepts ns-as-long AND µs/ms timestamps (the sniffer maps
+    both); kept under its historical name for callers/tests."""
+    validate_events_source(spark, src_dir)
 
 
 def stream_sessions(
@@ -142,13 +130,8 @@ def stream_sessions(
 ) -> DataFrame:
     """readStream → stateful session tracking (returns the streaming DF;
     caller attaches a sink)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _validate_ns_source(spark, src_dir)
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(src_dir)
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
-    )
+    raw = stream_events_raw(spark, src_dir)
+    events = raw.withColumn("ts_us", ts_us_expr(raw))
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if idle_flush_ms > 0

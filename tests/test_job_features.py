@@ -217,3 +217,102 @@ def test_merge_import_upserts_by_key(spark, tmp_path):
         directives=[D.REMAP_SCHEMA("hr2", "tgt"), D.TABLE_EXISTS_ACTION("MERGE")],
     ).run(connection=src, spark=spark)
     assert st.job_state in ("COMPLETED_WITH_ERRORS", "ERROR", "STOPPED"), st.job_state
+
+
+def test_merge_import_lazy_parquet_target_keeps_unmatched(spark, duck, tmp_path):
+    """MERGE into a LAZY target (ParquetConnector): the merged plan reads
+    the very files the overwrite replaces, so without an explicit
+    materialization the non-matching existing rows are lost (or Spark
+    refuses the overwrite). Regression test for the engine's
+    localCheckpoint-before-overwrite."""
+    from oracledb_datapump_spark.catalog import ParquetConnector
+
+    dump1 = f"{tmp_path}/dump1"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump1,
+        directives=[D.INCLUDE_SCHEMA("test1"), D.INCLUDE_TABLE("nation")],
+    ).run(connection=duck, spark=spark)
+    assert st.job_state == "COMPLETED"
+
+    duck.execute(
+        "CREATE SCHEMA IF NOT EXISTS mseed; "
+        "CREATE TABLE mseed.nation AS "
+        "SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey "
+        "FROM test1.nation WHERE n_nationkey < 3 "
+        "UNION ALL SELECT 99, 'ATLANTIS', 0"
+    )
+    dump2 = f"{tmp_path}/dump2"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump2,
+        directives=[D.INCLUDE_SCHEMA("mseed"), D.INCLUDE_TABLE("nation")],
+    ).run(connection=duck, spark=spark)
+    assert st.job_state == "COMPLETED"
+
+    target = ParquetConnector(str(tmp_path / "warehouse"))
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump1,
+        directives=[D.REMAP_SCHEMA("test1", "tgt")],
+    ).run(connection=target, spark=spark)
+    assert st.job_state == "COMPLETED"
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump2,
+        directives=[
+            D.REMAP_SCHEMA("mseed", "tgt"),
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("n_nationkey"),
+        ],
+    ).run(connection=target, spark=spark)
+    assert st.job_state == "COMPLETED", st
+    rows = {
+        r.n_nationkey: r.n_name
+        for r in target.read_table(spark, "tgt", "nation").collect()
+    }
+    assert len(rows) == 26  # 25 original + 1 new key — nothing lost
+    assert rows[0].endswith("_V2") and rows[2].endswith("_V2")
+    assert rows[99] == "ATLANTIS"
+    assert not rows[5].endswith("_V2")  # untouched key SURVIVED the merge
+
+
+def test_merge_import_duplicate_keys_deterministic(spark, duck, tmp_path):
+    """Duplicate merge keys within a side: the survivor is chosen by a
+    deterministic rule (row-hash tiebreak), so repeated merges produce
+    identical results."""
+    from oracledb_datapump_spark.catalog import ParquetConnector
+
+    duck.execute(
+        "CREATE SCHEMA IF NOT EXISTS dupsrc; "
+        "CREATE TABLE dupsrc.kv AS SELECT * FROM (VALUES "
+        "(1, 'a'), (1, 'b'), (2, 'c'), (2, 'd'), (3, 'e')) t(k, v)"
+    )
+    dump = f"{tmp_path}/dumpdup"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("dupsrc"), D.INCLUDE_TABLE("kv")],
+    ).run(connection=duck, spark=spark)
+    assert st.job_state == "COMPLETED"
+
+    results = []
+    for i in range(2):
+        target = ParquetConnector(str(tmp_path / f"wh{i}"))
+        # seed the target with one existing row per key, then merge the
+        # duplicate-carrying dump on top twice
+        st = Job(
+            "IMPORT", "SCHEMA", dumpfiles=dump,
+            directives=[D.REMAP_SCHEMA("dupsrc", "tgt")],
+        ).run(connection=target, spark=spark)
+        assert st.job_state == "COMPLETED"
+        st = Job(
+            "IMPORT", "SCHEMA", dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("dupsrc", "tgt"),
+                D.TABLE_EXISTS_ACTION("MERGE"),
+                D.MERGE_KEY("k"),
+            ],
+        ).run(connection=target, spark=spark)
+        assert st.job_state == "COMPLETED", st
+        got = sorted(
+            (r.k, r.v) for r in target.read_table(spark, "tgt", "kv").collect()
+        )
+        assert [k for k, _ in got] == [1, 2, 3]  # one survivor per key
+        results.append(got)
+    assert results[0] == results[1]  # deterministic survivor choice

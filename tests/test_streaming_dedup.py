@@ -50,10 +50,12 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(info["sink_path"]).collect()
     }
     assert got, "some windows must have closed"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from oracledb_datapump_spark.events_source import event_time_expr, pin_utc
+
+    pin_utc(spark)
+    raw = spark.read.parquet(src)
     batch = (
-        spark.read.parquet(src)
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+        raw.withColumn("event_time", event_time_expr(raw))
         .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(

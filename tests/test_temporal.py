@@ -26,12 +26,12 @@ def test_asof_join_semantics(spark):
 
 
 def test_asof_attribution_matches_naive(spark, sf_dir):
+    from oracledb_datapump_spark.events_source import load_events
+
     rows = asof_attribution(spark, sf_dir).collect()
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ev = load_events(spark, sf_dir).collect()
     clicks = sorted(
-        ((r.user_id, r.ts // 1000, r.event_id) for r in ev if r.event_type == "click")
+        ((r.user_id, r.ts_us, r.event_id) for r in ev if r.event_type == "click")
     )
     by_user: dict = {}
     for uid, ts, eid in clicks:
