@@ -49,64 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is the driver's gating order (it stops at the 50th
+    entry). Rotation policy: operators without a prior green CORRECTNESS
+    row, plus any operator whose code changed this round, occupy the
+    gated prefix; queries proven green in an earlier round with unchanged
+    code sit after the fold (r01-r03 rows are the standing evidence)."""
     return {
-        # relational analytics (SURVEY.md §2.3 verification workload)
-        "q1_pricing_summary": A.q1_pricing_summary,
-        "q3_shipping_priority": A.q3_shipping_priority,
-        "q4_order_priority": A.q4_order_priority,
-        "q5_local_supplier_volume": A.q5_local_supplier_volume,
-        "q6_forecast_revenue": A.q6_forecast_revenue,
-        "q12_shipping_delay": A.q12_shipping_delay,
-        "q14_promo_effect": A.q14_promo_effect,
-        "revenue_by_nation": A.revenue_by_nation,
-        "top_suppliers_window": A.top_suppliers_window,
-        "customer_order_set_ops": A.customer_order_set_ops,
-        "events_hourly_rollup": A.events_hourly_rollup,
-        "events_sessionize": A.events_sessionize,
-        "events_json_stats": A4.events_json_stats,
-        "distinct_counts": A4.distinct_counts,
-        "q10_returned_items": A2.q10_returned_items,
-        "q11_important_stock": A2.q11_important_stock,
-        "q16_supplier_part_counts": A2.q16_supplier_part_counts,
-        "q17_small_quantity_revenue": A2.q17_small_quantity_revenue,
-        "q18_large_orders": A2.q18_large_orders,
-        "q19_disjunctive_revenue": A2.q19_disjunctive_revenue,
-        "q22_global_sales_opportunity": A2.q22_global_sales_opportunity,
-        "q7_nation_volume": A3.q7_nation_volume,
-        "q9_product_profit": A3.q9_product_profit,
-        "q13_customer_distribution": A3.q13_customer_distribution,
-        "q15_top_supplier": A3.q15_top_supplier,
-        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
-        "q8_market_share": A5.q8_market_share,
-        "q20_part_promotion": A5.q20_part_promotion,
-        "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
-        "sales_rollup": A2.sales_rollup,
-        "sales_cube": A5.sales_cube,
-        "skew_salted_revenue": A5.skew_salted_revenue,
-        "funnel_conversion": A5.funnel_conversion,
-        "shipmode_pivot": A2.shipmode_pivot,
-        "price_quantiles": A2.price_quantiles,
-        # datapump ETL core (SURVEY.md §2.1/§2.4/§2.5) — full job lifecycle
-        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
-        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
-        # dedup suite (M5 extensions)
-        "dedup_exact": D.dedup_exact,
-        "dedup_minhash_pairs": D.dedup_minhash_pairs,
-        "dedup_minhash_verified": D.dedup_minhash_verified,
-        "simhash_fingerprints": D.simhash_fingerprints,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "dedup_groups": D.dedup_groups,
-        # similarity search
-        "embedding_normalize": EM.embedding_normalize,
-        "embedding_quantize": EM.embedding_quantize,
-        "ann_bruteforce_topk": S.ann_bruteforce_topk,
-        "ann_lsh_topk": S.ann_lsh_topk,
-        "centroid_topk": S.centroid_topk,
-        "kmeans_assign": CL.kmeans_assign,
+        # --- gated prefix: previously-ungated operators (r1-r3 had no
+        # driver row for these; round-2/3 verdicts' #1 ask) -------------
         "kmeans_cluster_sizes": CL.cluster_sizes,
         "dedup_semantic": CL.dedup_semantic,
-        # temporal: as-of join (window-composed; DuckDB native ASOF oracle)
+        # temporal family (events_source type-sniffing fix this round)
         "asof_attribution": TM.asof_attribution,
         "scd2_user_value": TM.scd2_user_value,
         "range_join_nearby": TM.range_join_nearby,
@@ -119,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": T.quality_score,
         "token_count": T.token_count,
         "doc_fingerprint": T.doc_fingerprint,
+        "unigram_surprise": T.unigram_surprise,
         # corpus preparation (normalization / filtering / splits / vocab)
         "text_normalize": TP.text_normalize,
         "quality_gopher": TP.quality_gopher,
@@ -131,16 +85,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": SP.corpus_mix,
         "price_outliers_by_brand": OU.price_outliers_by_brand,
         "pii_redact": PV.pii_redact,
+        # sketches
         "hll_distinct": SK.hll_distinct,
         "cms_heavy_hitters": SK.cms_heavy_hitters,
+        "histogram_quantiles": SK.histogram_quantiles,
+        # graph
         "pagerank_topk": G.pagerank_topk,
+        "triangle_participation": G.triangle_participation,
+        "basket_lift_topk": G.basket_lift_topk,
         # sparse-text: exact-substring dup scoring + inverted-index search
         "span_dup_score": SX.span_dup_score,
         "tfidf_search_topk": SX.tfidf_search_topk,
-        "histogram_quantiles": SK.histogram_quantiles,
-        "triangle_participation": G.triangle_participation,
-        "basket_lift_topk": G.basket_lift_topk,
-        "unigram_surprise": T.unigram_surprise,
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         "media_resize": M.media_resize,
@@ -148,6 +103,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
         "curated_corpus": CU.curated_corpus,
         "curated_corpus_v2": CU.curated_corpus_v2,
+        # --- fixed this round (events ts contract) — need fresh proof ---
+        "events_hourly_rollup": A.events_hourly_rollup,
+        "events_sessionize": A.events_sessionize,
+        "funnel_conversion": A5.funnel_conversion,
+        "events_json_stats": A4.events_json_stats,
+        # --- lifecycle (engine.py MERGE fix this round) -----------------
+        "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
+        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
+        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
+        # --- iterative ops re-planned this round (localCheckpoint) ------
+        "dedup_groups": D.dedup_groups,
+        "kmeans_assign": CL.kmeans_assign,
+        # --- representative relational anchors (flagship + heavy plans) -
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "q9_product_profit": A3.q9_product_profit,
+        "sales_cube": A5.sales_cube,
+        "skew_salted_revenue": A5.skew_salted_revenue,
+        # ---------------- fold: entry 51+ below ------------------------
+        # relational analytics proven green r01-r03, code unchanged
+        "q3_shipping_priority": A.q3_shipping_priority,
+        "q4_order_priority": A.q4_order_priority,
+        "q5_local_supplier_volume": A.q5_local_supplier_volume,
+        "q6_forecast_revenue": A.q6_forecast_revenue,
+        "q12_shipping_delay": A.q12_shipping_delay,
+        "q14_promo_effect": A.q14_promo_effect,
+        "revenue_by_nation": A.revenue_by_nation,
+        "top_suppliers_window": A.top_suppliers_window,
+        "customer_order_set_ops": A.customer_order_set_ops,
+        "distinct_counts": A4.distinct_counts,
+        "q10_returned_items": A2.q10_returned_items,
+        "q11_important_stock": A2.q11_important_stock,
+        "q16_supplier_part_counts": A2.q16_supplier_part_counts,
+        "q17_small_quantity_revenue": A2.q17_small_quantity_revenue,
+        "q18_large_orders": A2.q18_large_orders,
+        "q19_disjunctive_revenue": A2.q19_disjunctive_revenue,
+        "q22_global_sales_opportunity": A2.q22_global_sales_opportunity,
+        "q7_nation_volume": A3.q7_nation_volume,
+        "q13_customer_distribution": A3.q13_customer_distribution,
+        "q15_top_supplier": A3.q15_top_supplier,
+        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
+        "q8_market_share": A5.q8_market_share,
+        "q20_part_promotion": A5.q20_part_promotion,
+        "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
+        "sales_rollup": A2.sales_rollup,
+        "shipmode_pivot": A2.shipmode_pivot,
+        "price_quantiles": A2.price_quantiles,
+        # dedup suite (M5 extensions), green r03, code unchanged
+        "dedup_exact": D.dedup_exact,
+        "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "dedup_minhash_verified": D.dedup_minhash_verified,
+        "simhash_fingerprints": D.simhash_fingerprints,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # similarity search, green r03, code unchanged
+        "embedding_normalize": EM.embedding_normalize,
+        "embedding_quantize": EM.embedding_quantize,
+        "ann_bruteforce_topk": S.ann_bruteforce_topk,
+        "ann_lsh_topk": S.ann_lsh_topk,
+        "centroid_topk": S.centroid_topk,
     }
 
 
@@ -190,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": A2.PRICE_QUANTILES_SQL,
         "datapump_roundtrip_nation": E.ROUNDTRIP_NATION_SQL,
         "datapump_roundtrip_supplier": E.ROUNDTRIP_SUPPLIER_SQL,
+        "datapump_roundtrip_merge": E.ROUNDTRIP_MERGE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

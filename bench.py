@@ -37,8 +37,10 @@ def main() -> None:
         "region nation customer supplier part orders lineitem documents embeddings"
     ).split():
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # events: type-sniffing reader (ts may be ns-as-long OR timestamp[us])
+    from oracledb_datapump_spark.events_source import load_events
+
+    load_events(spark, SF_DIR).count()
 
     headline = [
         "q1_pricing_summary",
@@ -90,15 +92,33 @@ def main() -> None:
         "gapfill_hourly",
         "table_profile",
     ]
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         fn = qs[name]
-        t0 = time.perf_counter()
-        # count() forces full execution without driver-side row transfer
-        n = fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        samples: list[float] = []
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                # count() forces full execution, no driver-side row transfer
+                n = fn(spark, SF_DIR).count()
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # one sick query must not kill the run
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            if not samples:
+                continue
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)  # median
+        spread[name] = round(samples[-1] - samples[0], 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s median of {len(samples)}"
+            f" (spread {spread[name]:.3f}s, {n} rows)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -106,9 +126,14 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs_per_query": runs,
+        "spread": spread,
+        "errors": errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+    if errors:
+        sys.exit(0)  # timings above are still valid; errors are reported
 
 
 if __name__ == "__main__":

@@ -177,6 +177,27 @@ class DumpSet:
     # -- compaction (OPTIMIZE-style small-file consolidation) ----------------
     DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
+    def _recover_interrupted_compaction(self) -> None:
+        """The swap in compact() is a double rename (live → .compact_old,
+        .compact_tmp → live); a crash between the two leaves the table's
+        only copy in ``.compact_old`` with no live dir. Restore it (and
+        drop any orphaned ``.compact_tmp``, which is never the only
+        copy) before compacting again."""
+        for old in glob.glob(os.path.join(self.root, "*", "*.compact_old")):
+            live = old[: -len(".compact_old")]
+            if not os.path.isdir(live):
+                os.rename(old, live)
+                self.log_event(
+                    "COMPACTION_RECOVERED",
+                    table=os.path.relpath(live, self.root).replace(os.sep, "."),
+                )
+            else:
+                # crash after the second rename: live dir is the new
+                # layout, .compact_old is a superseded copy — drop it
+                shutil.rmtree(old, ignore_errors=True)
+        for tmp in glob.glob(os.path.join(self.root, "*", "*.compact_tmp")):
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def compact(
         self,
         spark,
@@ -198,6 +219,7 @@ class DumpSet:
         """
         import math
 
+        self._recover_interrupted_compaction()
         report: dict[str, dict[str, int]] = {}
         for schema, table in self.list_tables():
             d = self.table_dir(schema, table)

@@ -82,7 +82,12 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Update: per-dim floor-mean of members; empty clusters drop out.
     The K·dim centroid collect per iteration is driver-resident model
     state, not a data read — identical to Spark MLlib KMeans."""
-    q = _quantized(spark, sf_dir).cache()
+    # localCheckpoint, not cache: the final assignment below is evaluated
+    # by the CALLER (after this function returned), and an unpersist-on-
+    # exit would have dropped the cache first — checkpointed blocks
+    # instead live until the DataFrame is GC'd, and the quantize pipeline
+    # is planned exactly once.
+    q = _quantized(spark, sf_dir).localCheckpoint(eager=True)
     init = q.filter(F.col("vec_id") < KMEANS_K).collect()
     centroids = sorted((int(r.vec_id), list(r.qv)) for r in init)
     for _ in range(KMEANS_ITERS):
@@ -109,13 +114,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for c, dims in sorted(by_cluster.items())
         ]
-    out = (
+    return (
         _with_nearest(spark, q, centroids)
         .select("vec_id", "cluster", "dist_sq")
         .orderBy("vec_id")
     )
-    q.unpersist()
-    return out
 
 
 def _kmeans_sql() -> str:

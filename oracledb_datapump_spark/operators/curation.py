@@ -26,16 +26,32 @@ MIN_QUALITY = 0.5
 KEEP_LANG = "en"
 
 
+def _shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted documents frame fed to every pipeline arm, so the
+    corpus is scanned once per curation run instead of once per arm
+    (the r2/r3 plan audit counted 15 scans for v2's 7 arms). persist()
+    is lazy — the first arm's execution populates the cache and the
+    rest read InMemoryRelation; MEMORY_AND_DISK spills rather than
+    recomputes at 100 TB, and eviction degrades to a re-scan, never a
+    wrong answer."""
+    from pyspark import StorageLevel
+
+    from .docs_source import load_docs
+
+    return load_docs(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_tokens, quality_score, lang_pred): documents that pass
     the quality gate, are predicted {KEEP_LANG}, and are not the dropped
     side of a verified near-duplicate pair."""
-    q = quality_score(spark, sf_dir).select(
+    base = _shared_docs(spark, sf_dir)
+    q = quality_score(spark, sf_dir, docs=base).select(
         "doc_id", "n_tokens", "quality_score"
     )
-    lng = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    lng = lang_id(spark, sf_dir, docs=base).select("doc_id", "lang_pred")
     dup_losers = (
-        dedup_minhash_verified(spark, sf_dir)
+        dedup_minhash_verified(spark, sf_dir, docs=base)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -97,16 +113,25 @@ def curated_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textprep import contamination_ngram, quality_gopher
     from .textstats import unigram_surprise
 
-    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality_score")
-    lng = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
-    gop = quality_gopher(spark, sf_dir).filter(F.col("passes")).select("doc_id")
-    span = span_dup_score(spark, sf_dir).select("doc_id", "dup_frac_q")
-    sur = unigram_surprise(spark, sf_dir).select("doc_id", "surprise_per_tok_q")
-    contam = contamination_ngram(spark, sf_dir).select(
+    base = _shared_docs(spark, sf_dir)
+    q = quality_score(spark, sf_dir, docs=base).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    lng = lang_id(spark, sf_dir, docs=base).select("doc_id", "lang_pred")
+    gop = (
+        quality_gopher(spark, sf_dir, docs=base)
+        .filter(F.col("passes"))
+        .select("doc_id")
+    )
+    span = span_dup_score(spark, sf_dir, docs=base).select("doc_id", "dup_frac_q")
+    sur = unigram_surprise(spark, sf_dir, docs=base).select(
+        "doc_id", "surprise_per_tok_q"
+    )
+    contam = contamination_ngram(spark, sf_dir, docs=base).select(
         F.col("train_doc_id").alias("doc_id")
     )
     dup_losers = (
-        dedup_minhash_verified(spark, sf_dir)
+        dedup_minhash_verified(spark, sf_dir, docs=base)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .docs_source import load_docs
 from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, sql_tokens_cte
 
 NUM_HASHES = 16
@@ -37,8 +38,10 @@ BAND_ROWS = 4  # 4 bands × 4 rows
 SHINGLE_N = 3
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    return load_docs(spark, sf_dir, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -73,7 +76,9 @@ ORDER BY keep_doc_id
 # ---------------------------------------------------------------------------
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, shingle) distinct 3-word shingles.
 
     Built per-row from the token array (transform over an index sequence)
@@ -81,7 +86,7 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer is its own groupBy. (A lead()-window formulation would
     shuffle the whole exploded token stream per doc — measurably worse
     and pointless, since shingling is row-local.)"""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, docs)
     toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
     shingles = F.when(
         F.size(F.col("toks")) >= SHINGLE_N,
@@ -150,11 +155,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", F.posexplode(mh_array).alias("seed", "minhash"))
 
 
-def _shingles_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingles_multiset(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, h): hash64 of every 3-gram shingle occurrence (row-local
     explode, codegen'd md5, no distinct — min-aggregation is set-semantic
     already)."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, docs)
     toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
     shingles = F.when(
         F.size(F.col("toks")) >= SHINGLE_N,
@@ -190,7 +197,9 @@ mh AS (
 )
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band signature
     (bands of {BAND_ROWS} rows over {NUM_HASHES} minhashes).
 
@@ -200,7 +209,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band self-join is keyed on (band, sig) and carries one row per doc
     per band. The naive formulation (explode × seeds, groupBy(doc, seed),
     window band-agg) shuffles |shingles|×|seeds| rows instead."""
-    agg = _shingles_multiset(spark, sf_dir).groupBy("doc_id").agg(*_minhash_cols())
+    agg = _shingles_multiset(spark, sf_dir, docs).groupBy("doc_id").agg(*_minhash_cols())
     band_sig = [
         F.md5(
             F.concat_ws(
@@ -388,7 +397,9 @@ ORDER BY doc_a, doc_b
 )
 
 
-def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_verified(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """The production dedup pipeline: LSH candidates → exact Jaccard
     verification, restricted to candidate pairs only.
 
@@ -396,8 +407,8 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on |candidates| pairs (LSH-bounded), not on every
     shingle-sharing pair. Join order: candidates ⋈ shingles(doc_a) ⋈
     shingles(doc_b, same shingle) → per-pair intersection counts."""
-    cand = dedup_minhash_pairs(spark, sf_dir)
-    sh = _shingles(spark, sf_dir)
+    cand = dedup_minhash_pairs(spark, sf_dir, docs)
+    sh = _shingles(spark, sf_dir, docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_doc_b2"), F.col("shingle").alias("sh_b"))
@@ -544,19 +555,23 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     same fixpoint, so the hash matches.
     """
     pairs = dedup_minhash_verified(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint (not cache): each fixpoint round would otherwise
+    # chain the FULL prior plan — the r2/r3 plan audit measured 558
+    # exchanges / 332 scans in the final plan. Checkpointing truncates
+    # lineage to the materialized blocks, so the final plan is O(1) in
+    # the number of rounds and the LSH pipeline is planned exactly once.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = (
         _docs(spark, sf_dir)
         .select("doc_id", F.col("doc_id").alias("lbl"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
     while True:
         pulled = (
             edges.join(
@@ -576,7 +591,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl"
                 ),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.select("doc_id", F.col("lbl").alias("new_lbl"))
@@ -584,20 +599,17 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("new_lbl") != F.col("lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("group_size"))
-    out = (
+    return (
         labels.join(F.broadcast(sizes), "lbl")
         .select(
             "doc_id", F.col("lbl").alias("group_id"), "group_size"
         )
         .orderBy("doc_id")
     )
-    edges.unpersist()
-    return out
 
 
 DEDUP_GROUPS_SQL = (

@@ -66,5 +66,69 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         shutil.rmtree(dump, ignore_errors=True)
 
 
+def datapump_roundtrip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE lifecycle against a LAZY parquet target: base import of
+    ``nation`` into a parquet warehouse, then TABLE_EXISTS_ACTION(MERGE)
+    + MERGE_KEY of the n_nationkey<10 slice on top of it. The oracle is
+    plain ``nation`` — hash equality proves the merge neither lost
+    unmatched rows (the lazy-overwrite regression: the merged plan reads
+    the very files the overwrite replaces, engine.py materializes before
+    writing) nor duplicated matched ones. Reference precedent:
+    TABLE_EXISTS_ACTION, reference src/oracledb_datapump/directives.py:372-376."""
+    src = ParquetConnector(sf_dir)
+    dump_full = tempfile.mkdtemp(prefix="dp_mrg_full_")
+    dump_slice = tempfile.mkdtemp(prefix="dp_mrg_slice_")
+    wh = tempfile.mkdtemp(prefix="dp_mrg_wh_")
+    try:
+        for dump, directives in (
+            (dump_full, [D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("nation")]),
+            (
+                dump_slice,
+                [
+                    D.INCLUDE_SCHEMA("main"),
+                    D.INCLUDE_TABLE("nation"),
+                    D.QUERY("n_nationkey < 10", object_path="nation"),
+                ],
+            ),
+        ):
+            st = Job(
+                Operation.EXPORT,
+                JobMode.TABLE,
+                dumpfiles=dump,
+                directives=directives,
+            ).run(wait=True, connection=src, spark=spark)
+            if st.job_state != "COMPLETED":
+                raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = ParquetConnector(wh)
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump_full,
+            directives=[D.REMAP_SCHEMA("main", "tgt")],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"base import failed: {st.job_state}: {st.error}")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump_slice,
+            directives=[
+                D.REMAP_SCHEMA("main", "tgt"),
+                D.TABLE_EXISTS_ACTION("MERGE"),
+                D.MERGE_KEY("n_nationkey"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"merge import failed: {st.job_state}: {st.error}")
+        out = target.read_table(spark, "tgt", "nation").orderBy("n_nationkey")
+        # the warehouse dir is deleted below — pin the rows first
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(dump_full, ignore_errors=True)
+        shutil.rmtree(dump_slice, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
 ROUNDTRIP_NATION_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
 ROUNDTRIP_SUPPLIER_SQL = "SELECT * FROM supplier ORDER BY s_suppkey"
+ROUNDTRIP_MERGE_SQL = "SELECT * FROM nation ORDER BY n_nationkey"

@@ -90,8 +90,10 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight rebalancing toward a uniform language mix.
 
     weight = (n_total / n_strata) / n_stratum, emitted as
-    floor(1e6 * n_total / (n_strata * n_stratum)) — exact integer
-    arithmetic, so cross-engine hash-stable (no float division).
+    (1e6 * n_total) DIV (n_strata * n_stratum) — exact integer
+    arithmetic on both engines (Spark DIV, DuckDB //), so cross-engine
+    hash-stable regardless of magnitude; a float-divide-then-floor
+    would drift once 1e6*n_total exceeds double's 53-bit mantissa.
 
     Plan: the stratum histogram is a tiny aggregate joined back by
     broadcast; the corpus is touched once, shuffle-free."""
@@ -102,9 +104,8 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_strata"),
     )
     dims = F.broadcast(hist.crossJoin(F.broadcast(totals)))
-    weight = F.floor(
-        (F.lit(WEIGHT_SCALE) * F.col("n_total"))
-        / (F.col("n_strata") * F.col("n_stratum"))
+    weight = F.expr(
+        f"({WEIGHT_SCALE} * n_total) DIV (n_strata * n_stratum)"
     ).cast("long")
     return (
         strata.join(dims, "lang_pred")
@@ -120,7 +121,7 @@ MIX_WEIGHTS_SQL = (
 hist AS (SELECT lang_pred, COUNT(*) AS n_stratum FROM lang GROUP BY lang_pred),
 tot AS (SELECT SUM(n_stratum) AS n_total, COUNT(*) AS n_strata FROM hist)
 SELECT l.doc_id, l.lang_pred, h.n_stratum,
-       CAST(FLOOR(({WEIGHT_SCALE} * t.n_total) / (t.n_strata * h.n_stratum)) AS BIGINT)
+       CAST(({WEIGHT_SCALE} * t.n_total) // (t.n_strata * h.n_stratum) AS BIGINT)
          AS weight_ppm
 FROM lang l JOIN hist h USING (lang_pred) CROSS JOIN tot t
 ORDER BY l.doc_id

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .docs_source import load_docs
 from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, tokens
 
 SPAN_N = 5  # tokens per span for exact-substring scoring
@@ -38,8 +39,10 @@ TFIDF_N_QUERIES = 20  # doc_id < 20 form the query set
 IDF_SCALE = 100
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    return load_docs(spark, sf_dir, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -47,7 +50,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def span_dup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def span_dup_score(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_spans, n_dup_spans, dup_frac_q): for every document,
     the number of {SPAN_N}-token spans, how many of those spans occur
     at least twice in the whole corpus (in any document, including this
@@ -68,7 +73,7 @@ def span_dup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hot spans (boilerplate) are exactly the skewed window partitions;
     at 100 TB cap them with a df ceiling or salt the window key.
     """
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, docs)
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SPAN_N
     )

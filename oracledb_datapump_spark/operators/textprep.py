@@ -14,11 +14,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .docs_source import load_docs
 from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, tokens
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _docs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    return load_docs(spark, sf_dir, docs)
 
 
 # ---------------------------------------------------------------------------
@@ -74,7 +77,9 @@ GOPHER_TOP_FRAC_MAX = 0.2
 GOPHER_DISTINCT_FRAC_MIN = 0.3
 
 
-def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_gopher(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_words, mean_word_len, top_word_frac, distinct_frac,
     ok_*, passes): repetition/length heuristics in the style of the
     published Gopher quality rules.
@@ -86,7 +91,7 @@ def quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-word frequency genuinely needs the per-(doc,tok) counts — the
     shuffle-free array formulation would be O(|doc|·|vocab|) row-local,
     which dies on long documents; this one is linear."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, docs)
     per_tok = (
         d.select("doc_id", F.explode(tokens("text")).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -162,7 +167,9 @@ ORDER BY doc_id
 CONTAM_N = 8
 
 
-def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def contamination_ngram(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(train_doc_id, n_eval_docs, n_shared_grams): training docs that
     share any word-{CONTAM_N}-gram with the held-out eval slice
     (doc_id % 10 == 0 stands in for the benchmark set).
@@ -173,7 +180,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     of strings. The gram join is hash-partitioned on the gram key; at
     100 TB the eval side (a benchmark suite, ~10^6 grams) broadcasts.
     One groupBy per train doc at the end."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, docs)
     # materialize the token array once per row — referencing tokens("text")
     # inside the gram lambda would re-split the text per slice
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(

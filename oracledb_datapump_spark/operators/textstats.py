@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .docs_source import load_docs
 from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, sql_tokens_cte, tokens
 
 # ---------------------------------------------------------------------------
@@ -29,7 +30,9 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 _LANGS = sorted(STOPWORDS)  # alphabetical — doubles as the tie-break order
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lang_id(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, lang_pred, hits): argmax of stopword occurrences per
     language (ties → lexicographically first language; zero hits →
     'unknown').
@@ -39,7 +42,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabetical order — one codegen'd pass over the corpus, no
     explode/join/window. The earlier formulation (explode + broadcast-join
     + window) cost 10 exchanges; this costs zero."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_docs(spark, sf_dir, docs)
     toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
     with_toks = d.select("doc_id", toks.alias("toks"))
     hit_cols = {
@@ -105,11 +108,13 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_score(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_tokens, n_distinct_tokens, avg_token_len, ttr,
     quality_score). length/diversity heuristics; single pass, no shuffle
     (per-row array ops)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_docs(spark, sf_dir, docs)
     toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != "")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -158,11 +163,13 @@ ORDER BY doc_id
 BPE_ISH_RE = "[a-z]+|[0-9]|[^a-z0-9 ]"
 
 
-def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_count(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens, n_chars_check): whitespace
     tokens + a BPE-ish regex count (letter runs | single digits | other
     glyphs) — the cheap proxy for tokenizer budgeting."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_docs(spark, sf_dir, docs)
     ws = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != ""))
     bpe = F.size(F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH_RE}', 0)"))
     return d.select(
@@ -190,13 +197,15 @@ ORDER BY doc_id
 WINNOW_K = 4
 
 
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_fingerprint(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, norm_md5, winnow_fp): md5 of whitespace-normalized text +
     a winnowing fingerprint = md5 over the {WINNOW_K} smallest rolling
     3-gram hashes (robust to local edits). Shuffle: one per-doc groupBy."""
     from ..operators.dedup import _shingles
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_docs(spark, sf_dir, docs)
     norm = F.md5(F.regexp_replace(F.lower("text"), "\\s+", " ")).alias("norm_md5")
     sh = _shingles(spark, sf_dir).select(
         "doc_id", hash64(F.col("shingle")).alias("h")
@@ -251,7 +260,9 @@ ORDER BY d.doc_id
 # ---------------------------------------------------------------------------
 
 
-def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_surprise(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, n_toks, surprise, surprise_per_tok_q): an integer
     perplexity proxy — each token instance contributes
     bitlen(T // occ(tok)), i.e. floor(log2(corpus rarity)) + 1, where T
@@ -266,7 +277,7 @@ def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc). At 100 TB the unigram table still fits in a broadcast
     (vocab grows sub-linearly); nothing else shuffles more than one row
     per document."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = load_docs(spark, sf_dir, docs)
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     occ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("occ"))
     tot = occ.agg(F.sum("occ").alias("t"))

@@ -128,3 +128,44 @@ def test_dumpset_compact(spark, tmp_path):
     # idempotent: second pass finds nothing to do
     assert ds.compact(spark) == {}
     assert any(e["event"] == "TABLE_COMPACTED" for e in ds.read_events())
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A crash between compact()'s two renames leaves the table's only
+    copy in <dir>.compact_old; the next compact() restores it before
+    proceeding. A crash after the second rename leaves a superseded
+    .compact_old next to the live dir; that one is dropped."""
+    import shutil
+
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+    from oracledb_datapump_spark.dumpset import DumpSet
+
+    src = DuckDbConnector(":memory:")
+    src.load_parquet_dir("hr", "/root/testdata/sf0.001")
+    dump = f"{tmp_path}/dump"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("hr"), D.INCLUDE_TABLE("orders"),
+                    D.PARALLEL(8)],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+    ds = DumpSet(dump)
+    d = ds.table_dir("hr", "orders")
+
+    # simulate the mid-swap crash: live dir renamed away, tmp never swapped in
+    os.rename(d, d + ".compact_old")
+    assert not os.path.isdir(d)
+    report = ds.compact(spark)
+    assert os.path.isdir(d), "live dir restored from .compact_old"
+    assert not os.path.exists(d + ".compact_old")
+    assert spark.read.parquet(d).count() == 1500  # no rows lost
+    assert any(e["event"] == "COMPACTION_RECOVERED" for e in ds.read_events())
+    assert report.get("hr.orders", {}).get("files_after", 99) < 9
+
+    # simulate the post-swap crash: superseded old copy next to live dir
+    shutil.copytree(d, d + ".compact_old")
+    ds.compact(spark)
+    assert not os.path.exists(d + ".compact_old")
+    assert spark.read.parquet(d).count() == 1500
