@@ -29,6 +29,7 @@ from oracledb_datapump_spark.operators import curation as CU
 from oracledb_datapump_spark.operators import dedup as D
 from oracledb_datapump_spark.operators import embeddings as EM
 from oracledb_datapump_spark.operators import etl as E
+from oracledb_datapump_spark.operators import evaluation as EV
 from oracledb_datapump_spark.operators import graph as G
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import outliers as OU
@@ -115,13 +116,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- iterative ops re-planned this round (localCheckpoint) ------
         "dedup_groups": D.dedup_groups,
         "kmeans_assign": CL.kmeans_assign,
-        # --- representative relational anchors (flagship + heavy plans) -
+        # --- pipeline evaluation (new this round) -----------------------
+        "lang_id_confusion": EV.lang_id_confusion,
+        "cluster_label_purity": EV.cluster_label_purity,
+        "dedup_rate_by_source": EV.dedup_rate_by_source,
+        # --- flagship relational anchor ---------------------------------
         "q1_pricing_summary": A.q1_pricing_summary,
+        # ---------------- fold: entry 51+ below ------------------------
+        # relational analytics proven green r01-r03, code unchanged
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
-        # ---------------- fold: entry 51+ below ------------------------
-        # relational analytics proven green r01-r03, code unchanged
         "q3_shipping_priority": A.q3_shipping_priority,
         "q4_order_priority": A.q4_order_priority,
         "q5_local_supplier_volume": A.q5_local_supplier_volume,
@@ -205,6 +210,9 @@ def oracle_sql() -> dict[str, str]:
         "datapump_roundtrip_nation": E.ROUNDTRIP_NATION_SQL,
         "datapump_roundtrip_supplier": E.ROUNDTRIP_SUPPLIER_SQL,
         "datapump_roundtrip_merge": E.ROUNDTRIP_MERGE_SQL,
+        "lang_id_confusion": EV.LANG_ID_CONFUSION_SQL,
+        "cluster_label_purity": EV.CLUSTER_LABEL_PURITY_SQL,
+        "dedup_rate_by_source": EV.DEDUP_RATE_BY_SOURCE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

@@ -332,10 +332,16 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t3"))
     )
+    # explicit broadcast: each side is a single global-agg row, and the
+    # final assembly must never become a shuffled join of one-row frames
     return (
         v.agg(F.count(F.lit(1)).alias("users_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("users_clicked_after")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("users_purchased_after")))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("users_clicked_after")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("users_purchased_after")))
+        )
     )
 
 

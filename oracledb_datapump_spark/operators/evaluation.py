@@ -1,0 +1,163 @@
+"""Pipeline-evaluation operators: score the engine's own classifiers
+and filters against the ground truth the fixtures carry.
+
+A production training-data pipeline doesn't just run lang-ID, k-means,
+and dedup — it continuously evaluates them (drift dashboards, per-source
+yield reports). These operators close that loop over the same tables:
+
+- ``lang_id_confusion``: predicted vs actual language confusion matrix
+  (``documents.lang`` is the generator's ground truth).
+- ``cluster_label_purity``: k-means cluster purity against
+  ``embeddings.label`` — the standard external clustering metric.
+- ``dedup_rate_by_source``: per-source near-duplicate loser rates — the
+  per-provider yield report that decides which sources get re-crawled.
+
+All integer/exact arithmetic (purity and rates in ppm via integer DIV)
+so the cross-engine hash gate applies. Each is one or two small
+aggregations over operators audited elsewhere; nothing here adds a
+shuffle heavier than |clusters| or |sources| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .clustering import KMEANS_SQL, kmeans_assign
+from .dedup import DEDUP_MINHASH_VERIFIED_SQL, dedup_minhash_verified
+from .docs_source import load_docs
+from .textstats import LANG_ID_SQL, lang_id
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_actual, lang_pred, n_docs): confusion matrix of the
+    stopword-argmax language classifier against the fixture's ground
+    truth. One broadcast-sized groupBy — |langs|² rows out of the
+    shuffle regardless of corpus size."""
+    d = load_docs(spark, sf_dir).select("doc_id", F.col("lang").alias("lang_actual"))
+    pred = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_actual", "lang_pred")
+    )
+
+
+LANG_ID_CONFUSION_SQL = (
+    "WITH pred AS ("
+    + LANG_ID_SQL.replace("ORDER BY doc_id", "")
+    + """)
+SELECT d.lang AS lang_actual, p.lang_pred, COUNT(*) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+
+def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, n_members, majority_label, n_majority, purity_ppm):
+    external-validity check of the k-means assignment against the
+    fixture's ``label`` column. purity_ppm = (n_majority * 1e6) DIV
+    n_members — integer, hash-stable. Ties on the majority label break
+    to the smaller label id (deterministic).
+
+    Plan: one groupBy(cluster,label) (≤ K·|labels| rows shuffle), one
+    window max per cluster — model-evaluation cost is independent of
+    corpus size."""
+    a = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    by_label = (
+        a.join(e, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    return (
+        by_label.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.sum("n").over(W.partitionBy("cluster")))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster",
+            "n_members",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+            F.expr("(n * 1000000) DIV n_members").alias("purity_ppm"),
+        )
+        .orderBy("cluster")
+    )
+
+
+CLUSTER_LABEL_PURITY_SQL = (
+    "WITH assign AS ("
+    + KMEANS_SQL.replace("ORDER BY vec_id", "")
+    + """),
+by_label AS (
+  SELECT a.cluster, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT cluster, label, n,
+         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk,
+         SUM(n) OVER (PARTITION BY cluster) AS n_members
+  FROM by_label
+)
+SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+       label AS majority_label, n AS n_majority,
+       CAST((n * 1000000) // n_members AS BIGINT) AS purity_ppm
+FROM ranked WHERE rk = 1
+ORDER BY cluster
+"""
+)
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_dup_losers, dup_ppm): per-source share of
+    documents dropped as the losing side of an LSH-verified near-dup
+    pair — the per-provider yield report. The loser set is
+    candidate-bounded (LSH) and the per-source rollup shuffles
+    |sources| rows."""
+    d = load_docs(spark, sf_dir).select("doc_id", "source")
+    losers = (
+        dedup_minhash_verified(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_loser", F.lit(1))
+    )
+    return (
+        d.join(losers, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_loser", F.lit(0))).alias("n_dup_losers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_losers",
+            F.expr("(n_dup_losers * 1000000) DIV n_docs").alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = (
+    "WITH dup AS ("
+    + DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    + """),
+losers AS (SELECT DISTINCT doc_b AS doc_id FROM dup)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_losers,
+       CAST((SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS dup_ppm
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+)
