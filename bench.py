@@ -91,6 +91,11 @@ def main() -> None:
         "cohort_retention",
         "gapfill_hourly",
         "table_profile",
+        # new in r4 (no r02 baseline; totals compare on the common set)
+        "datapump_roundtrip_merge",
+        "lang_id_confusion",
+        "cluster_label_purity",
+        "dedup_rate_by_source",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()
