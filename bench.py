@@ -105,6 +105,11 @@ def main() -> None:
     for name in headline:
         fn = qs[name]
         samples: list[float] = []
+        # cache isolation: curated_corpus_* persist a shared documents
+        # frame; without clearing, every later documents query would
+        # silently read InMemoryRelation and its median would not be
+        # comparable to baselines measured against parquet
+        spark.catalog.clearCache()
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -138,7 +143,9 @@ def main() -> None:
     }
     print(json.dumps(out))
     if errors:
-        sys.exit(0)  # timings above are still valid; errors are reported
+        # nonzero exit signals breakage to the driver; the JSON line above
+        # still carries every healthy query's median
+        sys.exit(2)
 
 
 if __name__ == "__main__":

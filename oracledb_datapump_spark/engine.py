@@ -275,13 +275,22 @@ def import_table(
                     "__src", F.lit(0)
                 ).unionByName(df.withColumn("__src", F.lit(1)))
                 # survivor order: incoming beats existing; duplicate keys
-                # WITHIN a side resolve by the 64-bit hash of the full
-                # row, so repeated runs pick the same survivor (ties only
-                # between bit-identical rows) — the job-hash determinism
-                # contract extends to MERGE.
-                data_cols = [c for c in merged.columns if c != "__src"]
+                # WITHIN a side resolve by the 64-bit hash of the row's
+                # hashable columns, so repeated runs pick the same
+                # survivor (ties only between rows identical in those
+                # columns) — the job-hash determinism contract extends to
+                # MERGE. MapType columns are excluded: Spark's hash()
+                # rejects maps outright, and a map-typed tiebreak would
+                # turn a working merge into an AnalysisException.
+                from pyspark.sql.types import MapType
+
+                hashable = [
+                    f.name
+                    for f in merged.schema.fields
+                    if f.name != "__src" and not isinstance(f.dataType, MapType)
+                ]
                 w = Window.partitionBy(*keys).orderBy(
-                    F.desc("__src"), F.xxhash64(*data_cols)
+                    F.desc("__src"), F.xxhash64(*hashable)
                 )
                 df = (
                     merged.withColumn("__rn", F.row_number().over(w))

@@ -65,7 +65,15 @@ def event_time_expr(df: DataFrame, col: str = "ts") -> Column:
     dt = dict(df.dtypes).get(col)
     if dt in _LONG_TYPES:
         return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
-    return F.col(col).cast("timestamp")
+    if dt in _TS_TYPES:
+        return F.col(col).cast("timestamp")
+    # same hard failure as ts_us_expr: a silent cast of e.g. a string
+    # column yields all-NULL event_time and an empty (not wrong-looking,
+    # MISSING) result downstream
+    raise ValueError(
+        f"events source '{col}' has unsupported dtype {dt}; expected one of "
+        f"{_LONG_TYPES + _TS_TYPES}"
+    )
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,15 +89,25 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sniff_ts_arrow_type(src_dir: str) -> str:
-    """Arrow type string of ``ts`` in the first parquet footer under
+    """Arrow type string of ``ts`` across ALL parquet footers under
     ``src_dir`` ('' if the directory is empty — streaming sources may
-    start before any file lands)."""
+    start before any file lands). Footer-only reads, so this stays
+    cheap; a directory whose files DISAGREE on the ts type is rejected
+    here rather than letting readStream silently drop every row of the
+    mismatched files (the exact failure this module exists to prevent)."""
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
     if not files:
         return ""
-    return str(pq.ParquetFile(files[0]).schema_arrow.field("ts").type)
+    types = {str(pq.ParquetFile(f).schema_arrow.field("ts").type) for f in files}
+    if len(types) > 1:
+        raise ValueError(
+            f"events source under {src_dir} mixes ts types {sorted(types)}; "
+            "a fixed readStream schema would silently drop the mismatched "
+            "files' rows — repartition the source to one type first"
+        )
+    return next(iter(types))
 
 
 def events_stream_schema(src_dir: str) -> T.StructType:

@@ -225,8 +225,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
     )
-    ec = e.join(assign, "vec_id").select(
-        "vec_id", "embedding", "cluster", norm.alias("nrm")
+    # materialize once: both self-join sides read these blocks instead of
+    # re-running the assignment argmin + norm fold per side
+    ec = (
+        e.join(assign, "vec_id")
+        .select("vec_id", "embedding", "cluster", norm.alias("nrm"))
+        .localCheckpoint(eager=True)
     )
     a = ec.select(
         F.col("vec_id").alias("vec_a"),

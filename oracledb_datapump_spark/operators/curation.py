@@ -33,7 +33,14 @@ def _shared_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is lazy — the first arm's execution populates the cache and the
     rest read InMemoryRelation; MEMORY_AND_DISK spills rather than
     recomputes at 100 TB, and eviction degrades to a re-scan, never a
-    wrong answer."""
+    wrong answer.
+
+    The persist is SESSION-LIVED by design (there is no safe point to
+    unpersist inside a lazily-evaluated query); later documents queries
+    in the same session read the cache, which is a perf win in a shared
+    session. Measurement harnesses that need parquet-true timings/plans
+    per query (bench.py, tools/plan_audit.py) call
+    ``spark.catalog.clearCache()`` between queries."""
     from pyspark import StorageLevel
 
     from .docs_source import load_docs

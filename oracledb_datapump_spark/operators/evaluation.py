@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 
 from .clustering import KMEANS_SQL, kmeans_assign
 from .dedup import DEDUP_MINHASH_VERIFIED_SQL, dedup_minhash_verified
-from .docs_source import load_docs
 from .textstats import LANG_ID_SQL, lang_id
 
 
@@ -34,8 +33,11 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-argmax language classifier against the fixture's ground
     truth. One broadcast-sized groupBy — |langs|² rows out of the
     shuffle regardless of corpus size."""
-    d = load_docs(spark, sf_dir).select("doc_id", F.col("lang").alias("lang_actual"))
-    pred = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    from .curation import _shared_docs
+
+    base = _shared_docs(spark, sf_dir)
+    d = base.select("doc_id", F.col("lang").alias("lang_actual"))
+    pred = lang_id(spark, sf_dir, docs=base).select("doc_id", "lang_pred")
     return (
         d.join(pred, "doc_id")
         .groupBy("lang_actual", "lang_pred")
@@ -121,9 +123,12 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — the per-provider yield report. The loser set is
     candidate-bounded (LSH) and the per-source rollup shuffles
     |sources| rows."""
-    d = load_docs(spark, sf_dir).select("doc_id", "source")
+    from .curation import _shared_docs
+
+    base = _shared_docs(spark, sf_dir)
+    d = base.select("doc_id", "source")
     losers = (
-        dedup_minhash_verified(spark, sf_dir)
+        dedup_minhash_verified(spark, sf_dir, docs=base)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_loser", F.lit(1))

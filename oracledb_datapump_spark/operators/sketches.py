@@ -156,15 +156,19 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     document tokens, frequency estimated by a Count-Min sketch and
     verified against the exact count in the same result.
 
-    The sketch is CMS_D x CMS_W integer counters built in ONE
-    groupBy(row, counter) over the token stream — sketch state out of
-    the shuffle is 4096 rows regardless of corpus size, the whole point
-    at 100 TB (exact top-k shuffles every distinct token). Hashes are
-    the shared md5-based hash64 with per-row salts, so every counter —
-    and therefore the estimate — is bit-identical in DuckDB and part of
-    the hard hash gate. est >= exact always (CMS never undercounts);
-    collisions in 1024-wide rows make the overestimate visible, which
-    is the honest demonstration of the sketch's error bound.
+    The corpus is tokenized ONCE and reduced in ONE corpus-scale
+    groupBy(token) (map-side combined, |vocab| rows out of the
+    shuffle); the CMS_D x CMS_W counter grid then folds from that
+    vocab-sized table — cell(r,c) = Σ exact_count over tokens hashing
+    to (r,c), algebraically identical to counting the raw stream but
+    the ×CMS_D explode runs over |vocab| rows, not |tokens|. Sketch
+    state out of the vocab fold is 4096 rows regardless of corpus
+    size, the whole point at 100 TB. Hashes are the shared md5-based
+    hash64 with per-row salts, so every counter — and therefore the
+    estimate — is bit-identical in DuckDB and part of the hard hash
+    gate. est >= exact always (CMS never undercounts); collisions in
+    1024-wide rows make the overestimate visible, which is the honest
+    demonstration of the sketch's error bound.
 
     The estimate-every-candidate join below scans distinct tokens (fine
     here; production keeps a per-partition candidate pre-filter so only
@@ -174,18 +178,25 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = d.select(F.explode(tokens("text")).alias("token"))
-    rows = toks.withColumn(
+    # vocab-sized; reused by the sketch fold AND the probe side below
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .localCheckpoint(eager=True)
+    )
+    rows = exact.withColumn(
         "row", F.explode(F.array(*[F.lit(i) for i in range(CMS_D)]))
     ).select(
-        "token",
+        "exact_count",
         "row",
         (
             hash64(F.concat(F.lit("cms"), F.col("row"), F.lit(":"), F.col("token")))
             % CMS_W
         ).alias("counter"),
     )
-    sketch = rows.groupBy("row", "counter").agg(F.count(F.lit(1)).alias("c"))
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    sketch = rows.groupBy("row", "counter").agg(
+        F.sum("exact_count").alias("c")
+    )
     probes = exact.select(
         "token",
         "exact_count",

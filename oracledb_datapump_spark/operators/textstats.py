@@ -207,7 +207,7 @@ def doc_fingerprint(
 
     d = load_docs(spark, sf_dir, docs)
     norm = F.md5(F.regexp_replace(F.lower("text"), "\\s+", " ")).alias("norm_md5")
-    sh = _shingles(spark, sf_dir).select(
+    sh = _shingles(spark, sf_dir, docs).select(
         "doc_id", hash64(F.col("shingle")).alias("h")
     )
     winnow = (

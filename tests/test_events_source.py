@@ -96,3 +96,23 @@ def test_empty_dir_defaults(spark, tmp_path):
     os.makedirs(d)
     validate_events_source(spark, d)  # no files: nothing to reject
     assert events_stream_schema(d)["ts"].dataType.simpleString() == "timestamp_ntz"
+
+
+def test_mixed_type_directory_rejected(spark, tmp_path):
+    """Files disagreeing on ts type would silently lose the mismatched
+    files' rows under a fixed readStream schema — reject up front."""
+    d = str(tmp_path / "mixed")
+    _write_events(d, VARIANTS["us_ntz"])
+    t = pa.table(
+        {
+            "event_id": pa.array([3], pa.int64()),
+            "ts": pa.array([US[0] * 1000], pa.timestamp("ns")),
+            "user_id": pa.array([30], pa.int64()),
+            "event_type": pa.array(["view"]),
+            "value": pa.array([3.5], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "later.parquet"), version="2.6")
+    with pytest.raises(ValueError, match="mixes ts types"):
+        validate_events_source(spark, d)
