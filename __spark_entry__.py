@@ -112,7 +112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lifecycle (engine.py MERGE fix this round) -----------------
         "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
-        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         # --- iterative ops re-planned this round (localCheckpoint) ------
         "dedup_groups": D.dedup_groups,
         "kmeans_assign": CL.kmeans_assign,
@@ -120,10 +119,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": EV.lang_id_confusion,
         "cluster_label_purity": EV.cluster_label_purity,
         "dedup_rate_by_source": EV.dedup_rate_by_source,
+        "ann_lsh_recall": EV.ann_lsh_recall,
         # --- flagship relational anchor ---------------------------------
         "q1_pricing_summary": A.q1_pricing_summary,
         # ---------------- fold: entry 51+ below ------------------------
         # relational analytics proven green r01-r03, code unchanged
+        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_confusion": EV.LANG_ID_CONFUSION_SQL,
         "cluster_label_purity": EV.CLUSTER_LABEL_PURITY_SQL,
         "dedup_rate_by_source": EV.DEDUP_RATE_BY_SOURCE_SQL,
+        "ann_lsh_recall": EV.ANN_LSH_RECALL_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

@@ -96,6 +96,7 @@ def main() -> None:
         "lang_id_confusion",
         "cluster_label_purity",
         "dedup_rate_by_source",
+        "ann_lsh_recall",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

@@ -166,3 +166,57 @@ GROUP BY d.source
 ORDER BY d.source
 """
 )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall_ppm): recall@{TOP_K} of the multi-probe
+    LSH top-k (the 100 TB scale path) against the exact brute-force
+    baseline, per query — THE metric that justifies shipping an
+    approximate index. recall_ppm = (|lsh ∩ brute| * 1e6) DIV TOP_K,
+    integer arithmetic under the hash gate.
+
+    Plan: both sides bound their own cost (brute is the N_QUERIES-row
+    broadcast baseline, LSH is bucket-joined); the recall join itself is
+    on (query_id, neighbor_id) — N_QUERIES·TOP_K rows, driver-trivial at
+    any corpus size."""
+    from .similarity import TOP_K, ann_bruteforce_topk, ann_lsh_topk
+
+    brute = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 1000000) DIV {TOP_K}").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _ann_lsh_recall_sql() -> str:
+    from .similarity import ANN_BRUTEFORCE_SQL, ANN_LSH_SQL, TOP_K
+
+    brute = ANN_BRUTEFORCE_SQL.replace("ORDER BY query_id, rank", "")
+    lsh = ANN_LSH_SQL.replace("ORDER BY query_id, rank", "")
+    return f"""
+WITH brute_full AS ({brute}),
+lsh_full AS ({lsh})
+SELECT b.query_id,
+       CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // {TOP_K} AS BIGINT) AS recall_ppm
+FROM brute_full b
+LEFT JOIN lsh_full l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+ANN_LSH_RECALL_SQL = _ann_lsh_recall_sql()
