@@ -120,10 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_label_purity": EV.cluster_label_purity,
         "dedup_rate_by_source": EV.dedup_rate_by_source,
         "ann_lsh_recall": EV.ann_lsh_recall,
-        # --- flagship relational anchor ---------------------------------
-        "q1_pricing_summary": A.q1_pricing_summary,
+        "corpus_shard_plan": EV.corpus_shard_plan,
         # ---------------- fold: entry 51+ below ------------------------
         # relational analytics proven green r01-r03, code unchanged
+        # (q1 is additionally smoke-run every round via entry())
+        "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
@@ -215,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_label_purity": EV.CLUSTER_LABEL_PURITY_SQL,
         "dedup_rate_by_source": EV.DEDUP_RATE_BY_SOURCE_SQL,
         "ann_lsh_recall": EV.ANN_LSH_RECALL_SQL,
+        "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

@@ -220,3 +220,83 @@ ORDER BY b.query_id
 
 
 ANN_LSH_RECALL_SQL = _ann_lsh_recall_sql()
+
+
+N_SHARDS = 16
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bpe_ish_tokens, shard): balanced write-shard assignment
+    for a training-data export — docs ranked by token count descending
+    are dealt round-robin across {N_SHARDS} shards (LPT-style: the
+    greedy longest-processing-time heuristic's distributed cousin; with
+    round-robin over a sorted stream, shard totals differ by at most
+    one max-document). This is how a 100 TB corpus export plans its
+    output files so no trainer data-loader shard straggles.
+
+    Plan: token counting is row-local. The global rank is computed
+    DISTRIBUTED — a naive row_number() over a global ORDER BY moves
+    every row to one partition (Spark warns exactly that); instead the
+    narrow (doc_id, n_tokens) projection is range-partitioned on the
+    full sort tuple, ranked within partitions, and shifted by the
+    per-partition prefix offsets (a |partitions|-row driver collect).
+    Range boundaries respect the same total order, so the result is
+    bit-identical to the single-partition formulation — it is the
+    standard distributed global-index pattern, and the sort cost class
+    matches any EXPORT_SORT_BY layout pass."""
+    from .textstats import token_count
+
+    t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
+    part = (
+        t.repartitionByRange(
+            32, F.desc("bpe_ish_tokens"), F.asc("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the partitioning the offsets describe
+    )
+    counts = {
+        r.pid: r.n
+        for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.coalesce(
+        *[
+            F.when(F.col("pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = W.partitionBy("pid").orderBy(F.desc("bpe_ish_tokens"), "doc_id")
+    return (
+        part.withColumn("rk", F.row_number().over(w) + off_col)
+        .select(
+            "doc_id",
+            "bpe_ish_tokens",
+            ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_shard_plan_sql() -> str:
+    from .textstats import BPE_ISH_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))
+           AS bpe_ish_tokens
+  FROM documents
+)
+SELECT doc_id, bpe_ish_tokens,
+       CAST((ROW_NUMBER() OVER (ORDER BY bpe_ish_tokens DESC, doc_id) - 1)
+            % {N_SHARDS} AS BIGINT) AS shard
+FROM t
+ORDER BY doc_id
+"""
+
+
+CORPUS_SHARD_PLAN_SQL = _corpus_shard_plan_sql()
