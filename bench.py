@@ -97,6 +97,8 @@ def main() -> None:
         "cluster_label_purity",
         "dedup_rate_by_source",
         "ann_lsh_recall",
+        "corpus_shard_plan",
+        "doc_chunks",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()
@@ -111,6 +113,16 @@ def main() -> None:
         # silently read InMemoryRelation and its median would not be
         # comparable to baselines measured against parquet
         spark.catalog.clearCache()
+        # localCheckpoint blocks (iterative ops) are NOT in the SQL cache;
+        # left alone they accumulate across the whole run and the block-
+        # manager pressure inflates later queries' timings
+        import gc
+
+        gc.collect()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
