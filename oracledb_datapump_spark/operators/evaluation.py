@@ -317,11 +317,13 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: entirely row-local (token split, window starts via sequence,
     per-chunk slice+md5, one explode) — an embarrassingly parallel map
     over the corpus scan with no shuffle at all; output order is the
-    deterministic (doc_id, chunk_idx)."""
-    from .curation import _shared_docs
+    deterministic (doc_id, chunk_idx). Single-arm op, so it reads a
+    plain pruned scan (doc_id+text reach the parquet reader) rather
+    than the multi-arm shared cache."""
+    from .docs_source import load_docs
     from ..functions.text import tokens
 
-    d = _shared_docs(spark, sf_dir)
+    d = load_docs(spark, sf_dir)
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
