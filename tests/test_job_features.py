@@ -316,3 +316,47 @@ def test_merge_import_duplicate_keys_deterministic(spark, duck, tmp_path):
         assert [k for k, _ in got] == [1, 2, 3]  # one survivor per key
         results.append(got)
     assert results[0] == results[1]  # deterministic survivor choice
+
+
+def test_merge_import_with_map_column(spark, tmp_path):
+    """MERGE into a table carrying a MapType column: the survivor
+    tiebreak must hash only hashable columns (Spark's hash() rejects
+    maps), so the merge completes instead of raising."""
+    import pyspark.sql.functions as F
+    from oracledb_datapump_spark.catalog import ParquetConnector
+
+    src_root = str(tmp_path / "srcdb")
+    os.makedirs(f"{src_root}/hr")
+    base = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("v"),
+        F.create_map(F.lit("a"), F.col("id")).alias("attrs"),
+    )
+    base.write.parquet(f"{src_root}/hr/kvmap.parquet")
+    src = ParquetConnector(src_root)
+
+    dump = f"{tmp_path}/dumpmap"
+    st = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("hr"), D.INCLUDE_TABLE("kvmap")],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+
+    target = ParquetConnector(str(tmp_path / "whmap"))
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump,
+        directives=[D.REMAP_SCHEMA("hr", "tgt")],
+    ).run(connection=target, spark=spark)
+    assert st.job_state == "COMPLETED"
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=dump,
+        directives=[
+            D.REMAP_SCHEMA("hr", "tgt"),
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("k"),
+        ],
+    ).run(connection=target, spark=spark)
+    assert st.job_state == "COMPLETED", st
+    out = target.read_table(spark, "tgt", "kvmap").collect()
+    assert sorted(r.k for r in out) == [0, 1, 2, 3, 4]
+    assert all(r.attrs == {"a": r.k} for r in out)
