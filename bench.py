@@ -99,6 +99,7 @@ def main() -> None:
         "ann_lsh_recall",
         "corpus_shard_plan",
         "doc_chunks",
+        "embedding_pca_scores",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()
