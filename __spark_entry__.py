@@ -42,6 +42,7 @@ from oracledb_datapump_spark.operators import sparse_text as SX
 from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
+from oracledb_datapump_spark.streaming import dedup as SD
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -112,7 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
         # --- iterative ops re-planned this round (localCheckpoint) ------
         "dedup_groups": D.dedup_groups,
-        "kmeans_assign": CL.kmeans_assign,
+        # --- streaming under the hash gate (closed windows = declarative
+        # watermark predicate; first driver-gated streaming evidence) ----
+        "streaming_rollup_closed": SD.streaming_rollup_closed,
         # --- pipeline evaluation (new this round) -----------------------
         "lang_id_confusion": EV.lang_id_confusion,
         "cluster_label_purity": EV.cluster_label_purity,
@@ -132,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_json_stats: r03-green; its only r4 change is the shared
         # events loader, proven by the three gated events queries above
         "events_json_stats": A4.events_json_stats,
+        # kmeans_assign runs INSIDE three gated queries (cluster_sizes,
+        # cluster_label_purity, dedup_semantic); its own row rotates out
+        "kmeans_assign": CL.kmeans_assign,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
@@ -226,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
         "doc_chunks": EV.DOC_CHUNKS_SQL,
         "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,
+        "streaming_rollup_closed": SD.STREAMING_ROLLUP_CLOSED_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

@@ -87,3 +87,54 @@ def run_rollup_export(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     )
     q.awaitTermination()
     return {"sink_path": os.path.join(out_dir, "rollup")}
+
+
+def streaming_rollup_closed(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(hour_start, event_type, n_events): one availableNow cycle of the
+    watermarked streaming hourly rollup over the events fixture,
+    returning the CLOSED windows — the driver-gated proof that the
+    Structured Streaming path executes and that its append-mode output
+    equals the declarative definition of "closed": window end at or
+    before the final watermark (max event time − {ROLLUP_LATENESS}).
+    The oracle states exactly that in SQL, so streaming output sits
+    under the full cross-engine hash gate, not a rows-only check.
+    (An exact tie between a window end and the watermark would expose
+    the >=-vs-> boundary; with microsecond-random fixture timestamps a
+    tie is measure-zero, and both predicates verified identical on the
+    shipped fixtures.)
+
+    Runs against throwaway source/sink/checkpoint dirs; the result is
+    pinned with localCheckpoint before cleanup."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dp_rollup_src_")
+    out = tempfile.mkdtemp(prefix="dp_rollup_out_")
+    try:
+        shutil.copy(
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        info = run_rollup_export(spark, src, out)
+        return (
+            spark.read.parquet(info["sink_path"])
+            .orderBy("hour_start", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+STREAMING_ROLLUP_CLOSED_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+mx AS (SELECT MAX(us) AS m FROM e),
+agg AS (
+  SELECT (us // 3600000000) * 3600 AS hour_start, event_type,
+         COUNT(*) AS n_events
+  FROM e GROUP BY 1, 2
+)
+SELECT hour_start, event_type, n_events FROM agg, mx
+WHERE (hour_start + 3600) * 1000000 <= m - 1800000000
+ORDER BY hour_start, event_type
+"""
