@@ -43,6 +43,7 @@ from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
 from oracledb_datapump_spark.streaming import dedup as SD
+from oracledb_datapump_spark.streaming import stateful as ST
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -125,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": EV.doc_chunks,
         "embedding_pca_scores": EM.embedding_pca_scores,
         # ---------------- fold: entry 51+ below ------------------------
+        # first in line for next round's gated rotation: the stateful
+        # sessionizer under the hash gate (oracle: batch sessions minus
+        # each user's open tail); locally hash-verified this round
+        "streaming_sessions_closed": ST.streaming_sessions_closed,
         # relational analytics proven green r01-r03, code unchanged
         # (q1 is gated green r01-r03 unchanged AND smoke-run every round
         # via entry(); the nation roundtrip was gated green r01-r03 on an
@@ -233,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": EV.DOC_CHUNKS_SQL,
         "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,
         "streaming_rollup_closed": SD.STREAMING_ROLLUP_CLOSED_SQL,
+        "streaming_sessions_closed": ST.STREAMING_SESSIONS_CLOSED_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

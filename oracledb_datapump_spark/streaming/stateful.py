@@ -163,3 +163,62 @@ def run_session_export(
     )
     q.awaitTermination()
     return {"sink_path": os.path.join(out_dir, "sessions")}
+
+
+def streaming_sessions_closed(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(user_id, session_seq, n_events, session_start_us,
+    session_end_us): one availableNow catch-up cycle of the stateful
+    sessionizer (applyInPandasWithState), returning the sessions CLOSED
+    by a gap — declaratively, every session except each user's LAST
+    (the open tail stays in the checkpointed state store for the next
+    cycle). The oracle composes the batch sessionizer SQL with exactly
+    that predicate, so the custom stateful operator's output sits under
+    the full cross-engine hash gate.
+
+    Runs against throwaway source/sink/checkpoint dirs; result pinned
+    with localCheckpoint before cleanup."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dp_sess_src_")
+    out = tempfile.mkdtemp(prefix="dp_sess_out_")
+    try:
+        shutil.copy(
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        info = run_session_export(spark, src, out, idle_flush_ms=0)
+        return (
+            spark.read.parquet(info["sink_path"])
+            .select(
+                "user_id",
+                "session_seq",
+                "n_events",
+                "session_start_us",
+                "session_end_us",
+            )
+            .orderBy("user_id", "session_seq")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _sessions_closed_sql() -> str:
+    from ..operators.analytics import EVENTS_SESSIONIZE_SQL
+
+    batch = EVENTS_SESSIONIZE_SQL.replace("ORDER BY user_id, session_seq", "")
+    return f"""
+WITH all_sessions AS ({batch})
+SELECT user_id, session_seq, n_events, session_start_us, session_end_us
+FROM (
+  SELECT *, MAX(session_seq) OVER (PARTITION BY user_id) AS last_seq
+  FROM all_sessions
+)
+WHERE session_seq < last_seq
+ORDER BY user_id, session_seq
+"""
+
+
+STREAMING_SESSIONS_CLOSED_SQL = _sessions_closed_sql()
