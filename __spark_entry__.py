@@ -44,6 +44,7 @@ from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import stateful as ST
+from oracledb_datapump_spark.streaming import joins as SJ
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sessionizer under the hash gate (oracle: batch sessions minus
         # each user's open tail); locally hash-verified this round
         "streaming_sessions_closed": ST.streaming_sessions_closed,
+        "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
         # relational analytics proven green r01-r03, code unchanged
         # (q1 is gated green r01-r03 unchanged AND smoke-run every round
         # via entry(); the nation roundtrip was gated green r01-r03 on an
@@ -239,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,
         "streaming_rollup_closed": SD.STREAMING_ROLLUP_CLOSED_SQL,
         "streaming_sessions_closed": ST.STREAMING_SESSIONS_CLOSED_SQL,
+        "streaming_attribution_pairs": SJ.STREAMING_ATTRIBUTION_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

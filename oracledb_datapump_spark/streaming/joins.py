@@ -117,3 +117,53 @@ def batch_equivalent(spark: SparkSession, src_dir: str) -> DataFrame:
         et.alias("purchase_time"),
     )
     return _joined(clicks, purchases)
+
+
+def streaming_attribution_pairs(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(purchase_id, user_id, click_id, gap_us): one availableNow cycle
+    of the watermarked stream-stream interval join, hash-gated against
+    the plain batch interval-join SQL. A single staged file drains in
+    one micro-batch, and inner stream-stream joins emit matches
+    immediately, so the emitted set equals the batch join exactly
+    (verified at both fixture SFs); a multi-batch drain may withhold
+    pairs whose click-side state the watermark already evicted — that
+    subset-vs-convergence contract is covered in
+    tests/test_streaming_joins.py.
+
+    Runs against throwaway source/sink/checkpoint dirs; result pinned
+    with localCheckpoint before cleanup."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dp_attr_src_")
+    out = tempfile.mkdtemp(prefix="dp_attr_out_")
+    try:
+        shutil.copy(
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        info = run_attribution_export(spark, src, out)
+        return (
+            spark.read.parquet(info["sink_path"])
+            .orderBy("purchase_id", "click_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+STREAMING_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+),
+c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e
+      WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e
+      WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, c.click_id, p.pus - c.cus AS gap_us
+FROM p JOIN c ON p.user_id = c.user_id
+             AND c.cus <= p.pus
+             AND c.cus >= p.pus - 3600000000
+ORDER BY purchase_id, click_id
+"""
