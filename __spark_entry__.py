@@ -45,6 +45,7 @@ from oracledb_datapump_spark.operators import textstats as T
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import stateful as ST
 from oracledb_datapump_spark.streaming import joins as SJ
+from oracledb_datapump_spark.streaming import sketch as SK2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each user's open tail); locally hash-verified this round
         "streaming_sessions_closed": ST.streaming_sessions_closed,
         "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
+        "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
         # relational analytics proven green r01-r03, code unchanged
         # (q1 is gated green r01-r03 unchanged AND smoke-run every round
         # via entry(); the nation roundtrip was gated green r01-r03 on an
@@ -242,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_rollup_closed": SD.STREAMING_ROLLUP_CLOSED_SQL,
         "streaming_sessions_closed": ST.STREAMING_SESSIONS_CLOSED_SQL,
         "streaming_attribution_pairs": SJ.STREAMING_ATTRIBUTION_SQL,
+        "streaming_cms_cells": SK2.STREAMING_CMS_CELLS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

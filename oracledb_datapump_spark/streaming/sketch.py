@@ -122,3 +122,56 @@ def batch_cms_cells(spark: SparkSession, src_dir: str) -> DataFrame:
         .groupBy("row", "counter")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def streaming_cms_cells_cycle(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(row, counter, c): one availableNow cycle of the stateful
+    streaming Count-Min sketch over the events fixture's event_type
+    column — hash-gated against the batch cell counts in SQL. A single
+    staged file drains in one micro-batch, so each cell's appended
+    running total equals the batch count exactly; with that, all four
+    custom streaming families (windowed rollup, stateful sessionizer,
+    interval join, CMS sketch) carry value-hash oracles.
+
+    Runs against throwaway source/sink/checkpoint dirs; result pinned
+    with localCheckpoint before cleanup."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dp_cms_src_")
+    out = tempfile.mkdtemp(prefix="dp_cms_out_")
+    try:
+        shutil.copy(
+            os.path.join(src_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        info = run_cms_cycle(spark, src, out)
+        return (
+            spark.read.parquet(info["sink_path"])
+            .select(F.col("row").cast("long").alias("row"), "counter", "c")
+            .orderBy("row", "counter")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _cms_cells_sql() -> str:
+    from ..functions.text import sql_hash64
+
+    return f"""
+WITH cells AS (
+  SELECT r.row,
+         {sql_hash64("'cms' || CAST(r.row AS VARCHAR) || ':' || e.event_type")}
+           % {CMS_W} AS counter
+  FROM events e CROSS JOIN (SELECT unnest(range({CMS_D})) AS row) r
+)
+SELECT CAST(row AS BIGINT) AS row, counter, COUNT(*) AS c
+FROM cells
+GROUP BY 1, 2
+ORDER BY row, counter
+"""
+
+
+STREAMING_CMS_CELLS_SQL = _cms_cells_sql()
