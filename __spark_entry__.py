@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_closed": ST.streaming_sessions_closed,
         "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
         "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
+        "source_token_budget": EV.source_token_budget,
+        "dedup_group_size_histogram": EV.dedup_group_size_histogram,
+        "join_key_skew_profile": EV.join_key_skew_profile,
         # relational analytics proven green r01-r03, code unchanged
         # (q1 is gated green r01-r03 unchanged AND smoke-run every round
         # via entry(); the nation roundtrip was gated green r01-r03 on an
@@ -245,6 +248,9 @@ def oracle_sql() -> dict[str, str]:
         "streaming_sessions_closed": ST.STREAMING_SESSIONS_CLOSED_SQL,
         "streaming_attribution_pairs": SJ.STREAMING_ATTRIBUTION_SQL,
         "streaming_cms_cells": SK2.STREAMING_CMS_CELLS_SQL,
+        "source_token_budget": EV.SOURCE_TOKEN_BUDGET_SQL,
+        "dedup_group_size_histogram": EV.DEDUP_GROUP_HIST_SQL,
+        "join_key_skew_profile": EV.JOIN_KEY_SKEW_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_minhash_pairs": D.DEDUP_MINHASH_SQL,
         "dedup_minhash_verified": D.DEDUP_MINHASH_VERIFIED_SQL,

@@ -372,3 +372,150 @@ ORDER BY doc_id, chunk_idx
 
 
 DOC_CHUNKS_SQL = _doc_chunks_sql()
+
+
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, total_bpe_tokens, share_ppm): the per-provider
+    token-budget table a pretraining mix is planned from (how many
+    tokens each source contributes and its integer-ppm share of the
+    corpus). One row-local token count + one |sources|-row aggregate +
+    a broadcast one-row total."""
+    from .docs_source import load_docs
+    from .textstats import token_count
+
+    d = load_docs(spark, sf_dir).select("doc_id", "source")
+    t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
+    per_source = (
+        d.join(t, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_ish_tokens").alias("total_bpe_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("total_bpe_tokens").alias("grand"))
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_bpe_tokens",
+            F.expr("(total_bpe_tokens * 1000000) DIV grand").alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_token_budget_sql() -> str:
+    from .textstats import BPE_ISH_RE
+
+    return f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS toks
+  FROM documents
+),
+per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS total_bpe_tokens
+  FROM t GROUP BY source
+),
+tot AS (SELECT CAST(SUM(total_bpe_tokens) AS BIGINT) AS grand FROM per_source)
+SELECT source, n_docs, total_bpe_tokens,
+       CAST((total_bpe_tokens * 1000000) // grand AS BIGINT) AS share_ppm
+FROM per_source, tot
+ORDER BY source
+"""
+
+
+SOURCE_TOKEN_BUDGET_SQL = _source_token_budget_sql()
+
+
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(group_size, n_groups, n_docs): distribution of near-duplicate
+    cluster sizes from the connected-component labeling — the audit
+    curve that says how much of the corpus is singleton vs heavily
+    duplicated (the shape SemDeDup/MinHash papers report). Tiny
+    aggregate over dedup_groups' output."""
+    from .dedup import dedup_groups
+
+    g = dedup_groups(spark, sf_dir).select("group_id", "group_size").distinct()
+    return (
+        g.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
+        )
+        .orderBy("group_size")
+    )
+
+
+def _dedup_group_hist_sql() -> str:
+    from .dedup import DEDUP_GROUPS_SQL
+
+    base = DEDUP_GROUPS_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH labeled AS ({base}),
+groups AS (SELECT DISTINCT group_id, group_size FROM labeled)
+SELECT group_size, COUNT(*) AS n_groups,
+       CAST(group_size * COUNT(*) AS BIGINT) AS n_docs
+FROM groups
+GROUP BY group_size
+ORDER BY group_size
+"""
+
+
+DEDUP_GROUP_HIST_SQL = _dedup_group_hist_sql()
+
+
+SKEW_TOPK = 20
+
+
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_suppkey, n_rows, share_ppm, cum_share_ppm): the top-{SKEW_TOPK}
+    heaviest lineitem join keys with their integer-ppm corpus share and
+    cumulative share — the diagnostic that decides whether a join needs
+    salting or AQE skew handling (SCALE.md's skew lever, quantified).
+    One partial-aggregated groupBy (|keys| rows shuffle) + a top-k sort
+    over the aggregate."""
+    counts = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").alias("grand"))
+    w = W.orderBy(F.desc("n_rows"), "l_suppkey")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_ppm", F.expr("(n_rows * 1000000) DIV grand"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SKEW_TOPK)
+        .withColumn(
+            "cum_share_ppm",
+            F.sum("share_ppm").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .select("l_suppkey", "n_rows", "share_ppm", "cum_share_ppm")
+        .orderBy("l_suppkey")
+    )
+
+
+JOIN_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT l_suppkey, COUNT(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS grand FROM counts),
+ranked AS (
+  SELECT l_suppkey, n_rows,
+         CAST((n_rows * 1000000) // grand AS BIGINT) AS share_ppm,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, l_suppkey) AS rk
+  FROM counts, tot
+)
+SELECT l_suppkey, n_rows, share_ppm,
+       CAST(SUM(share_ppm) OVER (ORDER BY rk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_share_ppm
+FROM ranked WHERE rk <= {SKEW_TOPK}
+ORDER BY l_suppkey
+"""
