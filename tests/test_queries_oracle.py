@@ -1,11 +1,19 @@
-"""Replicates the driver's t2 correctness gate locally at sf0.001:
-every queries() entry with an oracle must row/schema/value-match DuckDB."""
+"""Replicates the driver's t2 correctness gate locally at BOTH fixture
+scales: every queries() entry with an oracle must row/schema/value-match
+DuckDB at sf0.001 (the suite default, exercising small-data edge cases:
+empty LSH buckets, single-row aggregates) AND sf0.01 (the driver's
+actual gating scale)."""
+
+import pytest
 
 from oracledb_datapump_spark.oracle_check import check_all
 
 
-def test_all_queries_match_oracle(spark, sf_dir):
-    results = check_all(spark, sf_dir)
+@pytest.mark.parametrize(
+    "scale_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_all_queries_match_oracle(spark, scale_dir):
+    results = check_all(spark, scale_dir)
     failures = [
         r
         for r in results
