@@ -217,7 +217,9 @@ def _pca_sql() -> str:
   SELECT c.i, SUM(c.c * v.v) AS r FROM cov c JOIN v{t - 1} v ON c.j = v.i
   GROUP BY c.i
 ),
-m{t} AS MATERIALIZED (SELECT MAX(ABS(r)) AS m FROM w{t}),
+m{t} AS MATERIALIZED (
+  SELECT CASE WHEN MAX(ABS(r)) = 0 THEN 1 ELSE MAX(ABS(r)) END AS m FROM w{t}
+),
 v{t} AS MATERIALIZED (SELECT i, (r * {PCA_VSCALE}) // (SELECT m FROM m{t}) AS v FROM w{t})"""
         )
     chain = ",\n".join(steps)

@@ -381,17 +381,17 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus). One row-local token count + one |sources|-row aggregate +
     a broadcast one-row total."""
     from .docs_source import load_docs
-    from .textstats import token_count
+    from .textstats import BPE_ISH_RE
 
-    d = load_docs(spark, sf_dir).select("doc_id", "source")
-    t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
-    per_source = (
-        d.join(t, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("bpe_ish_tokens").alias("total_bpe_tokens"),
-        )
+    d = load_docs(spark, sf_dir).select(
+        "source",
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH_RE}', 0)")
+        ).alias("toks"),
+    )
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("total_bpe_tokens"),
     )
     total = per_source.agg(F.sum("total_bpe_tokens").alias("grand"))
     return (
@@ -455,7 +455,7 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_group_hist_sql() -> str:
     from .dedup import DEDUP_GROUPS_SQL
 
-    base = DEDUP_GROUPS_SQL.replace("ORDER BY doc_id", "")
+    base = DEDUP_GROUPS_SQL.replace("ORDER BY c.doc_id", "")
     return f"""
 WITH labeled AS ({base}),
 groups AS (SELECT DISTINCT group_id, group_size FROM labeled)

@@ -18,10 +18,16 @@ def test_asof_join_random_matches_bisect(spark):
     prior right row."""
     rng = random.Random(42)
     keys = ["a", "b", "c", "d"]
-    right = [
-        Row(k=rng.choice(keys), rt=rng.randint(0, 100), val=i)
-        for i in range(60)
-    ]
+    # unique (k, rt) pairs: the operator leaves the winner among
+    # right rows tied on (key, ts) unspecified (window orders by
+    # (__ts, __tag) only), so the reference must not depend on one
+    seen = set()
+    right = []
+    while len(right) < 60:
+        k, rt = rng.choice(keys), rng.randint(0, 100)
+        if (k, rt) not in seen:
+            seen.add((k, rt))
+            right.append(Row(k=k, rt=rt, val=len(right)))
     left = [
         Row(k=rng.choice(keys), t=rng.randint(0, 100), lid=i) for i in range(80)
     ]
@@ -36,9 +42,8 @@ def test_asof_join_random_matches_bisect(spark):
             carry=["val"],
         ).collect()
     }
-    # reference: per key, sorted (rt, val); match = last (rt, val) with
-    # rt <= t — val ascending breaks rt ties exactly like the window's
-    # (ts, tag) order with last() carry (the later row wins)
+    # reference: per key, sorted by rt (unique per key by
+    # construction); match = last row with rt <= t
     by_key: dict = {}
     for r in sorted(right, key=lambda r: (r.rt, r.val)):
         by_key.setdefault(r.k, []).append((r.rt, r.val))

@@ -4,14 +4,25 @@ DuckDB at sf0.001 (the suite default, exercising small-data edge cases:
 empty LSH buckets, single-row aggregates) AND sf0.01 (the driver's
 actual gating scale)."""
 
+import os
+
 import pytest
 
 from oracledb_datapump_spark.oracle_check import check_all
 
-
-@pytest.mark.parametrize(
-    "scale_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+# same override conftest.SF_DIR honors (tests/ is not a package, so the
+# constant is re-derived here rather than imported)
+_SCALES = list(
+    dict.fromkeys(
+        [
+            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+            "/root/testdata/sf0.01",
+        ]
+    )
 )
+
+
+@pytest.mark.parametrize("scale_dir", _SCALES)
 def test_all_queries_match_oracle(spark, scale_dir):
     results = check_all(spark, scale_dir)
     failures = [
