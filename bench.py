@@ -133,8 +133,10 @@ def main() -> None:
         except Exception as exc:  # one sick query must not kill the run
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            if not samples:
-                continue
+            # an errored query contributes NO timing even if some samples
+            # succeeded — a partial-run median would inflate the headline
+            # total and make clean and errored runs incomparable
+            continue
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)  # median
         spread[name] = round(samples[-1] - samples[0], 3)

@@ -279,15 +279,26 @@ def import_table(
                 # hashable columns, so repeated runs pick the same
                 # survivor (ties only between rows identical in those
                 # columns) — the job-hash determinism contract extends to
-                # MERGE. MapType columns are excluded: Spark's hash()
-                # rejects maps outright, and a map-typed tiebreak would
-                # turn a working merge into an AnalysisException.
-                from pyspark.sql.types import MapType
+                # MERGE. Columns whose type tree contains a MapType
+                # ANYWHERE (top-level, struct field, array element) are
+                # excluded: Spark's hash()/xxhash64() rejects maps at any
+                # nesting depth, and a map-typed tiebreak would turn a
+                # working merge into an AnalysisException.
+                from pyspark.sql.types import ArrayType, MapType, StructType
+
+                def _has_map(dt) -> bool:
+                    if isinstance(dt, MapType):
+                        return True
+                    if isinstance(dt, ArrayType):
+                        return _has_map(dt.elementType)
+                    if isinstance(dt, StructType):
+                        return any(_has_map(f.dataType) for f in dt.fields)
+                    return False
 
                 hashable = [
                     f.name
                     for f in merged.schema.fields
-                    if f.name != "__src" and not isinstance(f.dataType, MapType)
+                    if f.name != "__src" and not _has_map(f.dataType)
                 ]
                 w = Window.partitionBy(*keys).orderBy(
                     F.desc("__src"), F.xxhash64(*hashable)

@@ -37,6 +37,29 @@ NUM_HASHES = 16
 BAND_ROWS = 4  # 4 bands × 4 rows
 SHINGLE_N = 3
 
+# The two verification-grade O(n²) baselines (ngram_jaccard's all-pairs-
+# by-shared-shingle, embedding_cosine's crossJoin) refuse inputs above
+# this row count unless verification=True: at fixture scale (≤5k rows)
+# they run freely, but an accidental 100 TB invocation fails fast with a
+# pointer to the candidate-bounded scale path instead of launching a
+# quadratic job.
+QUADRATIC_GUARD_MAX_ROWS = 100_000
+
+
+def _guard_quadratic(df: DataFrame, op: str, scale_path: str, verification: bool) -> None:
+    if verification:
+        return
+    n = df.count()
+    if n > QUADRATIC_GUARD_MAX_ROWS:
+        from ..exceptions import UsageError
+
+        raise UsageError(
+            f"{op} is a verification-grade O(n^2) baseline and its input "
+            f"has {n} rows (limit {QUADRATIC_GUARD_MAX_ROWS}). Use the "
+            f"candidate-bounded scale path ({scale_path}), or pass "
+            f"verification=True to force the quadratic plan."
+        )
+
 
 def _docs(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
@@ -338,10 +361,20 @@ ORDER BY doc_id
 JACCARD_THRESHOLD = 0.6
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, verification: bool = False
+) -> DataFrame:
     """Exact 3-gram Jaccard ≥ {JACCARD_THRESHOLD} for pairs sharing ≥1
     shingle. Pair generation by shingle join — at 100 TB restrict to LSH
-    candidates first (dedup_minhash_pairs) to bound the fan-out."""
+    candidates first (dedup_minhash_pairs) to bound the fan-out; inputs
+    above QUADRATIC_GUARD_MAX_ROWS docs raise UsageError unless
+    verification=True."""
+    _guard_quadratic(
+        _docs(spark, sf_dir).select("doc_id"),
+        "dedup_ngram_jaccard",
+        "dedup_minhash_verified",
+        verification,
+    )
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -476,13 +509,23 @@ ORDER BY doc_a, doc_b
 COSINE_DUP_THRESHOLD = 0.4
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, verification: bool = False
+) -> DataFrame:
     """Near-duplicate vector pairs with cosine ≥ {COSINE_DUP_THRESHOLD}.
     Exact brute-force pair join (O(n²) — verification grade; the LSH/IVF
-    operators in similarity.py are the 100 TB path). Cosine is computed
-    with a sequential double fold (F.aggregate) so the result is
-    bit-identical to DuckDB's sequential list functions."""
+    operators in similarity.py and clustering.dedup_semantic are the
+    100 TB path). Inputs above QUADRATIC_GUARD_MAX_ROWS vectors raise
+    UsageError unless verification=True. Cosine is computed with a
+    sequential double fold (F.aggregate) so the result is bit-identical
+    to DuckDB's sequential list functions."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _guard_quadratic(
+        e.select("vec_id"),
+        "dedup_embedding_cosine",
+        "similarity.ann_lsh_topk / clustering.dedup_semantic",
+        verification,
+    )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )

@@ -170,6 +170,20 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     ).localCheckpoint(eager=True)  # reused by means, covariance, projection
     n = q.count()
+    # int64 headroom guard, enforced (not just the docstring note): Spark
+    # accumulates sum(ci*cj) in LongType and non-ANSI mode WRAPS on
+    # overflow while the DuckDB oracle promotes to HUGEINT — past this
+    # bound the engines diverge silently. |ci| ≤ 2·PCA_QUANT for
+    # embeddings with |x| ≤ 1, so n·(2·PCA_QUANT)² bounds every
+    # covariance cell.
+    if n * (2 * PCA_QUANT) ** 2 >= 2**63:
+        from ..exceptions import UsageError
+
+        raise UsageError(
+            f"embedding_pca_scores: {n} rows at PCA_QUANT={PCA_QUANT} can "
+            f"overflow int64 covariance sums (n*(2*PCA_QUANT)^2 >= 2^63); "
+            f"rescale PCA_QUANT down (each /10 buys 100x row headroom)."
+        )
     sums = {
         r.i: r.s
         for r in q.select(F.posexplode("qv").alias("i", "x"))

@@ -192,7 +192,13 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     order assignment) — real co-occurrence graphs are sparse; the
     orientation bound is what matters at scale.
     """
-    edges = _co_supplier_edges(spark, sf_dir).persist()
+    # localCheckpoint (not persist): the edge list feeds the degree agg,
+    # two orientation joins, and three wedge-join aliases — with plain
+    # persist the optimizer still re-plans the full lineitem self-join
+    # lineage under each consumer (r4 plan audit: 62 exchanges / 30
+    # scans); truncating lineage here collapses the plan the way
+    # pagerank's per-round checkpoint does.
+    edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -215,7 +221,7 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tris = (
         e1.join(

@@ -58,20 +58,24 @@ def span_dup_score(
     at least twice in the whole corpus (in any document, including this
     one), and the duplicated fraction quantized to parts-per-million.
 
-    Plan (single pass over an inverted span index):
+    Plan (skew-free — no per-span window, no join on the span key):
       1. spans are built row-locally (sequence+transform — no shuffle,
          pipelined into the first aggregation),
       2. groupBy(doc, span_hash) with map-side partial aggregation
          dedups in-doc repeats — shuffle volume is |distinct spans per
          doc|, and spans travel as 60-bit hashes (8 bytes), never text,
-      3. corpus occurrence counts attach via a window SUM partitioned
-         by span_hash over that same stream — algebraically the
-         groupBy(span)+join-back, but the expensive span stream is
-         scanned ONCE (a join would re-run tokenize+hash for the second
-         input),
-      4. final groupBy(doc_id) reduces to one row per document.
-    Hot spans (boilerplate) are exactly the skewed window partitions;
-    at 100 TB cap them with a df ceiling or salt the window key.
+      3. the dup count uses the identity
+             n_dup_spans(doc) = n_spans(doc) − |globally-unique spans|:
+         a span with corpus occurrence 1 has exactly ONE (doc, gid) row
+         with c == 1, so groupBy(gid) keeping min(doc_id) identifies
+         each unique span's owning document directly. Hot boilerplate
+         gids collapse MAP-SIDE in the partial aggregation (a reducer
+         sees at most one partial row per map task per gid), which is
+         what the earlier Window.partitionBy(gid) formulation could not
+         do — a window partition is unsplittable, so one hot span
+         serialized an entire reducer at scale.
+      4. final per-doc totals and unique-counts meet in a join on
+         doc_id — a uniformly distributed key.
     """
     d = _docs(spark, sf_dir, docs)
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(
@@ -84,18 +88,30 @@ def span_dup_score(
     span_stream = wt.select(
         "doc_id", F.explode(grams).alias("gram")
     ).select("doc_id", hash64(F.col("gram")).alias("gid"))
-    # one row per (doc, distinct span): c = in-doc occurrences
+    # one row per (doc, distinct span): c = in-doc occurrences.
+    # Persist: it feeds both the per-doc totals and the unique-span
+    # aggregate — one tokenize+hash pass instead of two.
     per_doc = span_stream.groupBy("doc_id", "gid").agg(
         F.count(F.lit(1)).alias("c")
+    ).persist()
+    totals = per_doc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_spans")
     )
-    with_occ = per_doc.withColumn(
-        "occ", F.sum("c").over(Window.partitionBy("gid"))
+    # globally-unique spans, attributed to their single owning doc.
+    # min(doc_id) is exact here: occ == 1 implies exactly one row.
+    uniq_per_doc = (
+        per_doc.groupBy("gid")
+        .agg(F.sum("c").alias("occ"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("occ") == 1)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_uniq"))
     )
     return (
-        with_occ.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("occ") >= 2, F.col("c")).otherwise(F.lit(0)))
+        totals.join(uniq_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            (F.col("n_spans") - F.coalesce(F.col("n_uniq"), F.lit(0)))
             .cast("long")
             .alias("n_dup_spans"),
         )

@@ -98,10 +98,10 @@ def streaming_rollup_closed(spark: SparkSession, src_dir: str) -> DataFrame:
     before the final watermark (max event time − {ROLLUP_LATENESS}).
     The oracle states exactly that in SQL, so streaming output sits
     under the full cross-engine hash gate, not a rows-only check.
-    (An exact tie between a window end and the watermark would expose
-    the >=-vs-> boundary; with microsecond-random fixture timestamps a
-    tie is measure-zero, and both predicates verified identical on the
-    shipped fixtures.)
+    (An exact window_end == watermark tie is pinned by
+    tests/test_streaming.py::test_rollup_watermark_tie_boundary: Spark
+    EMITS the tied window, matching this oracle's <= comparator — so an
+    hour-aligned regenerated fixture cannot flip the gate.)
 
     Runs against throwaway source/sink/checkpoint dirs; the result is
     pinned with localCheckpoint before cleanup."""

@@ -87,3 +87,20 @@ def test_dedup_groups_transitive_chain(spark, tmp_path):
            for r in D.dedup_groups(spark, str(tmp_path)).collect()}
     assert all(out[k] == (0, 9) for k in range(9)), out
     assert out[15] == (15, 1)
+
+
+def test_quadratic_guard_blocks_large_inputs(spark, sf_dir, monkeypatch):
+    """The O(n²) verification baselines must refuse oversized inputs
+    unless verification=True — nothing else stops a 100 TB invocation
+    from launching a quadratic job (VERDICT r4 #4)."""
+    import pytest
+
+    from oracledb_datapump_spark.exceptions import UsageError
+
+    monkeypatch.setattr(D, "QUADRATIC_GUARD_MAX_ROWS", 10)
+    with pytest.raises(UsageError, match="O\\(n\\^2\\)"):
+        D.dedup_embedding_cosine(spark, sf_dir)
+    with pytest.raises(UsageError, match="dedup_minhash_verified"):
+        D.dedup_ngram_jaccard(spark, sf_dir)
+    # verification=True forces the quadratic plan through unchanged
+    assert D.dedup_embedding_cosine(spark, sf_dir, verification=True).count() > 0

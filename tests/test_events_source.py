@@ -37,6 +37,8 @@ def _write_events(dirpath: str, ts_array: pa.Array) -> str:
     return dirpath
 
 
+# streaming-safe variants: accepted by BOTH load_events and the
+# readStream schema sniffer
 VARIANTS = {
     "us_ntz": pa.array(US, pa.timestamp("us")),
     "ms_ntz": pa.array([v // 1000 for v in US], pa.timestamp("ms")),
@@ -45,18 +47,38 @@ VARIANTS = {
     "int64_ns": pa.array([v * 1000 for v in US], pa.int64()),
 }
 
+# batch-only variants: load_events absorbs these too (epoch unit sniffed
+# from footer statistics; ISO strings parsed), but streaming rejects
+# them loudly (raw int64 is epoch-ns by contract there; strings unmapped)
+BATCH_ONLY = {
+    "int64_ms": pa.array([v // 1000 for v in US], pa.int64()),
+    "int64_us": pa.array(US, pa.int64()),
+    "iso_str": pa.array(
+        [
+            "2023-11-14 22:13:20.123456",
+            "2023-11-15 22:13:20.654321",
+        ],
+        pa.string(),
+    ),
+}
+
 EXPECTED = {
     "us_ntz": US,
     "ms_ntz": [(v // 1000) * 1000 for v in US],  # ms precision floors µs
     "ns": US,
     "us_utc": US,
     "int64_ns": US,
+    "int64_ms": [(v // 1000) * 1000 for v in US],
+    "int64_us": US,
+    "iso_str": US,
 }
 
+ALL_VARIANTS = {**VARIANTS, **BATCH_ONLY}
 
-@pytest.mark.parametrize("variant", sorted(VARIANTS))
+
+@pytest.mark.parametrize("variant", sorted(ALL_VARIANTS))
 def test_ts_us_identical_across_physical_types(spark, tmp_path, variant):
-    d = _write_events(str(tmp_path / variant), VARIANTS[variant])
+    d = _write_events(str(tmp_path / variant), ALL_VARIANTS[variant])
     got = {
         r.event_id: r.ts_us
         for r in load_events(spark, d).select("event_id", "ts_us").collect()
@@ -115,4 +137,19 @@ def test_mixed_type_directory_rejected(spark, tmp_path):
     )
     pq.write_table(t, os.path.join(d, "later.parquet"), version="2.6")
     with pytest.raises(ValueError, match="mixes ts types"):
+        validate_events_source(spark, d)
+
+
+def test_stream_rejects_non_ns_int64(spark, tmp_path):
+    """A raw int64 epoch-ms source must be rejected at stream
+    construction — streaming reads int64 as epoch-ns (nanosAsLong), so
+    accepting it would silently shift every event time 10^6×."""
+    d = _write_events(str(tmp_path / "int64_ms"), BATCH_ONLY["int64_ms"])
+    with pytest.raises(ValueError, match="epoch-ms"):
+        validate_events_source(spark, d)
+
+
+def test_batch_only_variants_rejected_by_stream_validation(spark, tmp_path):
+    d = _write_events(str(tmp_path / "iso"), BATCH_ONLY["iso_str"])
+    with pytest.raises(ValueError, match="silently"):
         validate_events_source(spark, d)

@@ -84,3 +84,71 @@ def test_stream_cms_converges_to_batch(spark, sf_dir, tmp_path):
     )
     g2 = {(r.row, r.counter): r.c for r in got2.collect()}
     assert g2 == {k: 2 * v for k, v in w.items()}
+
+
+def test_rollup_watermark_tie_boundary(spark, tmp_path):
+    """Pin which side of an EXACT window_end == watermark tie Spark's
+    append-mode eviction emits (ADVICE r4: the shipped fixtures'
+    microsecond-random timestamps make a tie measure-zero, so the
+    rollup/sessions/attribution oracles' `<=` comparators were only
+    accidentally safe). Fixture: max event 01:30:00.000000, lateness
+    30 min → final watermark 01:00:00.000000 == end of window
+    [00:00, 01:00). The SQL twin (STREAMING_ROLLUP_CLOSED_SQL) uses
+    window_end <= watermark → the tied window counts as CLOSED; this
+    test asserts Spark agrees, so a regenerated hour-aligned fixture
+    cannot flip the gate."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oracledb_datapump_spark.streaming import dedup as SD
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # window [00:00, 01:00): two events
+        (1, base + dt.timedelta(minutes=10), 7, "x", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=20), 7, "x", 1.0, "{}"),
+        # max event: EXACTLY 01:30:00 → watermark lands EXACTLY on 01:00:00
+        (3, base + dt.timedelta(minutes=90), 7, "x", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    src = tmp_path / "tie_src"
+    out = str(tmp_path / "tie_out")
+    src.mkdir()
+    pq.write_table(tbl, str(src / "events.parquet"))
+
+    info = SD.run_rollup_export(spark, str(src), out)
+    got = {
+        (r.hour_start, r.event_type): r.n_events
+        for r in spark.read.parquet(info["sink_path"]).collect()
+    }
+    epoch = int(base.replace(tzinfo=dt.timezone.utc).timestamp())
+    # the tied window IS closed (window_end <= watermark) — matching the
+    # oracle's <= comparator; the 01:00 window (watermark not past its
+    # end) must NOT appear
+    assert got == {(epoch, "x"): 2}, got
+
+
+def test_stream_empty_source_dir_rejected(spark, tmp_path):
+    """ADVICE r4: a readStream schema fixed against an EMPTY directory
+    would default the ts type and silently drop every row of
+    later-landing files with a different physical type — construction
+    must fail loudly instead."""
+    import pytest
+
+    from oracledb_datapump_spark.events_source import stream_events_raw
+
+    empty = tmp_path / "empty_src"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        stream_events_raw(spark, str(empty))
