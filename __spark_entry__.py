@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_budget": EV.source_token_budget,
         "dedup_group_size_histogram": EV.dedup_group_size_histogram,
         "join_key_skew_profile": EV.join_key_skew_profile,
+        # new this round: sequence packer (fixed-token-budget training
+        # packs via distributed prefix-sum of token counts)
+        "pack_plan": EV.pack_plan,
         # --- operators whose code changed this round (rotation policy:
         # changed code re-proves under the driver hash) ------------------
         # sparse_text.py: span_dup_score de-skewed (window → two-phase agg)
@@ -125,9 +128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": A5.q2_min_cost_supplier,
         "q8_market_share": A5.q8_market_share,
         "q20_part_promotion": A5.q20_part_promotion,
-        "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         # ---------------- fold: entry 51+ below -------------------------
         # relational analytics proven green r01-r03, code unchanged
+        "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         "q3_shipping_priority": A.q3_shipping_priority,
         "q4_order_priority": A.q4_order_priority,
         "q5_local_supplier_volume": A.q5_local_supplier_volume,
@@ -229,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_rate_by_source": EV.DEDUP_RATE_BY_SOURCE_SQL,
         "ann_lsh_recall": EV.ANN_LSH_RECALL_SQL,
         "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
+        "pack_plan": EV.PACK_PLAN_SQL,
         "doc_chunks": EV.DOC_CHUNKS_SQL,
         "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,
         "streaming_rollup_closed": SD.STREAMING_ROLLUP_CLOSED_SQL,

@@ -100,6 +100,14 @@ def main() -> None:
         "corpus_shard_plan",
         "doc_chunks",
         "embedding_pca_scores",
+        # new in r5 (no r04 baseline; totals compare on the common set).
+        # The three streaming families are correctness-gated but not
+        # benched: each run spins availableNow stream cycles whose
+        # fixed startup cost would swamp the batch-throughput signal.
+        "source_token_budget",
+        "dedup_group_size_histogram",
+        "join_key_skew_profile",
+        "pack_plan",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

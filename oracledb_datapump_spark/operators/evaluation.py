@@ -519,3 +519,102 @@ SELECT l_suppkey, n_rows, share_ppm,
 FROM ranked WHERE rk <= {SKEW_TOPK}
 ORDER BY l_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: fixed-token-budget training packs
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+
+def pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bpe_ish_tokens, pack_id, pack_offset): the standard
+    pretraining sequence packer — documents are concatenated in stable
+    doc_id order and split into fixed {PACK_BUDGET}-token packs, docs
+    spanning pack boundaries (GPT-style packing, no padding waste).
+    pack_id is the pack the document STARTS in; pack_offset its token
+    offset within that pack. A trainer data loader uses exactly this
+    plan to build fixed-length examples from a 100 TB corpus.
+
+    Plan: token counting is row-local. The global running token sum is
+    computed DISTRIBUTED, by the same pattern corpus_shard_plan proves
+    for ranks — a naive SUM() OVER (ORDER BY doc_id) collapses every
+    row into one partition; instead the narrow (doc_id, n_tokens)
+    projection is range-partitioned on doc_id, cumulated within
+    partitions, and shifted by per-partition token-total prefix offsets
+    (a |partitions|-row driver collect — prefix sums of SUMS rather
+    than counts). Range boundaries respect the doc_id order, so the
+    result is bit-identical to the single-partition window. All
+    arithmetic is integral → cross-engine hash-exact.
+    """
+    from .textstats import token_count
+
+    t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
+    part = (
+        t.repartitionByRange(32, F.asc("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin the partitioning the offsets describe
+    )
+    sums = {
+        r.pid: int(r.s)
+        for r in part.groupBy("pid")
+        .agg(F.sum("bpe_ish_tokens").alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+    off_col = (
+        F.coalesce(
+            *[
+                F.when(F.col("pid") == pid, F.lit(off))
+                for pid, off in sorted(offsets.items())
+            ],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = W.partitionBy("pid").orderBy("doc_id")
+    start = (
+        F.sum("bpe_ish_tokens").over(w) + off_col - F.col("bpe_ish_tokens")
+    )
+    return (
+        part.withColumn("start", start)
+        .select(
+            "doc_id",
+            F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+            F.expr(f"start DIV {PACK_BUDGET}").cast("long").alias("pack_id"),
+            (F.col("start") % PACK_BUDGET).cast("long").alias("pack_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pack_plan_sql() -> str:
+    from .textstats import BPE_ISH_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))
+           AS bpe_ish_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, bpe_ish_tokens,
+         SUM(bpe_ish_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - bpe_ish_tokens AS start
+  FROM t
+)
+SELECT doc_id, CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
+       CAST(start // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(start % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
+PACK_PLAN_SQL = _pack_plan_sql()

@@ -90,14 +90,25 @@ def run_rollup_export(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
 
 
 def streaming_rollup_closed(spark: SparkSession, src_dir: str) -> DataFrame:
-    """(hour_start, event_type, n_events): one availableNow cycle of the
-    watermarked streaming hourly rollup over the events fixture,
-    returning the CLOSED windows — the driver-gated proof that the
-    Structured Streaming path executes and that its append-mode output
-    equals the declarative definition of "closed": window end at or
-    before the final watermark (max event time − {ROLLUP_LATENESS}).
-    The oracle states exactly that in SQL, so streaming output sits
-    under the full cross-engine hash gate, not a rows-only check.
+    """(hour_start, event_type, n_events): TWO availableNow cycles of the
+    watermarked streaming hourly rollup over the events fixture —
+    time-split into an early file (cycle 1) and a late file (cycle 2,
+    resuming from cycle 1's checkpoint) — returning the CLOSED windows.
+    This is the driver-gated proof that the Structured Streaming path
+    executes INCREMENTALLY: watermark + window state survive the
+    checkpoint/restart between cycles, cycle 2 appends only newly-closed
+    windows, and the union equals the declarative definition of
+    "closed": window end at or before the final watermark (max event
+    time − {ROLLUP_LATENESS}). The oracle states exactly that in SQL,
+    so streaming output sits under the full cross-engine hash gate.
+
+    The split point is mid-timeline, so every cycle-2 event is NEWER
+    than cycle 1's watermark (no cross-cycle late drops) and any window
+    closed in cycle 1 ended ≥{ROLLUP_LATENESS} before the split —
+    append-once output therefore matches the batch aggregate exactly.
+    That is the real streaming ingestion contract: arrival ordered to
+    within the watermark tolerance.
+
     (An exact window_end == watermark tie is pinned by
     tests/test_streaming.py::test_rollup_watermark_tie_boundary: Spark
     EMITS the tied window, matching this oracle's <= comparator — so an
@@ -108,14 +119,27 @@ def streaming_rollup_closed(spark: SparkSession, src_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     src = tempfile.mkdtemp(prefix="dp_rollup_src_")
     out = tempfile.mkdtemp(prefix="dp_rollup_out_")
     try:
-        shutil.copy(
-            os.path.join(src_dir, "events.parquet"),
-            os.path.join(src, "events.parquet"),
-        )
-        info = run_rollup_export(spark, src, out)
+        tbl = pq.read_table(os.path.join(src_dir, "events.parquet"))
+        ts = tbl.column("ts")
+        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+        mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
+        early = tbl.filter(pc.less(ts, mid))
+        late = tbl.filter(pc.greater_equal(ts, mid))
+        if early.num_rows == 0 or late.num_rows == 0:
+            # degenerate timeline (all-equal ts): single-cycle fallback
+            pq.write_table(tbl, os.path.join(src, "events-0.parquet"))
+            info = run_rollup_export(spark, src, out)
+        else:
+            pq.write_table(early, os.path.join(src, "events-0.parquet"))
+            run_rollup_export(spark, src, out)
+            pq.write_table(late, os.path.join(src, "events-1.parquet"))
+            info = run_rollup_export(spark, src, out)
         return (
             spark.read.parquet(info["sink_path"])
             .orderBy("hour_start", "event_type")

@@ -152,3 +152,34 @@ def test_stream_empty_source_dir_rejected(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no parquet files"):
         stream_events_raw(spark, str(empty))
+
+
+def test_rollup_two_cycle_incremental_append(spark, sf_dir, tmp_path):
+    """The gated streaming_rollup_closed runs TWO availableNow cycles
+    over a time-split source; this pins that the incremental claim is
+    real: cycle 1 emits some closed windows, cycle 2 (resuming from the
+    checkpoint) appends strictly more, and no window is emitted twice."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from oracledb_datapump_spark.streaming import dedup as SD
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = tbl.column("ts")
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
+    src = tmp_path / "mb_src"
+    out = str(tmp_path / "mb_out")
+    src.mkdir()
+    pq.write_table(tbl.filter(pc.less(ts, mid)), str(src / "events-0.parquet"))
+    info = SD.run_rollup_export(spark, str(src), out)
+    c1 = spark.read.parquet(info["sink_path"]).collect()
+    assert len(c1) > 0, "cycle 1 must emit closed windows"
+    pq.write_table(
+        tbl.filter(pc.greater_equal(ts, mid)), str(src / "events-1.parquet")
+    )
+    SD.run_rollup_export(spark, str(src), out)
+    c2 = spark.read.parquet(info["sink_path"]).collect()
+    assert len(c2) > len(c1), "cycle 2 must append newly-closed windows"
+    keys = [(r.hour_start, r.event_type) for r in c2]
+    assert len(keys) == len(set(keys)), "append-once violated"
