@@ -132,6 +132,11 @@ def main() -> None:
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
+        # 60 queries in one JVM accumulate codegen classes + freed block
+        # refs; an explicit full GC between queries keeps tail-query
+        # timings comparable to head-query timings (observed: unchanged
+        # mid-list queries drifting 0.6s → 4.6s run-to-run without it)
+        spark.sparkContext._jvm.System.gc()
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()

@@ -59,27 +59,33 @@ def span_dup_score(
     one), and the duplicated fraction quantized to parts-per-million.
 
     Plan (skew-free — no per-span window, no join on the span key):
-      1. spans are built row-locally (sequence+transform — no shuffle,
-         pipelined into the first aggregation),
-      2. groupBy(doc, span_hash) with map-side partial aggregation
-         dedups in-doc repeats — shuffle volume is |distinct spans per
-         doc|, and spans travel as 60-bit hashes (8 bytes), never text,
-      3. the dup count uses the identity
+      1. per-doc totals are ROW-LOCAL: n_spans = |tokens| − {SPAN_N} + 1
+         — no span materialization, no shuffle at all on this branch;
+      2. the dup count uses the identity
              n_dup_spans(doc) = n_spans(doc) − |globally-unique spans|:
-         a span with corpus occurrence 1 has exactly ONE (doc, gid) row
-         with c == 1, so groupBy(gid) keeping min(doc_id) identifies
-         each unique span's owning document directly. Hot boilerplate
-         gids collapse MAP-SIDE in the partial aggregation (a reducer
-         sees at most one partial row per map task per gid), which is
-         what the earlier Window.partitionBy(gid) formulation could not
-         do — a window partition is unsplittable, so one hot span
-         serialized an entire reducer at scale.
-      4. final per-doc totals and unique-counts meet in a join on
-         doc_id — a uniformly distributed key.
+         spans are built row-locally (sequence+transform, pipelined into
+         the aggregation), travel as 60-bit hashes (8 bytes, never
+         text), and a span with corpus occurrence 1 has exactly ONE
+         (doc, gid) row with c == 1 — so groupBy(gid) keeping
+         min(doc_id) identifies each unique span's owning document
+         directly. Hot boilerplate gids collapse MAP-SIDE in the
+         partial aggregation (a reducer sees at most one partial row
+         per map task per gid), which is what the earlier
+         Window.partitionBy(gid) formulation could not do — a window
+         partition is unsplittable, so one hot span serialized an
+         entire reducer at scale;
+      3. totals and unique-counts meet in a join on doc_id — a
+         uniformly distributed key. Both branches scan the narrow
+         (doc_id, text) projection once; nothing is persisted, so the
+         cost profile is flat across repeated runs.
     """
     d = _docs(spark, sf_dir, docs)
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SPAN_N
+    )
+    totals = wt.select(
+        "doc_id",
+        (F.size("toks") - SPAN_N + 1).cast("long").alias("n_spans"),
     )
     grams = F.transform(
         F.sequence(F.lit(0), F.size("toks") - SPAN_N),
@@ -88,14 +94,9 @@ def span_dup_score(
     span_stream = wt.select(
         "doc_id", F.explode(grams).alias("gram")
     ).select("doc_id", hash64(F.col("gram")).alias("gid"))
-    # one row per (doc, distinct span): c = in-doc occurrences.
-    # Persist: it feeds both the per-doc totals and the unique-span
-    # aggregate — one tokenize+hash pass instead of two.
+    # one row per (doc, distinct span): c = in-doc occurrences
     per_doc = span_stream.groupBy("doc_id", "gid").agg(
         F.count(F.lit(1)).alias("c")
-    ).persist()
-    totals = per_doc.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_spans")
     )
     # globally-unique spans, attributed to their single owning doc.
     # min(doc_id) is exact here: occ == 1 implies exactly one row.
