@@ -70,8 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_group_size_histogram": EV.dedup_group_size_histogram,
         "join_key_skew_profile": EV.join_key_skew_profile,
         # new this round: sequence packer (fixed-token-budget training
-        # packs via distributed prefix-sum of token counts)
+        # packs via distributed prefix-sum of token counts), Gopher
+        # n-gram repetition filters, and the streaming dedup front-door
+        # under the hash gate (doubled source → batch DISTINCT)
         "pack_plan": EV.pack_plan,
+        "repetition_ngram_fracs": T.repetition_ngram_fracs,
+        "streaming_dedup_unique": SD.streaming_dedup_unique,
         # --- operators whose code changed this round (rotation policy:
         # changed code re-proves under the driver hash) ------------------
         # sparse_text.py: span_dup_score de-skewed (window → two-phase agg)
@@ -126,10 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
         "q2_min_cost_supplier": A5.q2_min_cost_supplier,
-        "q8_market_share": A5.q8_market_share,
-        "q20_part_promotion": A5.q20_part_promotion,
         # ---------------- fold: entry 51+ below -------------------------
         # relational analytics proven green r01-r03, code unchanged
+        "q8_market_share": A5.q8_market_share,
+        "q20_part_promotion": A5.q20_part_promotion,
         "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         "q3_shipping_priority": A.q3_shipping_priority,
         "q4_order_priority": A.q4_order_priority,
@@ -233,6 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": EV.ANN_LSH_RECALL_SQL,
         "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
         "pack_plan": EV.PACK_PLAN_SQL,
+        "repetition_ngram_fracs": T.REPETITION_NGRAM_SQL,
+        "streaming_dedup_unique": SD.STREAMING_DEDUP_UNIQUE_SQL,
         "doc_chunks": EV.DOC_CHUNKS_SQL,
         "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,
         "streaming_rollup_closed": SD.STREAMING_ROLLUP_CLOSED_SQL,

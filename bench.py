@@ -108,6 +108,7 @@ def main() -> None:
         "dedup_group_size_histogram",
         "join_key_skew_profile",
         "pack_plan",
+        "repetition_ngram_fracs",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

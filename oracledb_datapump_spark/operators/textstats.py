@@ -322,3 +322,95 @@ FROM per_tok
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition fractions (the Gopher repetition rules quality_gopher's
+# word-level stats do not cover)
+# ---------------------------------------------------------------------------
+
+REP_MIN_TOKENS = 3  # docs shorter than the largest n-gram are excluded
+
+
+def repetition_ngram_fracs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_2grams, top2_ppm, n_3grams, top3_ppm): per-document
+    top-2-gram and top-3-gram repetition fractions (parts-per-million) —
+    the published Gopher repetition filters ("fraction of characters in
+    the most common n-gram") at the token level; a high top-n-gram share
+    marks boilerplate/templated text that word-level stats miss.
+
+    Plan: n-grams are built row-locally (sequence+transform, the span
+    machinery) and travel as 60-bit hashes; the 2- and 3-gram streams
+    union into ONE partial-aggregated groupBy(doc, n, gram) →
+    groupBy(doc, n) max/sum → a conditional-aggregation pivot back to
+    one row per doc. Hot boilerplate grams collapse map-side, same
+    skew-free shape as span_dup_score; everything integral → the DuckDB
+    twin hashes identically."""
+    d = load_docs(spark, sf_dir, docs)
+    wt = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= REP_MIN_TOKENS
+    )
+
+    def gram_stream(n: int):
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)),
+        )
+        return wt.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(grams).alias("gram")
+        ).select("doc_id", "n", hash64(F.col("gram")).alias("gid"))
+
+    per_gram = (
+        gram_stream(2)
+        .unionAll(gram_stream(3))
+        .groupBy("doc_id", "n", "gid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"), F.max("c").alias("top")
+    )
+    ppm = F.floor(F.lit(1000000) * F.col("top") / F.col("total")).cast("long")
+    stat = per_n.select("doc_id", "n", F.col("total").cast("long").alias("total"), ppm.alias("ppm"))
+    return (
+        stat.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") == 2, F.col("total"))).alias("n_2grams"),
+            F.sum(F.when(F.col("n") == 2, F.col("ppm"))).alias("top2_ppm"),
+            F.sum(F.when(F.col("n") == 3, F.col("total"))).alias("n_3grams"),
+            F.sum(F.when(F.col("n") == 3, F.col("ppm"))).alias("top3_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id, 2 AS n,
+         {sql_hash64("array_to_string(l[i+1:i+2], ' ')")} AS gid
+  FROM toks, unnest(range(len(l) - 1)) AS t(i)
+  WHERE len(l) >= {REP_MIN_TOKENS}
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         {sql_hash64("array_to_string(l[i+1:i+3], ' ')")} AS gid
+  FROM toks, unnest(range(len(l) - 2)) AS t(i)
+  WHERE len(l) >= {REP_MIN_TOKENS}
+), per_gram AS (
+  SELECT doc_id, n, gid, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gid
+), per_n AS (
+  SELECT doc_id, n, SUM(c) AS total, MAX(c) AS top FROM per_gram GROUP BY doc_id, n
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN n = 2 THEN total END) AS BIGINT) AS n_2grams,
+       CAST(SUM(CASE WHEN n = 2 THEN FLOOR(1000000 * top / total) END) AS BIGINT) AS top2_ppm,
+       CAST(SUM(CASE WHEN n = 3 THEN total END) AS BIGINT) AS n_3grams,
+       CAST(SUM(CASE WHEN n = 3 THEN FLOOR(1000000 * top / total) END) AS BIGINT) AS top3_ppm
+FROM per_n
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -162,3 +162,53 @@ SELECT hour_start, event_type, n_events FROM agg, mx
 WHERE (hour_start + 3600) * 1000000 <= m - 1800000000
 ORDER BY hour_start, event_type
 """
+
+
+def streaming_dedup_unique(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(event_type, n_events): one availableNow cycle of the watermarked
+    streaming deduplicator over a DOUBLED events source — the fixture
+    file staged twice, i.e. an at-least-once delivery where every event
+    arrives exactly twice. dropDuplicates state suppresses the second
+    copy of each (event_id, event_time), so the deduplicated sink
+    aggregates to exactly the batch DISTINCT — stated in SQL, putting
+    the exactly-once ingestion front-door under the cross-engine hash
+    gate (previously pytest-only). Both copies land before the stream
+    starts, so the availableNow file source drains them in one
+    micro-batch and no event can be dropped as late; the suppression is
+    pure dedup state, not watermark eviction.
+
+    Runs against throwaway source/sink/checkpoint dirs; result pinned
+    with localCheckpoint before cleanup."""
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="dp_dedup_src_")
+    out = tempfile.mkdtemp(prefix="dp_dedup_out_")
+    try:
+        for copy in ("events-0.parquet", "events-1.parquet"):
+            shutil.copy(
+                os.path.join(src_dir, "events.parquet"),
+                os.path.join(src, copy),
+            )
+        info = run_dedup_export(spark, src, out)
+        return (
+            spark.read.parquet(info["sink_path"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+STREAMING_DEDUP_UNIQUE_SQL = """
+WITH uniq AS (
+  SELECT DISTINCT event_id, ts, event_type FROM events
+)
+SELECT event_type, COUNT(*) AS n_events
+FROM uniq
+GROUP BY event_type
+ORDER BY event_type
+"""
