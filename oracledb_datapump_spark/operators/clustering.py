@@ -32,7 +32,9 @@ QUANT_SCALE = 1e7
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .emb_source import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
     return emb.select(
         "vec_id",
         F.transform(
@@ -254,7 +256,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair is still evaluated exactly once — the standard blocked
     self-join; replication cost is {PAIR_BLOCKS}× the narrow left rows,
     nothing at 100 TB against the quadratic fold it parallelizes."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .emb_source import load_embeddings
+
+    e = load_embeddings(spark, sf_dir)
     assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
     # norm computed once per VECTOR (n rows), not once per pair (n²/K):
     # the pair join then does one dot-fold per pair, a 3× work cut.

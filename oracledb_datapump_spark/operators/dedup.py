@@ -519,7 +519,9 @@ def dedup_embedding_cosine(
     UsageError unless verification=True. Cosine is computed with a
     sequential double fold (F.aggregate) so the result is bit-identical
     to DuckDB's sequential list functions."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .emb_source import load_embeddings
+
+    e = load_embeddings(spark, sf_dir)
     _guard_quadratic(
         e.select("vec_id"),
         "dedup_embedding_cosine",

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .emb_source import load_embeddings
+
+    return load_embeddings(spark, sf_dir)
 
 
 def _norm_col():

@@ -69,7 +69,9 @@ def cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     window max per cluster — model-evaluation cost is independent of
     corpus size."""
     a = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from .emb_source import load_embeddings
+
+    e = load_embeddings(spark, sf_dir).select(
         "vec_id", F.col("label").cast("long").alias("label")
     )
     by_label = (

@@ -31,7 +31,9 @@ LSH_BITS = 4  # bits per table signature
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from .emb_source import load_embeddings
+
+    return load_embeddings(spark, sf_dir)
 
 
 def _cosine(a, b):

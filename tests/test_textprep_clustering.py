@@ -57,3 +57,80 @@ def test_kmeans_assigns_nearest_final_centroid(spark, sf_dir):
     sizes = CL.cluster_sizes(spark, sf_dir).collect()
     assert sum(r.n_members for r in sizes) == 500
     assert all(r.avg_dist_sq >= 0 for r in sizes)
+
+
+def test_load_docs_absorbs_int32_and_rejects_bad_shapes(spark, tmp_path):
+    """documents fixture-drift absorber: int32 doc_id normalizes to
+    BIGINT; a missing text column or non-integral doc_id fails loudly
+    (the r3 events-ts lesson applied to the documents table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from oracledb_datapump_spark.operators.docs_source import load_docs
+
+    d32 = tmp_path / "docs32"
+    d32.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int32()),
+            "text": pa.array(["a b c", "d e f"]),
+        }),
+        str(d32 / "documents.parquet"),
+    )
+    out = load_docs(spark, str(d32))
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert out.count() == 2
+
+    dbad = tmp_path / "docsbad"
+    dbad.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64())}),
+        str(dbad / "documents.parquet"),
+    )
+    with pytest.raises(ValueError, match="lacks required"):
+        load_docs(spark, str(dbad))
+
+    dstr = tmp_path / "docsstr"
+    dstr.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(["x"], pa.string()),
+            "text": pa.array(["a"]),
+        }),
+        str(dstr / "documents.parquet"),
+    )
+    with pytest.raises(ValueError, match="non-integral"):
+        load_docs(spark, str(dstr))
+
+
+def test_load_embeddings_absorbs_int32_and_double_vec(spark, tmp_path):
+    """embeddings fixture-drift absorber: int32 vec_id normalizes to
+    BIGINT, float64 vectors pass through, missing columns fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from oracledb_datapump_spark.operators.emb_source import load_embeddings
+
+    d = tmp_path / "emb32"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([1, 2], pa.int32()),
+            "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]], pa.list_(pa.float64())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    out = load_embeddings(spark, str(d))
+    assert dict(out.dtypes)["vec_id"] == "bigint"
+    assert out.count() == 2
+
+    bad = tmp_path / "embbad"
+    bad.mkdir()
+    pq.write_table(
+        pa.table({"vec_id": pa.array([1], pa.int64())}),
+        str(bad / "embeddings.parquet"),
+    )
+    with pytest.raises(ValueError, match="lacks required"):
+        load_embeddings(spark, str(bad))
