@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_plan": EV.pack_plan,
         "repetition_ngram_fracs": T.repetition_ngram_fracs,
         "streaming_dedup_unique": SD.streaming_dedup_unique,
+        "curriculum_order": EV.curriculum_order,
+        # corpus_shard_plan refactored onto the shared global-order
+        # helper this round → re-prove under the hash
+        "corpus_shard_plan": EV.corpus_shard_plan,
         # --- operators whose code changed this round (rotation policy:
         # changed code re-proves under the driver hash) ------------------
         # sparse_text.py: span_dup_score de-skewed (window → two-phase agg)
@@ -128,10 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
-        "skew_salted_revenue": A5.skew_salted_revenue,
-        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
         # ---------------- fold: entry 51+ below -------------------------
         # relational analytics proven green r01-r03, code unchanged
+        "skew_salted_revenue": A5.skew_salted_revenue,
+        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
         "q8_market_share": A5.q8_market_share,
         "q20_part_promotion": A5.q20_part_promotion,
         "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
@@ -186,7 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": EV.lang_id_confusion,
         "dedup_rate_by_source": EV.dedup_rate_by_source,
         "ann_lsh_recall": EV.ann_lsh_recall,
-        "corpus_shard_plan": EV.corpus_shard_plan,
         "doc_chunks": EV.doc_chunks,
     }
 
@@ -238,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shard_plan": EV.CORPUS_SHARD_PLAN_SQL,
         "pack_plan": EV.PACK_PLAN_SQL,
         "repetition_ngram_fracs": T.REPETITION_NGRAM_SQL,
+        "curriculum_order": EV.CURRICULUM_ORDER_SQL,
         "streaming_dedup_unique": SD.STREAMING_DEDUP_UNIQUE_SQL,
         "doc_chunks": EV.DOC_CHUNKS_SQL,
         "embedding_pca_scores": EM.EMBEDDING_PCA_SQL,

@@ -109,6 +109,7 @@ def main() -> None:
         "join_key_skew_profile",
         "pack_plan",
         "repetition_ngram_fracs",
+        "curriculum_order",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

@@ -236,45 +236,21 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one max-document). This is how a 100 TB corpus export plans its
     output files so no trainer data-loader shard straggles.
 
-    Plan: token counting is row-local. The global rank is computed
-    DISTRIBUTED — a naive row_number() over a global ORDER BY moves
-    every row to one partition (Spark warns exactly that); instead the
-    narrow (doc_id, n_tokens) projection is range-partitioned on the
-    full sort tuple, ranked within partitions, and shifted by the
-    per-partition prefix offsets (a |partitions|-row driver collect).
-    Range boundaries respect the same total order, so the result is
-    bit-identical to the single-partition formulation — it is the
-    standard distributed global-index pattern, and the sort cost class
-    matches any EXPORT_SORT_BY layout pass."""
+    Plan: token counting is row-local; the global rank is computed
+    DISTRIBUTED by functions.global_order.with_global_order_stat (range
+    partition on the sort tuple + per-partition prefix offsets — the
+    shared helper pack_plan and curriculum_order also use), bit-identical
+    to the single-partition window Spark warns about. The sort cost
+    class matches any EXPORT_SORT_BY layout pass."""
     from .textstats import token_count
+    from ..functions.global_order import with_global_order_stat
 
     t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
-    part = (
-        t.repartitionByRange(
-            32, F.desc("bpe_ish_tokens"), F.asc("doc_id")
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin the partitioning the offsets describe
+    ranked, _ = with_global_order_stat(
+        t, [F.desc("bpe_ish_tokens"), F.asc("doc_id")], out="rk"
     )
-    counts = {
-        r.pid: r.n
-        for r in part.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_col = F.coalesce(
-        *[
-            F.when(F.col("pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
-    w = W.partitionBy("pid").orderBy(F.desc("bpe_ish_tokens"), "doc_id")
     return (
-        part.withColumn("rk", F.row_number().over(w) + off_col)
-        .select(
+        ranked.select(
             "doc_id",
             "bpe_ish_tokens",
             ((F.col("rk") - 1) % N_SHARDS).cast("long").alias("shard"),
@@ -540,51 +516,21 @@ def pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan to build fixed-length examples from a 100 TB corpus.
 
     Plan: token counting is row-local. The global running token sum is
-    computed DISTRIBUTED, by the same pattern corpus_shard_plan proves
-    for ranks — a naive SUM() OVER (ORDER BY doc_id) collapses every
-    row into one partition; instead the narrow (doc_id, n_tokens)
-    projection is range-partitioned on doc_id, cumulated within
-    partitions, and shifted by per-partition token-total prefix offsets
-    (a |partitions|-row driver collect — prefix sums of SUMS rather
-    than counts). Range boundaries respect the doc_id order, so the
-    result is bit-identical to the single-partition window. All
+    computed DISTRIBUTED by functions.global_order.with_global_order_stat
+    (range partition on doc_id + per-partition token-total prefix
+    offsets — prefix sums of SUMS rather than counts), bit-identical to
+    the single-partition SUM() OVER (ORDER BY doc_id) window. All
     arithmetic is integral → cross-engine hash-exact.
     """
     from .textstats import token_count
+    from ..functions.global_order import with_global_order_stat
 
     t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
-    part = (
-        t.repartitionByRange(32, F.asc("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin the partitioning the offsets describe
-    )
-    sums = {
-        r.pid: int(r.s)
-        for r in part.groupBy("pid")
-        .agg(F.sum("bpe_ish_tokens").alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid]
-    off_col = (
-        F.coalesce(
-            *[
-                F.when(F.col("pid") == pid, F.lit(off))
-                for pid, off in sorted(offsets.items())
-            ],
-            F.lit(0),
-        )
-        if offsets
-        else F.lit(0)
-    )
-    w = W.partitionBy("pid").orderBy("doc_id")
-    start = (
-        F.sum("bpe_ish_tokens").over(w) + off_col - F.col("bpe_ish_tokens")
+    cum, _ = with_global_order_stat(
+        t, [F.asc("doc_id")], cumsum_col="bpe_ish_tokens", out="cum"
     )
     return (
-        part.withColumn("start", start)
+        cum.withColumn("start", F.col("cum") - F.col("bpe_ish_tokens"))
         .select(
             "doc_id",
             F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
@@ -620,3 +566,66 @@ ORDER BY doc_id
 
 
 PACK_PLAN_SQL = _pack_plan_sql()
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering: difficulty-banded training order
+# ---------------------------------------------------------------------------
+
+CURRICULUM_BANDS = 4
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bpe_ish_tokens, band, curriculum_pos): a deterministic
+    curriculum-learning training order — documents sorted easy→hard
+    (token count ascending as the difficulty proxy, doc_id tiebreak),
+    split into {CURRICULUM_BANDS} NTILE bands a scheduler feeds in
+    sequence, with the exact global position each document occupies.
+
+    Plan: the global rank comes from the shared distributed-order helper
+    (range partition + prefix offsets); the NTILE band is then pure
+    arithmetic because the helper also returns the driver-known total
+    row count — functions.global_order.exact_ntile reproduces the ANSI
+    NTILE remainder rule bit-for-bit, so the DuckDB NTILE oracle
+    hash-matches without any single-partition window on either side."""
+    from .textstats import token_count
+    from ..functions.global_order import exact_ntile, with_global_order_stat
+
+    t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
+    ranked, n_rows = with_global_order_stat(
+        t, [F.asc("bpe_ish_tokens"), F.asc("doc_id")], out="curriculum_pos"
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("bpe_ish_tokens").cast("long").alias("bpe_ish_tokens"),
+            exact_ntile(F.col("curriculum_pos"), n_rows, CURRICULUM_BANDS).alias(
+                "band"
+            ),
+            "curriculum_pos",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curriculum_order_sql() -> str:
+    from .textstats import BPE_ISH_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))
+           AS bpe_ish_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(bpe_ish_tokens AS BIGINT) AS bpe_ish_tokens,
+       CAST(NTILE({CURRICULUM_BANDS}) OVER (ORDER BY bpe_ish_tokens, doc_id)
+            AS BIGINT) AS band,
+       CAST(ROW_NUMBER() OVER (ORDER BY bpe_ish_tokens, doc_id) AS BIGINT)
+         AS curriculum_pos
+FROM t
+ORDER BY doc_id
+"""
+
+
+CURRICULUM_ORDER_SQL = _curriculum_order_sql()
