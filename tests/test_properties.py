@@ -50,3 +50,28 @@ def test_directive_json_roundtrip_stable(dicts):
     c1 = compile_directives(d1)
     c2 = compile_directives(d2)
     assert c1 == c2
+
+
+def test_exact_ntile_matches_duckdb_ntile(spark):
+    """exact_ntile must reproduce ANSI NTILE for every (n_rows, n_tiles)
+    shape — including n_rows < n_tiles, exact division, and remainder
+    cases — since curriculum_order's hash gate rides on it."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from oracledb_datapump_spark.functions.global_order import exact_ntile
+
+    for n_rows, n_tiles in [(1, 4), (3, 4), (4, 4), (5, 4), (7, 3), (12, 5), (100, 7)]:
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT NTILE({n_tiles}) OVER (ORDER BY i) FROM range({n_rows}) t(i)"
+            ).fetchall()
+        ]
+        df = spark.range(1, n_rows + 1).select(
+            F.col("id").alias("rk"),
+            exact_ntile(F.col("id"), n_rows, n_tiles).alias("tile"),
+        )
+        got = [r.tile for r in df.orderBy("rk").collect()]
+        assert got == want, (n_rows, n_tiles, got, want)
