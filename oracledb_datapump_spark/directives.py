@@ -88,6 +88,7 @@ class PlanConfig:
     # dump-set physical options
     compression: str = "METADATA_ONLY"
     compression_algorithm: str = "BASIC"
+    dump_format: str = "PARQUET"
     encryption: dict[str, str] = field(default_factory=dict)
 
     # estimation / dry-run
@@ -409,6 +410,22 @@ class CompressionAlgorithm(_EnumParameter, name="COMPRESSION_ALGORITHM"):
 
     def apply(self, config: PlanConfig) -> None:
         config.compression_algorithm = self.value
+
+
+class DumpFormat(_EnumParameter, name="DUMP_FORMAT"):
+    """Physical format of the dump-set data files (extension — the
+    reference has exactly one proprietary dump format; parquet is our
+    default analog). ORC is a drop-in columnar alternative (footer row
+    counts, codec support, schema fidelity); JSON/CSV are interchange
+    formats — schema fidelity on import comes from the manifest's
+    recorded Spark schema, and row accounting costs a scan (no footers).
+    Parquet-only features (compaction, DEPARTITION import, Z-order
+    row-group pruning benefits) fail loudly on other formats."""
+
+    VALUES = ("PARQUET", "ORC", "JSON", "CSV")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.dump_format = self.value
 
 
 class Encryption(_EnumParameter, name="ENCRYPTION"):

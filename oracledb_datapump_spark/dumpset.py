@@ -237,6 +237,19 @@ class DumpSet:
             n_target = max(1, math.ceil(nbytes / target_file_bytes))
             if len(parts) < min_files or len(parts) <= n_target:
                 continue
+            if not any(p.endswith(".parquet") for p in parts):
+                # DUMP_FORMAT extension dumps (orc/json/csv) are not
+                # compacted: the rewrite below is parquet-wired (codec
+                # sniff, footer accounting) and silently transcoding a
+                # dump's format during a maintenance pass would be worse
+                # than skipping it
+                from .exceptions import Unsupported
+
+                raise Unsupported(
+                    f"compact() supports parquet dumps only; "
+                    f"{os.path.relpath(d, self.root)} holds non-parquet "
+                    "data files (DUMP_FORMAT)"
+                )
             codec = "snappy"
             try:
                 import pyarrow.parquet as pq

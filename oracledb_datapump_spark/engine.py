@@ -16,6 +16,7 @@ tests/test_import.py:179).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import json as _json
 import os
 import traceback
 from dataclasses import dataclass, field
@@ -52,13 +53,44 @@ class EngineResult:
         return sum(1 for t in self.tables if not t.ok)
 
 
-def _count_parquet_rows(path: str) -> tuple[int, int, int]:
-    """(rows, bytes, files) from parquet footers — no second data scan.
-    The reference gets these numbers free from Oracle (status.py:259-273);
-    footer reads are our equivalent zero-scan accounting."""
-    import pyarrow.parquet as pq
+def _map_codec(fmt: str, parquet_codec: str) -> str:
+    """Translate the COMPRESSION×ALGORITHM-derived parquet codec to the
+    target format's codec vocabulary."""
+    if fmt == "parquet":
+        return parquet_codec
+    if parquet_codec in ("none", "uncompressed"):
+        return "none"
+    if fmt == "orc":
+        # orc: zlib/snappy/lzo/zstd/lz4; gzip's orc twin is zlib
+        return {"gzip": "zlib"}.get(parquet_codec, parquet_codec)
+    # text formats (json/csv): snappy unsupported — gzip is the portable choice
+    return "gzip"
 
+
+def _sniff_dump_format(path: str) -> str:
+    """Physical format of a dump table dir, from the data files' own
+    extensions (formats are self-describing — no manifest round-trip):
+    part-*.snappy.parquet / *.orc / *.json(.gz) / *.csv(.gz)."""
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for name in filenames:
+            if name.startswith(("_", ".")):
+                continue
+            stripped = name[:-3] if name.endswith(".gz") else name
+            for fmt in ("parquet", "orc", "json", "csv"):
+                if stripped.endswith("." + fmt):
+                    return fmt
+    return "parquet"
+
+
+def _count_dump_rows(path: str, fmt: str = "parquet", spark=None) -> tuple[int, int, int]:
+    """(rows, bytes, files) for a dump table dir. Parquet/ORC read row
+    counts from footers — no data scan (the reference gets these numbers
+    free from Oracle, status.py:259-273; footer reads are our equivalent
+    zero-scan accounting). JSON/CSV have no footers: rows cost one scan
+    through Spark when a session is supplied, else -1 (unknown)."""
     rows = size = nfiles = 0
+    have_rows = False
     for dirpath, dirnames, filenames in os.walk(path):
         dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
         for name in filenames:
@@ -67,12 +99,38 @@ def _count_parquet_rows(path: str) -> tuple[int, int, int]:
             p = os.path.join(dirpath, name)
             size += os.path.getsize(p)
             nfiles += 1
-            if name.endswith(".parquet") or name.startswith("part-"):
+            if name.endswith(".parquet") or (
+                fmt == "parquet" and name.startswith("part-")
+            ):
                 try:
+                    import pyarrow.parquet as pq
+
                     rows += pq.ParquetFile(p).metadata.num_rows
+                    have_rows = True
                 except Exception:
                     pass
+            elif name.endswith(".orc"):
+                try:
+                    from pyarrow import orc as pa_orc
+
+                    rows += pa_orc.ORCFile(p).nrows
+                    have_rows = True
+                except Exception:
+                    pass
+    if not have_rows and fmt in ("json", "csv"):
+        if spark is not None:
+            reader = spark.read
+            if fmt == "csv":
+                reader = reader.option("header", "false")
+            rows = reader.format(fmt).load(path).count()
+        else:
+            rows = -1
     return rows, size, nfiles
+
+
+# backwards-compatible alias (parquet default) for existing callers/tests
+def _count_parquet_rows(path: str) -> tuple[int, int, int]:
+    return _count_dump_rows(path, "parquet")
 
 
 def export_table(
@@ -129,11 +187,14 @@ def export_table(
             write_mode = "append"
         if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
             df = df.repartition(plan.parallel)
+        fmt = plan.extra.get("dump_format", "parquet")
         # Snapshot footer counts before an append so TABLE_EXPORT_DONE
         # reports THIS run's delta, not the cumulative dump (CDC runs).
         prev_rows = prev_size = prev_files = 0
         if write_mode == "append" and os.path.isdir(out_dir):
-            prev_rows, prev_size, prev_files = _count_parquet_rows(out_dir)
+            prev_rows, prev_size, prev_files = _count_dump_rows(
+                out_dir, fmt, spark
+            )
         if plan.zorder_by:
             # multi-dimensional clustering: range shuffle + local sort on
             # the Morton value of the named columns (see functions.zorder)
@@ -148,25 +209,39 @@ def export_table(
             df = df.sortWithinPartitions(
                 *[c.strip() for c in plan.sort_by.split(",") if c.strip()]
             )
-        writer = df.write.mode(write_mode).option("compression", plan.codec)
+        writer = df.write.mode(write_mode).option(
+            "compression", _map_codec(fmt, plan.codec)
+        )
         if plan.partition_by:
             # hive-partitioned dump layout (EXPORT_PARTITION_BY extension);
             # enables partition pruning on import and DEPARTITION splits
             writer = writer.partitionBy(plan.partition_by)
-        writer.parquet(out_dir)
-        rows, size, nfiles = _count_parquet_rows(out_dir)
+        if fmt == "csv":
+            # headerless + manifest schema on import: CSV carries no types
+            writer = writer.option("header", "false")
+        writer.format(fmt).save(out_dir)
+        rows, size, nfiles = _count_dump_rows(out_dir, fmt, spark)
         # Manifest fields stay cumulative (they describe the dump set);
         # the TABLE_EXPORT_DONE event reports this run's delta so CDC
         # status/metrics aren't inflated by prior increments.
         run_rows, run_size = rows - prev_rows, size - prev_size
-        detail: dict[str, Any] = {"spark_schema": schema_json, "codec": plan.codec}
+        detail: dict[str, Any] = {
+            "spark_schema": schema_json,
+            "codec": plan.codec,
+            "dump_format": fmt,
+        }
         if write_mode == "append":
             detail["rows_this_run"] = run_rows
         if inc_col is not None:
-            # new watermark from the dump itself (no extra source scan)
+            # new watermark from the dump itself (no extra source scan);
+            # recorded schema keeps text formats typed on the read-back
             from pyspark.sql import functions as F
 
-            wm_row = spark.read.parquet(out_dir).agg(F.max(inc_col)).collect()[0]
+            wm_row = (
+                spark.read.schema(df.schema).format(fmt).load(out_dir)
+                .agg(F.max(inc_col))
+                .collect()
+            )[0]
             detail["incremental_column"] = inc_col
             detail["watermark"] = wm_row[0]
         dumpset.log_event(
@@ -206,10 +281,18 @@ def import_table(
         ):
             dumpset.log_event("TABLE_IMPORT_SKIP_EXISTS", table=plan.target_key)
             return TableResult(plan, ok=True, rows=0, skipped=True)
+        fmt = _sniff_dump_format(src_dir)
         # PARTITION_OPTIONS=DEPARTITION: one target table per hive
         # partition directory (reference directives.py:346-349); MERGE/
         # NONE fall through — Spark unions partition dirs natively.
         if config.partition_options == "DEPARTITION":
+            if fmt != "parquet":
+                from .exceptions import UsageError
+
+                raise UsageError(
+                    f"PARTITION_OPTIONS(DEPARTITION) requires a parquet "
+                    f"dump; this dump is {fmt} (DUMP_FORMAT)"
+                )
             part_dirs = sorted(
                 d
                 for d in os.listdir(src_dir)
@@ -244,7 +327,32 @@ def import_table(
                 return TableResult(
                     plan, ok=True, detail={"departitioned_tables": total}
                 )
-        df = spark.read.parquet(src_dir)
+        reader = spark.read
+        if fmt in ("json", "csv"):
+            # text formats carry no types — restore the exported Spark
+            # schema from the manifest (export_table records it); without
+            # it JSON falls back to inference and CSV cannot be read at
+            # all (headerless), so CSV requires the manifest.
+            schema_json = None
+            if dumpset.exists():
+                tmeta = dumpset.read_manifest().tables.get(plan.source_key, {})
+                schema_json = tmeta.get("spark_schema")
+            if schema_json:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(_json.loads(schema_json))
+                )
+            elif fmt == "csv":
+                from .exceptions import FileError
+
+                raise FileError(
+                    f"CSV dump for {plan.source_key} has no recorded schema "
+                    "in the manifest; cannot type a headerless CSV read"
+                )
+            if fmt == "csv":
+                reader = reader.option("header", "false")
+        df = reader.format(fmt).load(src_dir)
         if plan.predicate:
             df = df.filter(plan.predicate)
         if plan.columns:
@@ -324,7 +432,7 @@ def import_table(
             truncate=plan.truncate,
             options=plan.writer_options,
         )
-        rows, size, nfiles = _count_parquet_rows(src_dir)
+        rows, size, nfiles = _count_dump_rows(src_dir, fmt, spark)
         if config.validate_table_data:
             # VALIDATE_TBL_DATA (reference DATA_OPTIONS bit,
             # directives.py:227-238): post-write row-count verify.

@@ -120,6 +120,7 @@ def plan_export(
                     merge_key=config.table_merge_key.get(
                         table, config.table_merge_key.get("*")
                     ),
+                    extra={"dump_format": config.dump_format.lower()},
                 )
             )
     return plans

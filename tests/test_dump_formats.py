@@ -1,0 +1,115 @@
+"""DUMP_FORMAT extension: ORC/JSON/CSV dump sets must round-trip with
+row-fingerprint equality (ORC keeps types natively; JSON/CSV restore
+them from the manifest's recorded Spark schema), and the parquet-only
+maintenance paths (compact, DEPARTITION import) must fail loudly rather
+than silently transcode or mis-read."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracledb_datapump_spark import Job, JobMode, JobState, Operation
+from oracledb_datapump_spark.directives import DirectiveBase as D
+
+
+def _fingerprint(df):
+    cols = sorted(df.columns)
+    h = df.select(
+        F.sha2(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]), 256
+        ).alias("h")
+    )
+    return (
+        h.select(
+            F.sum(
+                F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")
+            ).alias("fp")
+        ).collect()[0]["fp"],
+        df.count(),
+    )
+
+
+def _roundtrip(spark, duck, dump, fmt, tables=("nation", "region")):
+    exp = Job(
+        operation=Operation.EXPORT,
+        mode=JobMode.TABLE,
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("test1"),
+            *[D.INCLUDE_TABLE(t) for t in tables],
+            D.DUMP_FORMAT(fmt),
+            D.COMPRESSION("ALL"),
+        ],
+    )
+    status = exp.run(wait=True, connection=duck, spark=spark)
+    assert status.job_state == JobState.COMPLETED.value
+    imp = Job(
+        operation=Operation.IMPORT,
+        mode=JobMode.TABLE,
+        dumpfiles=dump,
+        directives=[
+            D.REMAP_SCHEMA("test1", f"rt_{fmt.lower()}"),
+            D.TABLE_EXISTS_ACTION("REPLACE"),
+        ],
+    )
+    status = imp.run(wait=True, connection=duck, spark=spark)
+    assert status.job_state == JobState.COMPLETED.value
+    for t in tables:
+        src = duck.read_table(spark, "test1", t)
+        dst = duck.read_table(spark, f"rt_{fmt.lower()}", t)
+        assert _fingerprint(src) == _fingerprint(dst), (fmt, t)
+
+
+@pytest.mark.parametrize("fmt", ["ORC", "JSON", "CSV"])
+def test_format_roundtrip(spark, duck, tmp_path, fmt):
+    _roundtrip(spark, duck, str(tmp_path / f"dump_{fmt}"), fmt)
+
+
+def test_orc_dump_files_have_orc_extension_and_counts(spark, duck, tmp_path):
+    from oracledb_datapump_spark.dumpset import DumpSet
+    from oracledb_datapump_spark.engine import _count_dump_rows, _sniff_dump_format
+
+    dump = str(tmp_path / "orc_probe")
+    Job(
+        operation=Operation.EXPORT,
+        mode=JobMode.TABLE,
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("test1"),
+            D.INCLUDE_TABLE("nation"),
+            D.DUMP_FORMAT("ORC"),
+        ],
+    ).run(wait=True, connection=duck, spark=spark)
+    ds = DumpSet(dump)
+    d = ds.table_dir("test1", "nation")
+    assert _sniff_dump_format(d) == "orc"
+    rows, size, nfiles = _count_dump_rows(d, "orc")  # footer-only, no spark
+    assert rows == 25 and nfiles >= 1 and size > 0
+    info = ds.get_dumpfile_info("test1", "nation")
+    assert info.row_count == 25
+
+
+def test_compact_rejects_non_parquet_dump(spark, duck, tmp_path):
+    from oracledb_datapump_spark.dumpset import DumpSet
+    from oracledb_datapump_spark.exceptions import Unsupported
+
+    dump = str(tmp_path / "orc_compact")
+    Job(
+        operation=Operation.EXPORT,
+        mode=JobMode.TABLE,
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("test1"),
+            D.INCLUDE_TABLE("orders"),
+            D.DUMP_FORMAT("ORC"),
+            D.PARALLEL(4),  # several small files so compact would trigger
+        ],
+    ).run(wait=True, connection=duck, spark=spark)
+    with pytest.raises(Unsupported, match="parquet dumps only"):
+        DumpSet(dump).compact(spark, target_file_bytes=10**9, min_files=2)
+
+
+def test_bad_dump_format_rejected():
+    from oracledb_datapump_spark.exceptions import InvalidDirective
+
+    with pytest.raises(InvalidDirective, match="DUMP_FORMAT"):
+        D.DUMP_FORMAT("AVRO")
