@@ -90,22 +90,30 @@ def quote_ident(name: str) -> str:
 
 
 class ParquetConnector:
-    """A directory-of-parquet 'database'.
+    """A directory-of-files 'database' (parquet by default).
 
-    Layout: ``root/<schema>/<table>.parquet`` or (flat) ``root/<table>.parquet``
+    Layout: ``root/<schema>/<table>.<fmt>`` or (flat) ``root/<table>.<fmt>``
     presented as schema ``main``. Reads and writes are plain distributed
-    Spark parquet I/O — this connector is scale-clean.
-    """
+    Spark I/O — this connector is scale-clean. ``fmt`` may be parquet
+    (default), orc, json, or csv: ORC reads natively typed; JSON infers;
+    CSV sources are expected self-describing (header row) and read with
+    schema inference — exports from a CSV source therefore carry
+    inferred types, which the dump then pins (URI schemes: parquet://,
+    orc://, json://, csv://)."""
 
-    def __init__(self, root: str, flat_schema: str = "main"):
+    def __init__(self, root: str, flat_schema: str = "main", fmt: str = "parquet"):
+        if fmt not in ("parquet", "orc", "json", "csv"):
+            raise UsageError(f"Unsupported fs connector format {fmt!r}")
         self.root = root
         self.flat_schema = flat_schema
+        self.fmt = fmt
+        self._ext = "." + fmt
 
     # -- catalog ---------------------------------------------------------
     def _is_flat(self) -> bool:
         if not os.path.isdir(self.root):
             return False
-        return any(n.endswith(".parquet") for n in os.listdir(self.root))
+        return any(n.endswith(self._ext) for n in os.listdir(self.root))
 
     def list_schemas(self) -> list[str]:
         if self._is_flat():
@@ -131,8 +139,8 @@ class ParquetConnector:
             return []
         out = []
         for n in sorted(os.listdir(d)):
-            if n.endswith(".parquet"):
-                out.append(n[: -len(".parquet")])
+            if n.endswith(self._ext):
+                out.append(n[: -len(self._ext)])
         return out
 
     def table_exists(self, schema: str, table: str) -> bool:
@@ -142,7 +150,7 @@ class ParquetConnector:
             return False
 
     def _path(self, schema: str, table: str) -> str:
-        return os.path.join(self._schema_dir(schema), f"{table}.parquet")
+        return os.path.join(self._schema_dir(schema), f"{table}{self._ext}")
 
     # -- I/O --------------------------------------------------------------
     def read_table(
@@ -162,7 +170,10 @@ class ParquetConnector:
         # tolerate TIMESTAMP(NANOS) columns (read as long ns) — otherwise
         # Spark's vectorized reader rejects the file outright
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        reader = spark.read
+        if self.fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        df = reader.format(self.fmt).load(path)
         if predicate:
             df = df.filter(predicate)  # pushed to the parquet scan by Catalyst
         if columns:
@@ -183,9 +194,13 @@ class ParquetConnector:
         if mode == "ignore" and os.path.exists(path):
             return
         writer = df.write.mode("overwrite" if mode in ("overwrite",) else mode)
+        if self.fmt == "csv":
+            # source-style CSV tables stay self-describing (header row),
+            # unlike dump-set CSV which is headerless + manifest-typed
+            writer = writer.option("header", "true")
         for k, v in (options or {}).items():
             writer = writer.option(k, v)
-        writer.parquet(path)
+        writer.format(self.fmt).save(path)
 
     def drop_table(self, schema: str, table: str) -> None:
         import shutil
@@ -645,6 +660,11 @@ def resolve_connector(connection: object) -> Connector:
             return DuckDbConnector(connection[len("duckdb://") :] or ":memory:")
         if connection.startswith("parquet://"):
             return ParquetConnector(connection[len("parquet://") :])
+        for scheme in ("orc", "json", "csv"):
+            if connection.startswith(scheme + "://"):
+                return ParquetConnector(
+                    connection[len(scheme) + 3 :], fmt=scheme
+                )
         if connection.startswith("jdbc:"):
             return JdbcConnector(connection)
         raise UsageError(f"Unrecognized connection url: {connection!r}")

@@ -113,3 +113,48 @@ def test_bad_dump_format_rejected():
 
     with pytest.raises(InvalidDirective, match="DUMP_FORMAT"):
         D.DUMP_FORMAT("AVRO")
+
+
+def test_csv_source_connector_roundtrip(spark, sf_dir, tmp_path):
+    """Source-side format flexibility: a self-describing (header) CSV
+    dataset behind the fs connector exports to a parquet dump and
+    imports back with matching row counts — csv:// is a first-class
+    source, not just a dump format."""
+    import os
+
+    from oracledb_datapump_spark.catalog import ParquetConnector, resolve_connector
+
+    srcdir = tmp_path / "csv_src" / "hr"
+    srcdir.mkdir(parents=True)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.coalesce(1).write.option("header", "true").csv(
+        str(srcdir / "nation.csv")
+    )
+    con = resolve_connector(f"csv://{tmp_path / 'csv_src'}")
+    assert isinstance(con, ParquetConnector) and con.fmt == "csv"
+    assert con.list_tables("hr") == ["nation"]
+    assert con.read_table(spark, "hr", "nation").count() == nation.count()
+
+    dump = str(tmp_path / "csv_src_dump")
+    st = Job(
+        operation=Operation.EXPORT,
+        mode=JobMode.SCHEMA,
+        dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("hr")],
+    ).run(wait=True, connection=con, spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    got = spark.read.parquet(os.path.join(dump, "hr", "nation"))
+    assert got.count() == nation.count()
+
+
+def test_orc_source_connector_lists_and_reads(spark, sf_dir, tmp_path):
+    from oracledb_datapump_spark.catalog import resolve_connector
+
+    srcdir = tmp_path / "orc_src" / "hr"
+    srcdir.mkdir(parents=True)
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    region.coalesce(1).write.orc(str(srcdir / "region.orc"))
+    con = resolve_connector(f"orc://{tmp_path / 'orc_src'}")
+    assert con.list_schemas() == ["hr"]
+    df = con.read_table(spark, "hr", "region", columns=["r_name"])
+    assert df.columns == ["r_name"] and df.count() == region.count()
