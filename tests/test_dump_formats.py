@@ -158,3 +158,13 @@ def test_orc_source_connector_lists_and_reads(spark, sf_dir, tmp_path):
     assert con.list_schemas() == ["hr"]
     df = con.read_table(spark, "hr", "region", columns=["r_name"])
     assert df.columns == ["r_name"] and df.count() == region.count()
+
+
+@pytest.mark.parametrize("fmt", ["ORC", "JSON", "CSV"])
+def test_format_roundtrip_typed_columns(spark, duck, tmp_path, fmt):
+    """Timestamps and doubles must survive the non-parquet formats:
+    ORC natively, JSON/CSV via the manifest-schema re-typing on import.
+    The orders table carries TIMESTAMP + DOUBLE + VARCHAR columns."""
+    _roundtrip(
+        spark, duck, str(tmp_path / f"typed_{fmt}"), fmt, tables=("orders",)
+    )
