@@ -71,7 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     job_mode.add_argument("--full", action="store_true")
     job_mode.add_argument("--table", action="append", default=[])
 
-    parser.add_argument("--connection", help="connector URL (duckdb://, parquet://, jdbc:)")
+    parser.add_argument(
+        "--connection",
+        help="connector URL (duckdb://, parquet://, orc://, json://, csv://, jdbc:)",
+    )
     parser.add_argument("--username", help="DB username (JDBC)")
     parser.add_argument("--password", help="DB password (JDBC)")
     parser.add_argument("--hostname", help="DB host (JDBC)")

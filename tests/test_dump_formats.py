@@ -168,3 +168,38 @@ def test_format_roundtrip_typed_columns(spark, duck, tmp_path, fmt):
     _roundtrip(
         spark, duck, str(tmp_path / f"typed_{fmt}"), fmt, tables=("orders",)
     )
+
+
+def test_dump_format_via_json_protocol(spark, sf_dir, tmp_path):
+    """DUMP_FORMAT flows through the JSON SUBMIT protocol unchanged (the
+    registry metaclass gives every directive a JSON form for free)."""
+    import json as _json
+
+    from oracledb_datapump_spark import DataPump
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+    from oracledb_datapump_spark.engine import _sniff_dump_format
+
+    db = str(tmp_path / "fmt_proto.duckdb")
+    con = DuckDbConnector(db)
+    con.load_parquet_dir("hr", sf_dir)
+    con.con.close()
+
+    dump = str(tmp_path / "proto_orc")
+    req = {
+        "connection": f"duckdb://{db}",
+        "request": "SUBMIT",
+        "payload": {
+            "operation": "EXPORT",
+            "mode": "TABLE",
+            "wait": True,
+            "dumpfiles": [dump],
+            "directives": [
+                {"name": "INCLUDE_SCHEMA", "value": "hr"},
+                {"name": "INCLUDE_TABLE", "value": "nation"},
+                {"name": "DUMP_FORMAT", "value": "ORC"},
+            ],
+        },
+    }
+    resp = DataPump.submit(_json.dumps(req))
+    assert resp.state == "COMPLETED"
+    assert _sniff_dump_format(f"{dump}/hr/nation") == "orc"
