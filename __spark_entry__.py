@@ -102,8 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_groups": D.dedup_groups,
-        # engine.py: MERGE tiebreak now walks nested map types
+        # engine.py: MERGE tiebreak now walks nested map types; the ORC
+        # roundtrip gates the new DUMP_FORMAT write/read path
         "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
+        "datapump_roundtrip_orc": E.datapump_roundtrip_orc,
         # embeddings.py: int64 covariance headroom guard enforced
         "embedding_pca_scores": EM.embedding_pca_scores,
         # events_source.py: epoch-unit sniffing — every events consumer
@@ -131,9 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
-        "sales_cube": A5.sales_cube,
         # ---------------- fold: entry 51+ below -------------------------
         # relational analytics proven green r01-r03, code unchanged
+        "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
         "q2_min_cost_supplier": A5.q2_min_cost_supplier,
         "q8_market_share": A5.q8_market_share,
@@ -234,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "datapump_roundtrip_nation": E.ROUNDTRIP_NATION_SQL,
         "datapump_roundtrip_supplier": E.ROUNDTRIP_SUPPLIER_SQL,
         "datapump_roundtrip_merge": E.ROUNDTRIP_MERGE_SQL,
+        "datapump_roundtrip_orc": E.ROUNDTRIP_ORC_SQL,
         "lang_id_confusion": EV.LANG_ID_CONFUSION_SQL,
         "cluster_label_purity": EV.CLUSTER_LABEL_PURITY_SQL,
         "dedup_rate_by_source": EV.DEDUP_RATE_BY_SOURCE_SQL,

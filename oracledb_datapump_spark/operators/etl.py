@@ -32,7 +32,9 @@ def datapump_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "supplier").orderBy("s_suppkey")
 
 
-def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def _roundtrip(
+    spark: SparkSession, sf_dir: str, table: str, dump_format: str = "PARQUET"
+) -> DataFrame:
     src = ParquetConnector(sf_dir)
     dump = tempfile.mkdtemp(prefix=f"dp_rt_{table}_")
     try:
@@ -45,6 +47,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
                 D.INCLUDE_TABLE(table),
                 D.PARALLEL(2),
                 D.COMPRESSION("ALL"),
+                D.DUMP_FORMAT(dump_format),
             ],
         ).run(wait=True, connection=src, spark=spark)
         if st.job_state != "COMPLETED":
@@ -131,4 +134,18 @@ def datapump_roundtrip_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROUNDTRIP_NATION_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
 ROUNDTRIP_SUPPLIER_SQL = "SELECT * FROM supplier ORDER BY s_suppkey"
+
+
+def datapump_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip of ``supplier`` through an ORC dump set
+    (DUMP_FORMAT extension): export → ORC part files → import into
+    DuckDB → read back. Hash equality against the plain supplier table
+    proves the alternate physical format preserves every value and type
+    end to end under the driver gate, not just in pytest."""
+    return _roundtrip(spark, sf_dir, "supplier", dump_format="ORC").orderBy(
+        "s_suppkey"
+    )
+
+
+ROUNDTRIP_ORC_SQL = "SELECT * FROM supplier ORDER BY s_suppkey"
 ROUNDTRIP_MERGE_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
