@@ -110,6 +110,7 @@ def main() -> None:
         "pack_plan",
         "repetition_ngram_fracs",
         "curriculum_order",
+        "datapump_roundtrip_orc",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()
