@@ -221,7 +221,10 @@ mh AS (
 
 
 def dedup_minhash_pairs(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band signature
     (bands of {BAND_ROWS} rows over {NUM_HASHES} minhashes).
@@ -231,7 +234,19 @@ def dedup_minhash_pairs(
     hashing, one md5 per shingle); band signatures are row-local; the
     band self-join is keyed on (band, sig) and carries one row per doc
     per band. The naive formulation (explode × seeds, groupBy(doc, seed),
-    window band-agg) shuffles |shingles|×|seeds| rows instead."""
+    window band-agg) shuffles |shingles|×|seeds| rows instead.
+
+    ``max_bucket_size`` is the hot-bucket cap for real web corpora:
+    boilerplate (empty pages, license headers) collapses thousands of
+    documents into ONE (band, sig) bucket, and the self-join then
+    builds B² pairs inside a single task. Capping drops buckets larger
+    than the threshold — the standard MinHash-LSH production trade
+    (boilerplate clusters are better handled by exact dedup upstream,
+    and dropping a bucket loses only candidates every other band can
+    still recall). Default None = exact candidates (the gated oracle
+    semantics); the bucket-count pass is one extra partial-aggregated
+    groupBy over the band stream, nothing at 100 TB next to the B²
+    pair explosion it prevents."""
     agg = _shingles_multiset(spark, sf_dir, docs).groupBy("doc_id").agg(*_minhash_cols())
     band_sig = [
         F.md5(
@@ -249,6 +264,14 @@ def dedup_minhash_pairs(
         "doc_id",
         F.posexplode(F.array(*band_sig)).alias("band", "sig"),
     )
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket_size)
+            .select("band", "sig")
+        )
+        bands = bands.join(ok, ["band", "sig"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -104,3 +104,29 @@ def test_quadratic_guard_blocks_large_inputs(spark, sf_dir, monkeypatch):
         D.dedup_ngram_jaccard(spark, sf_dir)
     # verification=True forces the quadratic plan through unchanged
     assert D.dedup_embedding_cosine(spark, sf_dir, verification=True).count() > 0
+
+
+def test_minhash_hot_bucket_cap(spark, tmp_path):
+    """max_bucket_size drops boilerplate mega-buckets: 20 identical
+    documents form one bucket per band; with the cap their 190 pairs
+    disappear while a genuinely-similar distinct pair survives."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(20)]
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows += [(100, dup), (101, dup)]  # size-2 bucket: must survive the cap
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in uncapped  # boilerplate pairs present without a cap
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_pairs(
+            spark, str(tmp_path), max_bucket_size=10
+        ).collect()
+    }
+    assert all(a >= 100 for a, _ in capped), capped  # boilerplate dropped
+    assert (100, 101) in capped  # real near-dup pair survives the cap
