@@ -159,7 +159,9 @@ ORDER BY p.doc_id
 # ---------------------------------------------------------------------------
 
 
-def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_search_topk(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
     """(query_doc, match_doc, rank, sim_q): TF-IDF cosine top-{TFIDF_TOP_K}
     corpus matches for each query document (doc_id < {TFIDF_N_QUERIES}),
     self-matches excluded.
@@ -177,11 +179,15 @@ def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed exactly once with no shuffle for the join itself; the
     per-(query, match) dot product is one more partial-aggregated
     groupBy whose key space is |queries| x |matched docs|. Top-k is a
-    window over that small result. At 100 TB the only change is a df
-    cap on the index (drop stopword-frequency tokens) to bound posting
-    lists — on this synthetic vocab-30 corpus a cap would drop
-    everything, so it is intentionally not applied here.
-    """
+    window over that small result.
+
+    ``max_df`` is the 100 TB lever: drop tokens whose document
+    frequency exceeds the cap (stopword-frequency postings dominate
+    inverted-index size and contribute near-zero idf weight anyway) —
+    one filter on the df table, no extra pass. Default None = full
+    index (on this synthetic vocab-30 corpus every token is
+    stopword-frequency, so a cap would drop everything — which is why
+    the gated oracle runs uncapped)."""
     d = _docs(spark, sf_dir)
     # corpus size as a one-row broadcast (no driver-side .first() read)
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -191,6 +197,8 @@ def tfidf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_df)
     idx = tf.join(df_tbl, "tok").crossJoin(F.broadcast(nd)).select(
         "doc_id",
         "tok",

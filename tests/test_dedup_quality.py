@@ -130,3 +130,23 @@ def test_minhash_hot_bucket_cap(spark, tmp_path):
     }
     assert all(a >= 100 for a, _ in capped), capped  # boilerplate dropped
     assert (100, 101) in capped  # real near-dup pair survives the cap
+
+
+def test_tfidf_max_df_prunes_stopword_postings(spark, tmp_path):
+    """max_df drops stopword-frequency postings from the inverted index:
+    a token in every document stops contributing matches, while rare
+    tokens still rank. Corpus: 25 docs sharing 'common'; two of the
+    query docs additionally share 'rare'."""
+    from oracledb_datapump_spark.operators import sparse_text as SX
+
+    rows = [(i, f"common filler{i} noise{i}") for i in range(2, 25)]
+    rows += [(0, "common rare alpha"), (1, "common rare beta")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    capped = SX.tfidf_search_topk(spark, str(tmp_path), max_df=5).collect()
+    pairs = {(r.query_doc, r.match_doc) for r in capped}
+    # with 'common' pruned (df=25 > 5), docs 0 and 1 still match via 'rare'
+    assert (0, 1) in pairs and (1, 0) in pairs, pairs
+    # docs with ONLY stopword overlap produce no matches at all
+    assert all(q in (0, 1) and m in (0, 1) for q, m in pairs), pairs
