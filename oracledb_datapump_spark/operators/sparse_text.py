@@ -210,10 +210,14 @@ def tfidf_search_topk(
         .alias("w"),
     )
     # The index feeds three consumers (norms, query postings, corpus join
-    # side); persisting it turns three tokenize+aggregate passes into
-    # one.  At 100 TB you would write the inverted index to storage and
-    # reuse it across query batches — persist() is the in-session form.
-    idx = idx.persist()
+    # side); materializing it turns three tokenize+aggregate passes into
+    # one. localCheckpoint (not persist): under plain cache the optimizer
+    # re-plans the full tokenize lineage beneath every InMemoryRelation
+    # reprint (r5 plan audit: 12 scans / 25 exchanges); truncating
+    # lineage collapses the plan to the three index reads. At 100 TB you
+    # would write the inverted index to storage and reuse it across
+    # query batches — the checkpoint is the in-session form.
+    idx = idx.localCheckpoint(eager=True)
     norms = idx.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("decimal(38,0)").alias("norm2")
     )
