@@ -75,3 +75,39 @@ def test_exact_ntile_matches_duckdb_ntile(spark):
         )
         got = [r.tile for r in df.orderBy("rk").collect()]
         assert got == want, (n_rows, n_tiles, got, want)
+
+
+def test_exact_ntile_formula_property():
+    """Property sweep (no Spark): the pure arithmetic behind exact_ntile
+    must match ANSI NTILE for arbitrary (n_rows, n_tiles) — the Spark
+    expression is this formula verbatim, so pinning the formula pins the
+    column."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def formula(rank, n, k):
+        q, r = divmod(n, k)
+        big = r * (q + 1)
+        if q == 0:
+            return rank
+        if rank <= big:
+            return (rank - 1) // (q + 1) + 1
+        return r + (rank - 1 - big) // q + 1
+
+    def ansi_ntile(n, k):
+        # reference implementation: first n%k tiles get n//k+1 rows
+        out, rank = [], 1
+        q, r = divmod(n, k)
+        for tile in range(1, k + 1):
+            size = q + (1 if tile <= r else 0)
+            out.extend([tile] * size)
+        return out
+
+    @settings(max_examples=200, deadline=None)
+    @given(n=st.integers(1, 400), k=st.integers(1, 20))
+    def check(n, k):
+        want = ansi_ntile(n, k)
+        got = [formula(rank, n, k) for rank in range(1, n + 1)]
+        assert got == want, (n, k)
+
+    check()
