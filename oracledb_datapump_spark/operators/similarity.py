@@ -169,7 +169,9 @@ def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, sig: DataFrame | None = None
+) -> DataFrame:
     """LSH-bucketed ANN with query-side multi-probe: each query probes its
     own bucket plus every Hamming-distance-1 bucket per table (bit flips
     are the buckets a borderline projection would have landed in), then
@@ -182,7 +184,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe rows per query, broadcast); the corpus keeps one row per table —
     the standard trade of probe count for table count."""
     e = _emb(spark, sf_dir)
-    sig = lsh_signatures(spark, sf_dir)
+    if sig is None:  # else: a pre-built index frame (export_ann_index)
+        sig = lsh_signatures(spark, sf_dir)
     with_sig = e.join(sig, "vec_id")
     probes = F.array(
         F.col("bucket"),
@@ -346,3 +349,79 @@ SELECT label, vec_id, rank FROM (
 ) WHERE rank <= {TOP_K}
 ORDER BY label, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN index lifecycle: export the LSH signature table as a dump artifact
+# ---------------------------------------------------------------------------
+
+INDEX_MANIFEST = "_index_manifest.json"
+
+
+def export_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Persist the LSH signature table (vec_id, tbl, bucket) plus its
+    parameters as a dump-set-style artifact — the datapump lifecycle
+    applied to a similarity index. At 100 TB the signature build is one
+    full corpus pass; exporting it amortizes that pass across every
+    later query batch (the same argument as writing the TF-IDF inverted
+    index out). The manifest pins (tables, bits, quant) so a query-time
+    parameter drift fails loudly instead of silently probing the wrong
+    buckets."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    lsh_signatures(spark, sf_dir).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lsh_signatures")
+    )
+    meta = {
+        "kind": "lsh_index",
+        "tables": LSH_TABLES,
+        "bits": LSH_BITS,
+        "quant": QUANT,
+        "source": sf_dir,
+        "created_by": "oracledb-datapump-spark",
+    }
+    tmp = os.path.join(out_dir, INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, INDEX_MANIFEST))
+    return meta
+
+
+def load_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Read an exported LSH index back, validating its parameters
+    against the engine's current constants — a bits/tables/quant
+    mismatch would silently compute Hamming probes in the wrong space,
+    the exact class of bug the events/documents absorbers exist to
+    prevent."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, INDEX_MANIFEST)
+    if not os.path.isfile(path):
+        from ..exceptions import FileError
+
+        raise FileError(f"No ANN index manifest at {path}")
+    with open(path) as f:
+        meta = json.load(f)
+    expected = {"tables": LSH_TABLES, "bits": LSH_BITS, "quant": QUANT}
+    got = {k: meta.get(k) for k in expected}
+    if got != expected:
+        from ..exceptions import UsageError
+
+        raise UsageError(
+            f"ANN index at {index_dir} was built with {got}, engine "
+            f"expects {expected} — rebuild the index (export_ann_index) "
+            "rather than probing the wrong bucket space"
+        )
+    return spark.read.parquet(os.path.join(index_dir, "lsh_signatures"))
+
+
+def ann_lsh_topk_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """ann_lsh_topk served from a previously exported index: identical
+    results, zero signature recompute — the production query path once
+    the index artifact exists."""
+    return ann_lsh_topk(spark, sf_dir, sig=load_ann_index(spark, index_dir))

@@ -150,3 +150,33 @@ def test_tfidf_max_df_prunes_stopword_postings(spark, tmp_path):
     assert (0, 1) in pairs and (1, 0) in pairs, pairs
     # docs with ONLY stopword overlap produce no matches at all
     assert all(q in (0, 1) and m in (0, 1) for q, m in pairs), pairs
+
+
+def test_ann_index_export_import_identical(spark, sf_dir, tmp_path):
+    """An exported LSH index must answer queries identically to the
+    direct path (zero signature recompute), and a parameter-mismatched
+    index must be rejected loudly rather than probed."""
+    import json
+    import os
+
+    import pytest
+
+    from oracledb_datapump_spark.exceptions import UsageError
+
+    idx = str(tmp_path / "ann_idx")
+    meta = S.export_ann_index(spark, sf_dir, idx)
+    assert meta["tables"] == S.LSH_TABLES and meta["bits"] == S.LSH_BITS
+
+    direct = [tuple(r) for r in S.ann_lsh_topk(spark, sf_dir).collect()]
+    via_index = [
+        tuple(r) for r in S.ann_lsh_topk_from_index(spark, sf_dir, idx).collect()
+    ]
+    assert direct == via_index and len(direct) > 0
+
+    # drifted parameters → loud rejection
+    mpath = os.path.join(idx, S.INDEX_MANIFEST)
+    m = json.load(open(mpath))
+    m["bits"] = 99
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(UsageError, match="wrong bucket space"):
+        S.load_ann_index(spark, idx)
