@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sparse_text.py: span_dup_score de-skewed (window → two-phase agg)
         "span_dup_score": SX.span_dup_score,
         "tfidf_search_topk": SX.tfidf_search_topk,
+        # new this round: Okapi BM25 over the same inverted index
+        "bm25_search_topk": SX.bm25_search_topk,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -132,8 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
-        "q9_product_profit": A3.q9_product_profit,
         # ---------------- fold: entry 51+ below -------------------------
+        "q9_product_profit": A3.q9_product_profit,
         # relational analytics proven green r01-r03, code unchanged
         "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
@@ -296,6 +298,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topk": G.PAGERANK_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
+        "bm25_search_topk": SX.BM25_SEARCH_SQL,
         "histogram_quantiles": SK.HISTOGRAM_QUANTILES_SQL,
         "triangle_participation": G.TRIANGLE_SQL,
         "basket_lift_topk": G.BASKET_LIFT_SQL,

@@ -308,3 +308,147 @@ SELECT query_doc, match_doc, rank, sim_q
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 ORDER BY query_doc, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k search (Okapi BM25 over the same inverted index)
+# ---------------------------------------------------------------------------
+
+# k1 = 6/5 and b = 3/4 as exact rationals: the standard Okapi defaults
+# (k1=1.2, b=0.75) chosen so the saturation denominator clears to
+# integers when multiplied through by 20·T (T = corpus token instances).
+BM25_TOP_K = 5
+BM25_SCALE = 1000  # per-term scores quantized to thousandths
+
+
+def bm25_search_topk(
+    spark: SparkSession, sf_dir: str, max_df: int | None = None
+) -> DataFrame:
+    """(query_doc, match_doc, rank, score_q): Okapi BM25 top-{BM25_TOP_K}
+    corpus matches per query document (doc_id < {TFIDF_N_QUERIES}),
+    self-matches excluded — the industry-standard sparse retrieval
+    scorer (tf saturation + length normalization), the recall half of a
+    hybrid BM25 + dense-rerank stack at 100 TB.
+
+    Integer contract: with k1=6/5, b=3/4, idf_q = floor(N·{IDF_SCALE}/df)
+    (same floor-division idf as tfidf_search_topk), and T = total corpus
+    token instances, the per-term score
+
+        idf · qtf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    multiplied through by 20·T (avgdl = T/N) becomes the exact rational
+
+        num = idf_q · qtf · 44 · T · tf
+        den = 20·T·tf + 6·T + 18·dl·N
+
+    and score contribution = (num · {BM25_SCALE}) div den in
+    DECIMAL(38,0) — floor-per-term, summed per (query, match); every
+    step bit-identical to DuckDB HUGEINT `//`.
+
+    Plan: identical shape to tfidf_search_topk — one tokenize pass into
+    a localCheckpointed (doc, tok, tf) index (the 100 TB form writes the
+    index to storage once and reuses it per query batch), corpus-side
+    stats (N, T) as a one-row broadcast, the {TFIDF_N_QUERIES}-doc query
+    postings broadcast into the index join so the corpus streams once
+    with no shuffle, one partial-aggregated groupBy for the score sum,
+    and a window over the |queries|×matches result for top-k. ``max_df``
+    prunes stopword-frequency postings exactly as in tfidf (off in the
+    gated oracle: the synthetic vocab-30 corpus is all-stopword)."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_toks")
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tbl = df_tbl.filter(F.col("df") <= max_df)
+    idx = (
+        tf.join(df_tbl, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "dl",
+            "n_docs",
+            "t_toks",
+            F.floor((F.col("n_docs") * IDF_SCALE) / F.col("df"))
+            .cast("long")
+            .alias("idf_q"),
+        )
+    )
+    q_idx = idx.filter(F.col("doc_id") < TFIDF_N_QUERIES).select(
+        F.col("doc_id").alias("query_doc"), "tok", F.col("tf").alias("qtf")
+    )
+    scored = (
+        F.broadcast(q_idx)
+        .join(idx, "tok")
+        .filter(F.col("doc_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            F.col("doc_id").alias("match_doc"),
+            F.expr(
+                f"CAST(CAST(idf_q AS DECIMAL(38,0)) * qtf * 44 * t_toks * tf"
+                f" * {BM25_SCALE} AS DECIMAL(38,0)) div"
+                f" CAST(20 * t_toks * tf + 6 * t_toks"
+                f" + 18 * dl * n_docs AS DECIMAL(38,0))"
+            ).alias("term_score"),
+        )
+        .groupBy("query_doc", "match_doc")
+        .agg(F.sum("term_score").cast("long").alias("score_q"))
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("score_q"), F.asc("match_doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("query_doc", "match_doc", "rank", "score_q")
+        .orderBy("query_doc", "rank")
+    )
+
+
+BM25_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), dlt AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS t_toks FROM dlt
+), dft AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), idx AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dlt.dl, s.n_docs, s.t_toks,
+         CAST(FLOOR(s.n_docs * {IDF_SCALE} / dft.df) AS BIGINT) AS idf_q
+  FROM tf JOIN dft USING (tok) JOIN dlt USING (doc_id) CROSS JOIN stats s
+), scored AS (
+  SELECT q.doc_id AS query_doc, c.doc_id AS match_doc,
+         CAST(SUM((CAST(c.idf_q AS HUGEINT) * q.tf * 44 * c.t_toks * c.tf
+                   * {BM25_SCALE})
+                  // (CAST(20 AS HUGEINT) * c.t_toks * c.tf + 6 * c.t_toks
+                      + 18 * c.dl * c.n_docs)) AS BIGINT) AS score_q
+  FROM idx q JOIN idx c USING (tok)
+  WHERE q.doc_id < {TFIDF_N_QUERIES} AND c.doc_id != q.doc_id
+  GROUP BY q.doc_id, c.doc_id
+), ranked AS (
+  SELECT query_doc, match_doc, score_q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_doc
+                                 ORDER BY score_q DESC, match_doc ASC) AS BIGINT)
+           AS rank
+  FROM scored
+)
+SELECT query_doc, match_doc, rank, score_q
+FROM ranked WHERE rank <= {BM25_TOP_K}
+ORDER BY query_doc, rank
+"""
