@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_search_topk": SX.tfidf_search_topk,
         # new this round: Okapi BM25 over the same inverted index
         "bm25_search_topk": SX.bm25_search_topk,
+        # new this round: DSIR hashed-bigram importance weights
+        "dsir_importance": TP.dsir_importance,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -133,8 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_topk": S.centroid_topk,
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
-        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         # ---------------- fold: entry 51+ below -------------------------
+        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         # relational analytics proven green r01-r03, code unchanged
         "sales_cube": A5.sales_cube,
@@ -299,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,
+        "dsir_importance": TP.DSIR_IMPORTANCE_SQL,
         "histogram_quantiles": SK.HISTOGRAM_QUANTILES_SQL,
         "triangle_participation": G.TRIANGLE_SQL,
         "basket_lift_topk": G.BASKET_LIFT_SQL,

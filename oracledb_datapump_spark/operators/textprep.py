@@ -315,3 +315,132 @@ GROUP BY gram
 ORDER BY n_occurrences DESC, gram
 LIMIT {VOCAB_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (hashed n-gram importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed bigram feature space (B)
+DSIR_TARGET_LANG = "en"  # target distribution = the English slice
+
+
+def dsir_importance(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_feats, logratio_q): per-document importance weight for
+    Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+    score raw documents by how target-like their hashed-bigram feature
+    distribution is, then sample proportionally. Target here is the
+    ``lang = '{DSIR_TARGET_LANG}'`` slice of the corpus; raw is the whole
+    corpus (in production the target is a small trusted corpus, e.g.
+    Wikipedia — same plan, different source for the target counts).
+
+    Integer contract: each bigram instance hashing to feature f
+    contributes bits(num/den) − bits(den/num), where
+    num = (occ_target(f)+1)·(T_raw+B), den = (occ_raw(f)+1)·(T_target+B)
+    (add-one smoothing over B = {DSIR_BUCKETS} buckets) and bits(x) =
+    bitlen of the integer quotient — floor(log2(ratio))+1 when the ratio
+    is ≥ 1, else 0, the same bitlen-of-integer-division quantization
+    unigram_surprise uses. The products run in DECIMAL(38,0)/HUGEINT so
+    the contract survives corpus token counts past 2^63.
+
+    Plan: bigram features are row-local (sequence+transform then hash64
+    mod B); the two count tables are one groupBy(feat) each over the
+    SAME single tokenize pass (target counts via conditional agg — no
+    second scan), and the result is a {DSIR_BUCKETS}-row table — model
+    state, broadcast back onto the feature stream; one final
+    groupBy(doc_id). Nothing scales with corpus size except the
+    embarrassingly-parallel scan — the exact structure DSIR needs at
+    100 TB."""
+    d = _docs(spark, sf_dir, docs)
+    wt = d.select("doc_id", "lang", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
+    )
+    feats = wt.select(
+        "doc_id",
+        "lang",
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hash64(F.col("gram")), F.lit(DSIR_BUCKETS)).alias("feat"),
+    )
+    counts = feats.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("occ_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("occ_t"),
+    )
+    tots = counts.agg(
+        F.sum("occ_r").alias("t_r"), F.sum("occ_t").alias("t_t")
+    )
+    # bits(x) with bits(0) = 0: length(bin(x)) is 1 for x = 0, so gate on
+    # the quotient being nonzero instead of subtracting 1 (bin(0) = '0').
+    ratio = counts.crossJoin(F.broadcast(tots)).select(
+        "feat",
+        F.expr(
+            f"""
+            CAST(length(bin(CAST((occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                             div ((occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS DECIMAL(38,0))))) AS LONG)
+            * CAST(((occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS DECIMAL(38,0)))
+                   >= ((occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS DECIMAL(38,0))) AS INT)
+            - CAST(length(bin(CAST((occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS DECIMAL(38,0)) AS DECIMAL(38,0))
+                               div ((occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS DECIMAL(38,0))))) AS LONG)
+            * CAST(((occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS DECIMAL(38,0)))
+                   >= ((occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS DECIMAL(38,0))) AS INT)
+            """
+        ).alias("fbits"),
+    )
+    return (
+        feats.join(F.broadcast(ratio), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("fbits").cast("long").alias("logratio_q"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '') AS l
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         {sql_hash64("array_to_string(l[i+1:i+2], ' ')")} % {DSIR_BUCKETS} AS feat
+  FROM toks, unnest(range(len(l) - 1)) AS t(i)
+  WHERE len(l) >= 2
+), counts AS (
+  SELECT feat, COUNT(*) AS occ_r,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS occ_t
+  FROM feats GROUP BY feat
+), tots AS (
+  SELECT SUM(occ_r) AS t_r, SUM(occ_t) AS t_t FROM counts
+), ratio AS (
+  SELECT feat,
+         CASE WHEN (occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS HUGEINT)
+                   >= (occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS HUGEINT)
+              THEN CAST(length(bin(((occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS HUGEINT))
+                                   // ((occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS HUGEINT)))) AS BIGINT)
+              ELSE 0 END
+         - CASE WHEN (occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS HUGEINT)
+                     >= (occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS HUGEINT)
+                THEN CAST(length(bin(((occ_r + 1) * CAST(t_t + {DSIR_BUCKETS} AS HUGEINT))
+                                     // ((occ_t + 1) * CAST(t_r + {DSIR_BUCKETS} AS HUGEINT)))) AS BIGINT)
+                ELSE 0 END AS fbits
+  FROM counts CROSS JOIN tots
+)
+SELECT f.doc_id,
+       COUNT(*) AS n_feats,
+       CAST(SUM(r.fbits) AS BIGINT) AS logratio_q
+FROM feats f JOIN ratio r USING (feat)
+GROUP BY f.doc_id
+ORDER BY f.doc_id
+"""
