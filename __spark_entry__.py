@@ -34,6 +34,7 @@ from oracledb_datapump_spark.operators import graph as G
 from oracledb_datapump_spark.operators import multimodal as M
 from oracledb_datapump_spark.operators import outliers as OU
 from oracledb_datapump_spark.operators import privacy as PV
+from oracledb_datapump_spark.operators import pq as PQ2
 from oracledb_datapump_spark.operators import profiling as PF
 from oracledb_datapump_spark.operators import sampling as SP
 from oracledb_datapump_spark.operators import similarity as S
@@ -89,6 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_topk": SX.bm25_search_topk,
         # new this round: DSIR hashed-bigram importance weights
         "dsir_importance": TP.dsir_importance,
+        # new this round: product quantization (codes + asymmetric search)
+        "embedding_pq_codes": PQ2.embedding_pq_codes,
+        "ann_pq_topk": PQ2.ann_pq_topk,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -133,9 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
+        # ---------------- fold: entry 51+ below -------------------------
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
-        # ---------------- fold: entry 51+ below -------------------------
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         # relational analytics proven green r01-r03, code unchanged
@@ -302,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,
         "dsir_importance": TP.DSIR_IMPORTANCE_SQL,
+        "embedding_pq_codes": PQ2.EMBEDDING_PQ_CODES_SQL,
+        "ann_pq_topk": PQ2.ANN_PQ_SQL,
         "histogram_quantiles": SK.HISTOGRAM_QUANTILES_SQL,
         "triangle_participation": G.TRIANGLE_SQL,
         "basket_lift_topk": G.BASKET_LIFT_SQL,

@@ -1,0 +1,362 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+IVF-PQ is the canonical 100 TB ANN architecture (Jégou et al., "Product
+Quantization for Nearest Neighbor Search"): split each vector into M
+subvectors, k-means each subspace to K codes, store M small code ids per
+vector (here 4 bytes replacing 64 floats), and answer queries with
+asymmetric distance — a per-query lookup table (LUT) of query-to-code
+distances, so scoring a corpus vector is M table lookups + adds, never a
+full float dot product. ``similarity.py`` holds the IVF half
+(centroid_topk routing); this module is the PQ half:
+
+- ``embedding_pq_codes``: per-vector PQ codes + reconstruction error
+  (the compression-quality audit).
+- ``ann_pq_topk``: asymmetric-distance top-k for the query set via a
+  broadcast LUT join against the codes table.
+
+Determinism contract (same recipe as clustering.py): embeddings
+quantize to floor(x·1e7) int64; per-subspace Lloyd iterations assign by
+exact integer squared-L2 with lowest-code-id tie-break and update
+centroids as floor(int-sum / count) in IEEE double (sums < 2^53 —
+exact-operand division); every step is bit-identical in Spark and
+DuckDB, so an iterative codebook fit sits inside the cross-engine hash
+gate. The DuckDB twin unrolls the fit into CTEs exactly like
+``clustering._kmeans_sql``.
+
+Plan shape: codebooks are driver model state (M·K·(D/M) = 512 ints),
+memoized per (session, sf_dir) and broadcast as ONE packed row; code
+assignment is row-local (zero shuffle); the update pass is one
+partial-aggregated groupBy with M·K·(D/M) reduce keys regardless of
+corpus size; the search LUT is |queries|·M·K rows — broadcast — so the
+corpus-side cost of a query batch is one scan of the (vec_id, m, code)
+table. Nothing grows with corpus size except the embarrassingly
+parallel scan: the PQ promise.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace (embeddings are 64-d)
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 2
+PQ_SCALE = 1e7
+PQ_QUERIES = 10  # vec_id < PQ_QUERIES form the search query set
+PQ_TOP_K = 5
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .emb_source import load_embeddings
+
+    emb = load_embeddings(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _packed_codebooks(
+    spark: SparkSession, books: dict[tuple[int, int], list[int]]
+) -> DataFrame:
+    """One-row frame holding array<struct<m,cid,cv>> — broadcastable
+    model state; the expression tree stays small and identical across
+    iterations (inline literals re-analyze M·K·SUB constants per pass)."""
+    rows = [
+        (int(m), int(cid), [int(v) for v in cv])
+        for (m, cid), cv in sorted(books.items())
+    ]
+    cent_df = spark.createDataFrame(rows, "m long, cid long, cv array<long>")
+    return cent_df.agg(F.collect_list(F.struct("m", "cid", "cv")).alias("cents"))
+
+
+def _with_codes(q: DataFrame, packed: DataFrame) -> DataFrame:
+    """Extend (vec_id, qv) with code_m/dist_m per subspace — row-local:
+    for each m, argmin over that subspace's K centroids of exact integer
+    squared-L2, ties to the lowest code id (struct array_min)."""
+    out = q.crossJoin(F.broadcast(packed))
+    cols = [F.col("vec_id"), F.col("qv")]
+    for m in range(PQ_M):
+        sub = F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB)
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("cents"), lambda c: c["m"] == F.lit(m)),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, c["cv"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        cols.append(best["cid"].alias(f"code_{m}"))
+        cols.append(best["d"].alias(f"dist_{m}"))
+    return out.select(*cols)
+
+
+# Fitted-codebook memo: (applicationId, sf_dir) -> {(m, cid): centroid}.
+# Plain driver data (survives bench.py's blanket RDD unpersist between
+# queries, unlike a memoized checkpointed DataFrame).
+_CODEBOOK_CACHE: dict[tuple[str, str], dict[tuple[int, int], list[int]]] = {}
+
+
+def _fit_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> dict[tuple[int, int], list[int]]:
+    """PQ_ITERS Lloyd iterations per subspace, all M subspaces in the
+    same passes: assignment is row-local; the update is ONE
+    partial-aggregated groupBy over (subspace, code, dim) — M·K·SUB
+    reduce keys — per iteration. Init: codebook (m, cid) = vector cid's
+    m-th subvector (cid < PQ_K), the same first-rows init as
+    clustering.py."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CODEBOOK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    q = _quantized(spark, sf_dir).localCheckpoint(eager=True)
+    init = q.filter(F.col("vec_id") < PQ_K).collect()
+    books: dict[tuple[int, int], list[int]] = {}
+    for r in init:
+        for m in range(PQ_M):
+            books[(m, int(r.vec_id))] = list(r.qv[m * PQ_SUB : (m + 1) * PQ_SUB])
+    for _ in range(PQ_ITERS):
+        assigned = _with_codes(q, _packed_codebooks(spark, books))
+        # (m, code, local dim i, value) stream → 512-key groupBy
+        per_sub = assigned.select(
+            "qv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            F.col(f"code_{m}").alias("code"),
+                            F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB).alias(
+                                "sub"
+                            ),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        ).select(
+            F.col("e.m").alias("m"),
+            F.col("e.code").alias("code"),
+            F.posexplode("e.sub").alias("i", "v"),
+        )
+        sums = (
+            per_sub.groupBy("m", "code", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            acc.setdefault((int(r.m), int(r.code)), {})[int(r.i)] = (
+                int(r.s),
+                int(r.n),
+            )
+        for (m, cid), dims in acc.items():
+            # floor(int-sum / count) in IEEE double — mirrors the SQL
+            # twin's CAST(... AS DOUBLE)/COUNT(*) exactly (sums < 2^53)
+            books[(m, cid)] = [
+                int(math.floor(dims[i][0] / dims[i][1])) for i in range(PQ_SUB)
+            ]
+    _CODEBOOK_CACHE[key] = books
+    return books
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, code_0..code_{PQ_M-1}, recon_err): the PQ code word per
+    vector and the total squared quantization error — 4 small ints
+    replacing 64 floats, the compression artifact a 100 TB vector store
+    persists next to (or instead of) the raw embeddings."""
+    books = _fit_codebooks(spark, sf_dir)
+    coded = _with_codes(
+        _quantized(spark, sf_dir), _packed_codebooks(spark, books)
+    )
+    return coded.select(
+        "vec_id",
+        *[F.col(f"code_{m}") for m in range(PQ_M)],
+        sum(F.col(f"dist_{m}") for m in range(PQ_M)).cast("long").alias(
+            "recon_err"
+        ),
+    ).orderBy("vec_id")
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, match_id, rank, adist): asymmetric-distance top-k —
+    the PQ search path. The LUT (query × subspace × code → exact integer
+    distance) is |queries|·M·K rows, built row-locally on the broadcast
+    query side; scoring joins the corpus (vec_id, m, code) stream
+    against the broadcast LUT and sums M lookups per vector — one corpus
+    scan, one partial-aggregated groupBy, no full-dimension math in the
+    hot path."""
+    books = _fit_codebooks(spark, sf_dir)
+    packed = _packed_codebooks(spark, books)
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    # LUT: explode the packed codebook row against each query vector
+    lut = (
+        queries.crossJoin(F.broadcast(packed))
+        .select("query_id", "q_qv", F.explode("cents").alias("c"))
+        .select(
+            "query_id",
+            F.col("c.m").alias("m"),
+            F.col("c.cid").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_qv"), F.col("c.m") * PQ_SUB + 1, PQ_SUB),
+                    F.col("c.cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    codes_long = (
+        _with_codes(q, packed)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.col(f"code_{m}").alias("code"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"))
+    )
+    dists = (
+        codes_long.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("match_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "match_id", "rank", "adist")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins: the subspace fit unrolled into CTEs (clustering._kmeans_sql
+# pattern, with the subspace id m = i // PQ_SUB folded into the dim index)
+# ---------------------------------------------------------------------------
+
+
+def _pq_fit_ctes() -> list[str]:
+    ctes = [
+        f"""q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS qv
+  FROM embeddings
+)""",
+        f"""c0 AS (
+  SELECT i // {PQ_SUB} AS m, vec_id AS cid, i, qv AS cv
+  FROM q WHERE vec_id < {PQ_K}
+)""",
+    ]
+    for it in range(PQ_ITERS):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, c.m, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+          FROM q JOIN c{it} c USING (i) GROUP BY q.vec_id, c.m, c.cid))
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""c{it + 1} AS (
+  SELECT a.m, a.cid, q.i,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM q JOIN a{it} a ON q.vec_id = a.vec_id AND q.i // {PQ_SUB} = a.m
+  GROUP BY a.m, a.cid, q.i
+)"""
+        )
+    final_c = f"c{PQ_ITERS}"
+    ctes.append(
+        f"""coded AS (
+  SELECT vec_id, m, cid AS code, d FROM (
+    SELECT vec_id, m, cid, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, c.m, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+          FROM q JOIN {final_c} c USING (i) GROUP BY q.vec_id, c.m, c.cid))
+  WHERE rn = 1
+)"""
+    )
+    return ctes
+
+
+def _pq_codes_sql() -> str:
+    code_cols = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN m = {m} THEN code END) AS BIGINT) AS code_{m}"
+        for m in range(PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_pq_fit_ctes())
+        + f"""
+SELECT vec_id,
+       {code_cols},
+       CAST(SUM(d) AS BIGINT) AS recon_err
+FROM coded
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+    )
+
+
+def _pq_topk_sql() -> str:
+    final_c = f"c{PQ_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(_pq_fit_ctes())
+        + f""",
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cid AS code,
+         SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+  FROM q JOIN {final_c} c USING (i)
+  WHERE q.vec_id < {PQ_QUERIES}
+  GROUP BY q.vec_id, c.m, c.cid
+),
+dists AS (
+  SELECT l.query_id, co.vec_id AS match_id, CAST(SUM(l.d) AS BIGINT) AS adist
+  FROM coded co JOIN lut l ON co.m = l.m AND co.code = l.code
+  WHERE co.vec_id != l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, match_id, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, match_id ASC) AS BIGINT)
+           AS rank
+  FROM dists
+)
+SELECT query_id, match_id, rank, adist
+FROM ranked WHERE rank <= {PQ_TOP_K}
+ORDER BY query_id, rank
+"""
+    )
+
+
+EMBEDDING_PQ_CODES_SQL = _pq_codes_sql()
+ANN_PQ_SQL = _pq_topk_sql()
