@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: product quantization (codes + asymmetric search)
         "embedding_pq_codes": PQ2.embedding_pq_codes,
         "ann_pq_topk": PQ2.ann_pq_topk,
+        # new this round: retrieval MRR/hit-rate dashboard over BM25
+        "retrieval_eval_mrr": EV.retrieval_eval_mrr,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -136,8 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
-        "centroid_topk": S.centroid_topk,
         # ---------------- fold: entry 51+ below -------------------------
+        "centroid_topk": S.centroid_topk,
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
@@ -302,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": SK.HLL_DISTINCT_SQL,
         "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_SQL,
         "pagerank_topk": G.PAGERANK_SQL,
+        "retrieval_eval_mrr": EV.RETRIEVAL_EVAL_MRR_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -111,6 +111,11 @@ def main() -> None:
         "repetition_ngram_fracs",
         "curriculum_order",
         "datapump_roundtrip_orc",
+        "bm25_search_topk",
+        "dsir_importance",
+        "embedding_pq_codes",
+        "ann_pq_topk",
+        "retrieval_eval_mrr",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

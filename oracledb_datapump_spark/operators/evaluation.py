@@ -629,3 +629,102 @@ ORDER BY doc_id
 
 
 CURRICULUM_ORDER_SQL = _curriculum_order_sql()
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: MRR / hits@k of the BM25 search path
+# ---------------------------------------------------------------------------
+
+
+def retrieval_eval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_doc, n_rel_topk, first_rel_rank, rr_ppm): reciprocal-rank
+    evaluation of the sparse retrieval path — for each BM25 query, how
+    many of its top-k matches share the query's ground-truth label
+    (``embeddings.label``, aligned with doc_id by the fixture
+    generator), the rank of the first such hit (0 = none), and the
+    reciprocal rank in ppm (1e6 div rank — exact integer MRR). This is
+    the offline retrieval dashboard (MRR@k / hit-rate) every RAG or
+    retrieval-augmented training pipeline runs against its index builds.
+
+    Plan: the BM25 result is |queries|·k rows; both label joins
+    broadcast the tiny (vec_id, label) projection. Nothing here scales
+    beyond the underlying search."""
+    from .sparse_text import bm25_search_topk
+
+    r = bm25_search_topk(spark, sf_dir)
+    from .emb_source import load_embeddings
+
+    labels = load_embeddings(spark, sf_dir).select(
+        F.col("vec_id"), F.col("label").cast("long").alias("label")
+    )
+    ql = labels.select(
+        F.col("vec_id").alias("query_doc"), F.col("label").alias("q_label")
+    )
+    ml = labels.select(
+        F.col("vec_id").alias("match_doc"), F.col("label").alias("m_label")
+    )
+    rel = (
+        r.join(F.broadcast(ql), "query_doc")
+        .join(F.broadcast(ml), "match_doc")
+        .select(
+            "query_doc",
+            "rank",
+            (F.col("q_label") == F.col("m_label")).cast("long").alias("rel"),
+        )
+    )
+    return (
+        rel.groupBy("query_doc")
+        .agg(
+            F.sum("rel").alias("n_rel_topk"),
+            F.coalesce(
+                F.min(F.when(F.col("rel") == 1, F.col("rank"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("first_rel_rank"),
+        )
+        .select(
+            "query_doc",
+            "n_rel_topk",
+            "first_rel_rank",
+            F.when(
+                F.col("first_rel_rank") > 0,
+                F.expr("1000000 div first_rel_rank"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("query_doc")
+    )
+
+
+def _retrieval_eval_mrr_sql() -> str:
+    from .sparse_text import BM25_SEARCH_SQL
+
+    base = BM25_SEARCH_SQL.replace("ORDER BY query_doc, rank", "")
+    return f"""
+WITH bm25 AS ({base}),
+rel AS (
+  SELECT b.query_doc, b.rank,
+         CASE WHEN ql.label = ml.label THEN 1 ELSE 0 END AS rel
+  FROM bm25 b
+  JOIN embeddings ql ON ql.vec_id = b.query_doc
+  JOIN embeddings ml ON ml.vec_id = b.match_doc
+),
+agg AS (
+  SELECT query_doc,
+         CAST(SUM(rel) AS BIGINT) AS n_rel_topk,
+         CAST(COALESCE(MIN(CASE WHEN rel = 1 THEN rank END), 0) AS BIGINT)
+           AS first_rel_rank
+  FROM rel GROUP BY query_doc
+)
+SELECT query_doc, n_rel_topk, first_rel_rank,
+       CASE WHEN first_rel_rank > 0
+            THEN CAST(1000000 // first_rel_rank AS BIGINT)
+            ELSE 0 END AS rr_ppm
+FROM agg
+ORDER BY query_doc
+"""
+
+
+RETRIEVAL_EVAL_MRR_SQL = _retrieval_eval_mrr_sql()
