@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": PQ2.ann_pq_topk,
         # new this round: retrieval MRR/hit-rate dashboard over BM25
         "retrieval_eval_mrr": EV.retrieval_eval_mrr,
+        # new this round: composed IVF-PQ search (coarse routing + LUT)
+        "ann_ivfpq_topk": PQ2.ann_ivfpq_topk,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -137,8 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
-        "ann_lsh_topk": S.ann_lsh_topk,
         # ---------------- fold: entry 51+ below -------------------------
+        "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
         "q1_pricing_summary": A.q1_pricing_summary,
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
@@ -305,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SK.CMS_HEAVY_HITTERS_SQL,
         "pagerank_topk": G.PAGERANK_SQL,
         "retrieval_eval_mrr": EV.RETRIEVAL_EVAL_MRR_SQL,
+        "ann_ivfpq_topk": PQ2.ANN_IVFPQ_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -116,6 +116,7 @@ def main() -> None:
         "embedding_pq_codes",
         "ann_pq_topk",
         "retrieval_eval_mrr",
+        "ann_ivfpq_topk",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

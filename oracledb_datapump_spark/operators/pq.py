@@ -360,3 +360,211 @@ ORDER BY query_id, rank
 
 EMBEDDING_PQ_CODES_SQL = _pq_codes_sql()
 ANN_PQ_SQL = _pq_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composed search: coarse quantizer routing + PQ scoring
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2  # coarse clusters probed per query
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, match_id, rank, adist): the full IVF-PQ search — route
+    each query to its {IVFPQ_NPROBE} nearest coarse (k-means) centroids,
+    then PQ-score ONLY the vectors assigned to those clusters via the
+    asymmetric-distance LUT. This is the composed architecture both
+    halves exist for: at 100 TB the corpus is partitioned by coarse
+    cluster, a query touches nprobe/K of the data, and each touched row
+    costs M code lookups. Recall tradeoff vs ann_pq_topk (full PQ scan)
+    is exactly IVF's: matches whose cluster isn't probed are missed.
+
+    Plan: coarse centroids and PQ codebooks are both memoized driver
+    model state; the probe table is |queries|·nprobe rows (broadcast);
+    the candidate stream is corpus codes semi-joined on probed clusters
+    — the only corpus-sized flow, pre-filtered by the broadcast join —
+    then one partial-aggregated groupBy sums the M lookups."""
+    from .clustering import kmeans_assign, _fit_centroids
+
+    assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    cents = _fit_centroids(spark, sf_dir)
+    cent_df = spark.createDataFrame(
+        [(int(cid), [int(v) for v in cv]) for cid, cv in cents],
+        "cid long, cv array<long>",
+    )
+    cpacked = cent_df.agg(F.collect_list(F.struct("cid", "cv")).alias("kcents"))
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    cdist = (
+        queries.crossJoin(F.broadcast(cpacked))
+        .select("query_id", "q_qv", F.explode("kcents").alias("c"))
+        .select(
+            "query_id",
+            F.col("c.cid").alias("cluster"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_qv"), F.col("c.cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("cd"),
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cluster"))
+    probes = (
+        cdist.withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= IVFPQ_NPROBE)
+        .select("query_id", "cluster")
+    )
+    books = _fit_codebooks(spark, sf_dir)
+    packed = _packed_codebooks(spark, books)
+    lut = (
+        queries.crossJoin(F.broadcast(packed))
+        .select("query_id", "q_qv", F.explode("cents").alias("c"))
+        .select(
+            "query_id",
+            F.col("c.m").alias("m"),
+            F.col("c.cid").alias("code"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_qv"), F.col("c.m") * PQ_SUB + 1, PQ_SUB),
+                    F.col("c.cv"),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    codes_long = (
+        _with_codes(q, packed)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).cast("long").alias("m"),
+                            F.col(f"code_{m}").alias("code"),
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("vec_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"))
+    )
+    cand = assign.join(F.broadcast(probes), "cluster").select(
+        "query_id", "vec_id"
+    )
+    dists = (
+        codes_long.join(cand, "vec_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("match_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "match_id", "rank", "adist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_ctes() -> list[str]:
+    """Coarse-quantizer fit CTEs — the clustering._kmeans_sql chain
+    (same init/assign/update arithmetic over the FULL 64-d vectors,
+    clustering.py:KMEANS_K/KMEANS_ITERS) with kq/kc/ka names so it
+    composes with the PQ fit CTEs in one WITH."""
+    from .clustering import KMEANS_ITERS, KMEANS_K
+
+    ctes = [
+        f"""kc0 AS (
+  SELECT vec_id AS cid, i, qv AS cv FROM q WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    for it in range(KMEANS_ITERS):
+        ctes.append(
+            f"""ka{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+          FROM q JOIN kc{it} c USING (i) GROUP BY q.vec_id, c.cid))
+  WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"""kc{it + 1} AS (
+  SELECT a.cid, q.i,
+         CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+  FROM q JOIN ka{it} a USING (vec_id) GROUP BY a.cid, q.i
+)"""
+        )
+    final_kc = f"kc{KMEANS_ITERS}"
+    ctes.append(
+        f"""kassign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (SELECT q.vec_id, c.cid, SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+          FROM q JOIN {final_kc} c USING (i) GROUP BY q.vec_id, c.cid))
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, c.cid AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cid)
+             AS prn
+    FROM q JOIN {final_kc} c USING (i)
+    WHERE q.vec_id < {PQ_QUERIES}
+    GROUP BY q.vec_id, c.cid)
+  WHERE prn <= {IVFPQ_NPROBE}
+)"""
+    )
+    return ctes
+
+
+def _ivfpq_topk_sql() -> str:
+    final_c = f"c{PQ_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(_pq_fit_ctes() + _ivf_ctes())
+        + f""",
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cid AS code,
+         SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d
+  FROM q JOIN {final_c} c USING (i)
+  WHERE q.vec_id < {PQ_QUERIES}
+  GROUP BY q.vec_id, c.m, c.cid
+),
+dists AS (
+  SELECT l.query_id, co.vec_id AS match_id, CAST(SUM(l.d) AS BIGINT) AS adist
+  FROM coded co
+  JOIN kassign ka ON ka.vec_id = co.vec_id
+  JOIN probes p ON p.cluster = ka.cluster
+  JOIN lut l ON l.query_id = p.query_id AND co.m = l.m AND co.code = l.code
+  WHERE co.vec_id != p.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+ranked AS (
+  SELECT query_id, match_id, adist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, match_id ASC) AS BIGINT)
+           AS rank
+  FROM dists
+)
+SELECT query_id, match_id, rank, adist
+FROM ranked WHERE rank <= {PQ_TOP_K}
+ORDER BY query_id, rank
+"""
+    )
+
+
+ANN_IVFPQ_SQL = _ivfpq_topk_sql()
