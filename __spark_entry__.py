@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval_mrr": EV.retrieval_eval_mrr,
         # new this round: composed IVF-PQ search (coarse routing + LUT)
         "ann_ivfpq_topk": PQ2.ann_ivfpq_topk,
+        # new this round: PQ recall gauge vs exact integer-L2
+        "ann_pq_recall": PQ2.ann_pq_recall,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -138,8 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the similarity suite, r01-r03 for the relational set) ----------
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
-        "ann_bruteforce_topk": S.ann_bruteforce_topk,
         # ---------------- fold: entry 51+ below -------------------------
+        "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
         "q1_pricing_summary": A.q1_pricing_summary,
@@ -308,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_topk": G.PAGERANK_SQL,
         "retrieval_eval_mrr": EV.RETRIEVAL_EVAL_MRR_SQL,
         "ann_ivfpq_topk": PQ2.ANN_IVFPQ_SQL,
+        "ann_pq_recall": PQ2.ANN_PQ_RECALL_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

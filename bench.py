@@ -117,6 +117,7 @@ def main() -> None:
         "ann_pq_topk",
         "retrieval_eval_mrr",
         "ann_ivfpq_topk",
+        "ann_pq_recall",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

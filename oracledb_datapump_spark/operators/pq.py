@@ -568,3 +568,105 @@ ORDER BY query_id, rank
 
 
 ANN_IVFPQ_SQL = _ivfpq_topk_sql()
+
+
+# ---------------------------------------------------------------------------
+# PQ recall evaluation against the exact integer-L2 baseline
+# ---------------------------------------------------------------------------
+
+
+def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer squared-L2 top-{PQ_TOP_K} over the quantized
+    vectors — the ground truth for PQ recall. Verification-grade: cost
+    is |queries|·N with the query side broadcast (the same bounded shape
+    as similarity.ann_bruteforce_topk)."""
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    d = (
+        F.broadcast(queries)
+        .crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("q_qv"), F.col("qv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("match_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "match_id")
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_hits, recall_ppm): recall@{PQ_TOP_K} of the
+    asymmetric-distance PQ search against exact integer-L2 — the
+    compression-loss gauge that decides M/K sizing before a 100 TB
+    re-encode (the LSH path has the same gauge in
+    evaluation.ann_lsh_recall). recall_ppm = hits·1e6 DIV {PQ_TOP_K},
+    integer arithmetic under the hash gate."""
+    exact = _exact_l2_topk(spark, sf_dir)
+    approx = ann_pq_topk(spark, sf_dir).select(
+        "query_id", "match_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "match_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(n_hits * 1000000) DIV {PQ_TOP_K}").alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_recall_sql() -> str:
+    approx = ANN_PQ_SQL.replace("ORDER BY query_id, rank", "")
+    return f"""
+WITH approx_full AS ({approx}),
+exact_d AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS match_id,
+         SUM((qq.qv - c.qv) * (qq.qv - c.qv)) AS d
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS qv
+        FROM embeddings) qq
+  JOIN (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {PQ_SCALE}) AS BIGINT) AS qv
+        FROM embeddings) c USING (i)
+  WHERE qq.vec_id < {PQ_QUERIES} AND c.vec_id != qq.vec_id
+  GROUP BY qq.vec_id, c.vec_id
+),
+exact_topk AS (
+  SELECT query_id, match_id FROM (
+    SELECT query_id, match_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d ASC, match_id ASC) AS rank
+    FROM exact_d)
+  WHERE rank <= {PQ_TOP_K}
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       CAST((SUM(CASE WHEN a.match_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // {PQ_TOP_K} AS BIGINT) AS recall_ppm
+FROM exact_topk e
+LEFT JOIN approx_full a
+  ON a.query_id = e.query_id AND a.match_id = e.match_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+ANN_PQ_RECALL_SQL = _pq_recall_sql()
