@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": PQ2.ann_ivfpq_topk,
         # new this round: PQ recall gauge vs exact integer-L2
         "ann_pq_recall": PQ2.ann_pq_recall,
+        # new this round: bigram LM surprise + provider yield dashboard
+        "bigram_surprise": T.bigram_surprise,
+        "source_quality_report": EV.source_quality_report,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -138,9 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly": TM.gapfill_hourly,
         # --- backfill to the 50-entry fold: oldest-proven rows (r03 for
         # the similarity suite, r01-r03 for the relational set) ----------
+        # ---------------- fold: entry 51+ below -------------------------
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
-        # ---------------- fold: entry 51+ below -------------------------
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
@@ -311,6 +314,8 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval_mrr": EV.RETRIEVAL_EVAL_MRR_SQL,
         "ann_ivfpq_topk": PQ2.ANN_IVFPQ_SQL,
         "ann_pq_recall": PQ2.ANN_PQ_RECALL_SQL,
+        "bigram_surprise": T.BIGRAM_SURPRISE_SQL,
+        "source_quality_report": EV.SOURCE_QUALITY_REPORT_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -118,6 +118,8 @@ def main() -> None:
         "retrieval_eval_mrr",
         "ann_ivfpq_topk",
         "ann_pq_recall",
+        "bigram_surprise",
+        "source_quality_report",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

@@ -728,3 +728,79 @@ ORDER BY query_doc
 
 
 RETRIEVAL_EVAL_MRR_SQL = _retrieval_eval_mrr_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-source quality dashboard (provider yield report)
+# ---------------------------------------------------------------------------
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, gopher_pass, pass_ppm, total_tokens,
+    mean_tokens_q): per-provider yield — how many of each source's
+    documents clear the Gopher quality rules, plus its token volume and
+    mean document length (ppm / milli-token integer quantization). This
+    is the dashboard that decides which provider gets re-crawled,
+    re-filtered, or dropped; composes the gated quality_gopher and
+    token_count operators per their per-doc outputs.
+
+    Plan: two gated per-doc frames joined on doc_id (both one-pass),
+    then a |sources|-row groupBy — nothing heavier than the underlying
+    operators."""
+    from .textprep import quality_gopher
+    from .textstats import token_count
+    from .docs_source import load_docs
+
+    src = load_docs(spark, sf_dir).select("doc_id", "source")
+    g = quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("long").alias("p")
+    )
+    t = token_count(spark, sf_dir).select(
+        "doc_id", F.col("ws_tokens").alias("n_tokens")
+    )
+    return (
+        src.join(g, "doc_id")
+        .join(t, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p").alias("gopher_pass"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "gopher_pass",
+            F.expr("(gopher_pass * 1000000) div n_docs").alias("pass_ppm"),
+            "total_tokens",
+            F.expr("(total_tokens * 1000) div n_docs").alias("mean_tokens_q"),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_quality_report_sql() -> str:
+    from .textprep import QUALITY_GOPHER_SQL
+    from .textstats import TOKEN_COUNT_SQL
+
+    g = QUALITY_GOPHER_SQL.replace("ORDER BY doc_id", "")
+    t = TOKEN_COUNT_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH gq AS ({g}),
+tc AS ({t})
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN gq.passes THEN 1 ELSE 0 END) AS BIGINT) AS gopher_pass,
+       CAST((SUM(CASE WHEN gq.passes THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS pass_ppm,
+       CAST(SUM(tc.ws_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(tc.ws_tokens) * 1000) // COUNT(*) AS BIGINT) AS mean_tokens_q
+FROM documents d
+JOIN gq ON gq.doc_id = d.doc_id
+JOIN tc ON tc.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+SOURCE_QUALITY_REPORT_SQL = _source_quality_report_sql()

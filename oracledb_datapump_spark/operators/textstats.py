@@ -414,3 +414,109 @@ FROM per_n
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram conditional surprise (second-order LM quality signal)
+# ---------------------------------------------------------------------------
+
+
+def bigram_surprise(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n_bigrams, surprise2, surprise2_per_tok_q): second-order
+    corpus LM surprise — each bigram instance (t1, t2) contributes
+    bitlen((occ(t1·) + V) div (occ(t1 t2) + 1)), the add-one-smoothed
+    conditional rarity of t2 given t1 (V = distinct-unigram count).
+    Where ``unigram_surprise`` scores marginal token rarity, this scores
+    sequence plausibility — the pair of numbers a CCNet-style quality
+    filter reads off its LM. Same bitlen-of-integer-division
+    quantization, so it sits inside the cross-engine hash gate.
+
+    Plan: one tokenize pass feeds both count tables (prefix-unigram
+    occurrences among bigram heads = occ(t1·) is just unigram occ over
+    positions 0..n-2, i.e. the bigram table aggregated by t1 — ONE
+    groupBy); the bigram table broadcasts back onto the stream (vocab²
+    is bounded by real-text Zipf — at 100 TB cap it with a min-count
+    filter, the standard LM pruning). One final groupBy(doc_id)."""
+    d = load_docs(spark, sf_dir, docs)
+    wt = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = wt.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        F.split(F.col("gram"), " ", 2).getItem(0).alias("t1"),
+        F.col("gram").alias("bigram"),
+    )
+    bcnt = big.groupBy("t1", "bigram").agg(F.count(F.lit(1)).alias("c_big"))
+    pcnt = bcnt.groupBy("t1").agg(F.sum("c_big").alias("c_pre"))
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    rates = (
+        bcnt.join(F.broadcast(pcnt), "t1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            F.length(F.bin(F.expr("(c_pre + v) div (c_big + 1)")))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        big.join(F.broadcast(rates), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("surprise2"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprise2",
+            F.expr("(surprise2 * 1000000) div n_bigrams").alias(
+                "surprise2_per_tok_q"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_SURPRISE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '') AS l
+  FROM documents
+), big AS (
+  SELECT doc_id, l[i+1] AS t1, l[i+1] || ' ' || l[i+2] AS bigram
+  FROM toks, unnest(range(len(l) - 1)) AS t(i)
+  WHERE len(l) >= 2
+), bcnt AS (
+  SELECT t1, bigram, COUNT(*) AS c_big FROM big GROUP BY t1, bigram
+), pcnt AS (
+  SELECT t1, SUM(c_big) AS c_pre FROM bcnt GROUP BY t1
+), vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM (
+    SELECT unnest(l) AS tok FROM toks)
+), rates AS (
+  SELECT b.bigram,
+         CAST(length(bin((p.c_pre + vocab.v) // (b.c_big + 1))) AS BIGINT) AS bits
+  FROM bcnt b JOIN pcnt p USING (t1) CROSS JOIN vocab
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(r.bits) AS BIGINT) AS surprise2,
+       CAST((SUM(r.bits) * 1000000) // COUNT(*) AS BIGINT) AS surprise2_per_tok_q
+FROM big g JOIN rates r USING (bigram)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
