@@ -1,0 +1,166 @@
+"""Semantic properties of the round-5 retrieval/PQ/curation operators —
+the hash-parity harness (test_queries_oracle) proves cross-engine
+equality; these prove the numbers MEAN what the docstrings claim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bm25_prefers_self_similar_docs(spark):
+    """Every query's top-1 BM25 match must score >= its rank-5 match,
+    ranks are dense 1..k, and scores are non-negative."""
+    from oracledb_datapump_spark.operators.sparse_text import bm25_search_topk
+
+    rows = bm25_search_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_doc, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_q for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s >= 0 for s in scores)
+
+
+def test_dsir_importance_separates_target_language(spark):
+    """Mean importance of target-language (en) docs must exceed the
+    non-target mean — the whole point of importance resampling."""
+    from oracledb_datapump_spark.operators.textprep import dsir_importance
+    from oracledb_datapump_spark.operators.docs_source import load_docs
+
+    w = dsir_importance(spark, SF)
+    langs = load_docs(spark, SF).select("doc_id", "lang")
+    j = w.join(langs, "doc_id").select(
+        (F.col("lang") == "en").alias("is_en"),
+        (F.col("logratio_q").cast("double") / F.col("n_feats")).alias("per_feat"),
+    )
+    means = {
+        r.is_en: r.m
+        for r in j.groupBy("is_en").agg(F.avg("per_feat").alias("m")).collect()
+    }
+    assert means[True] > means[False]
+
+
+def test_pq_codes_within_range_and_recon_err_nonneg(spark):
+    from oracledb_datapump_spark.operators import pq as PQ
+
+    rows = PQ.embedding_pq_codes(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for m in range(PQ.PQ_M):
+            assert 0 <= r[f"code_{m}"] < PQ.PQ_K
+        assert r.recon_err >= 0
+
+
+def test_pq_adist_equals_lut_reconstruction(spark):
+    """ann_pq_topk's adist for a (query, match) pair must equal the
+    direct sum of subspace distances from query to the match's assigned
+    codewords — i.e. the LUT join computes what PQ defines."""
+    from oracledb_datapump_spark.operators import pq as PQ
+
+    books = PQ._fit_codebooks(spark, SF)
+    q = {r.vec_id: list(r.qv) for r in PQ._quantized(spark, SF).collect()}
+    codes = {
+        r.vec_id: [r[f"code_{m}"] for m in range(PQ.PQ_M)]
+        for r in PQ.embedding_pq_codes(spark, SF).collect()
+    }
+    top = PQ.ann_pq_topk(spark, SF).collect()
+    for r in top[:20]:
+        expect = 0
+        for m in range(PQ.PQ_M):
+            cv = books[(m, codes[r.match_id][m])]
+            sub = q[r.query_id][m * PQ.PQ_SUB : (m + 1) * PQ.PQ_SUB]
+            expect += sum((a - b) * (a - b) for a, b in zip(sub, cv))
+        assert r.adist == expect
+
+
+def test_ivfpq_results_subset_of_probed_clusters(spark):
+    """Every IVF-PQ match must belong to a cluster its query probed."""
+    from oracledb_datapump_spark.operators import pq as PQ
+    from oracledb_datapump_spark.operators.clustering import kmeans_assign
+
+    assign = {
+        r.vec_id: r.cluster for r in kmeans_assign(spark, SF).collect()
+    }
+    top = PQ.ann_ivfpq_topk(spark, SF).collect()
+    assert len(top) > 0
+    # reconstruct probes: nprobe nearest coarse centroids per query
+    from oracledb_datapump_spark.operators.clustering import _fit_centroids
+
+    cents = _fit_centroids(spark, SF)
+    qv = {r.vec_id: list(r.qv) for r in PQ._quantized(spark, SF).collect()}
+    for r in top:
+        dists = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(qv[r.query_id], cv)),
+                cid,
+            )
+            for cid, cv in cents
+        )
+        probed = {cid for _, cid in dists[: PQ.IVFPQ_NPROBE]}
+        assert assign[r.match_id] in probed
+
+
+def test_pq_recall_bounds_and_ivfpq_no_better_than_pq(spark):
+    """recall_ppm in [0, 1e6]; IVF-PQ returns a subset of clusters so a
+    query's IVF-PQ hit set cannot exceed its full-PQ-scan top-k pool in
+    size."""
+    from oracledb_datapump_spark.operators import pq as PQ
+
+    rec = PQ.ann_pq_recall(spark, SF).collect()
+    assert all(0 <= r.recall_ppm <= 1_000_000 for r in rec)
+    full = PQ.ann_pq_topk(spark, SF).groupBy("query_id").count().collect()
+    ivf = PQ.ann_ivfpq_topk(spark, SF).groupBy("query_id").count().collect()
+    fmap = {r.query_id: r["count"] for r in full}
+    for r in ivf:
+        assert r["count"] <= fmap[r.query_id]
+
+
+def test_retrieval_mrr_consistency(spark):
+    """rr_ppm must be exactly 1e6 // first_rel_rank when a hit exists
+    and 0 otherwise; n_rel bounded by top-k."""
+    from oracledb_datapump_spark.operators.evaluation import retrieval_eval_mrr
+    from oracledb_datapump_spark.operators.sparse_text import BM25_TOP_K
+
+    for r in retrieval_eval_mrr(spark, SF).collect():
+        assert 0 <= r.n_rel_topk <= BM25_TOP_K
+        if r.first_rel_rank > 0:
+            assert r.rr_ppm == 1_000_000 // r.first_rel_rank
+        else:
+            assert r.rr_ppm == 0 and r.n_rel_topk == 0
+
+
+def test_bigram_surprise_flags_rare_sequences(spark):
+    """A doc of one repeated bigram must score lower per-token surprise
+    than the corpus mean (its continuation is maximally predictable)."""
+    from oracledb_datapump_spark.operators.textstats import bigram_surprise
+    from oracledb_datapump_spark.operators.docs_source import load_docs
+
+    docs = load_docs(spark, SF).select("doc_id", "text").limit(50)
+    rep = spark.createDataFrame(
+        [(100000, "alpha beta " * 40, "en", "srcX", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).select("doc_id", "text")
+    out = bigram_surprise(
+        spark, SF, docs=docs.unionByName(rep).withColumn("lang", F.lit("en"))
+    ).collect()
+    per = {r.doc_id: r.surprise2_per_tok_q for r in out}
+    others = [v for k, v in per.items() if k != 100000]
+    assert per[100000] < sum(others) / len(others)
+
+
+def test_source_quality_report_totals(spark):
+    """Per-source doc counts must sum to the corpus size and pass_ppm
+    stays within [0, 1e6]."""
+    from oracledb_datapump_spark.operators.evaluation import (
+        source_quality_report,
+    )
+    from oracledb_datapump_spark.operators.docs_source import load_docs
+
+    rows = source_quality_report(spark, SF).collect()
+    n = load_docs(spark, SF).count()
+    assert sum(r.n_docs for r in rows) == n
+    assert all(0 <= r.pass_ppm <= 1_000_000 for r in rows)
