@@ -105,6 +105,7 @@ class PlanConfig:
     data_options: set[str] = field(default_factory=set)
     skip_constraint_errors: bool = False
     validate_table_data: bool = False
+    allow_schema_evolution: bool = False
 
     # metadata
     include_metadata: bool = True
@@ -530,6 +531,9 @@ DATA_OPTION_FLAGS = (
     "VALIDATE_TBL_DATA",
     "VERIFY_STREAM_FORM",
     "CONT_LD_ON_FMT_ERR",
+    # extension flag (not in the reference bitmask): reconcile
+    # by-name schema drift on APPEND/MERGE imports instead of failing
+    "ALLOW_SCHEMA_EVOLUTION",
 )
 
 
@@ -550,6 +554,9 @@ class DataOptions(Parameter, name="DATA_OPTIONS"):
         config.data_options |= self.value
         config.skip_constraint_errors = "SKIP_CONST_ERR" in config.data_options
         config.validate_table_data = "VALIDATE_TBL_DATA" in config.data_options
+        config.allow_schema_evolution = (
+            "ALLOW_SCHEMA_EVOLUTION" in config.data_options
+        )
 
 
 class IncludeMetadata(Parameter, name="INCLUDE_METADATA"):

@@ -379,9 +379,14 @@ def import_table(
                 existing = connector.read_table(
                     spark, plan.target_schema, plan.target_table
                 )
-                merged = existing.withColumn(
-                    "__src", F.lit(0)
-                ).unionByName(df.withColumn("__src", F.lit(1)))
+                # DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION): by-name drift
+                # between the target and the dump resolves to the union
+                # of columns, null-filling either side; off = the strict
+                # by-name union (AnalysisException on drift) stands.
+                merged = existing.withColumn("__src", F.lit(0)).unionByName(
+                    df.withColumn("__src", F.lit(1)),
+                    allowMissingColumns=config.allow_schema_evolution,
+                )
                 # survivor order: incoming beats existing; duplicate keys
                 # WITHIN a side resolve by the 64-bit hash of the row's
                 # hashable columns, so repeated runs pick the same
@@ -424,6 +429,34 @@ def import_table(
                 # severs the lineage to the target's files.
                 df = df.localCheckpoint(eager=True)
             mode = "overwrite"
+        elif (
+            mode == "append"
+            and config.allow_schema_evolution
+            and connector.table_exists(plan.target_schema, plan.target_table)
+        ):
+            # APPEND evolution: narrow incoming (missing target columns)
+            # null-fills and stays a true append; widening incoming (new
+            # columns) must rewrite the target once so existing rows gain
+            # the new nulls — the same one-time widening a table format's
+            # ALTER ADD COLUMN amortizes.
+            from pyspark.sql import functions as F
+
+            existing = connector.read_table(
+                spark, plan.target_schema, plan.target_table
+            )
+            in_cols, ex_cols = set(df.columns), set(existing.columns)
+            if in_cols - ex_cols:
+                df = existing.unionByName(
+                    df, allowMissingColumns=True
+                ).localCheckpoint(eager=True)
+                mode = "overwrite"
+            elif ex_cols - in_cols:
+                for fld in existing.schema.fields:
+                    if fld.name not in in_cols:
+                        df = df.withColumn(
+                            fld.name, F.lit(None).cast(fld.dataType)
+                        )
+                df = df.select(*existing.columns)
         connector.write_table(
             df,
             plan.target_schema,

@@ -616,8 +616,12 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluation.ann_lsh_recall). recall_ppm = hits·1e6 DIV {PQ_TOP_K},
     integer arithmetic under the hash gate."""
     exact = _exact_l2_topk(spark, sf_dir)
-    approx = ann_pq_topk(spark, sf_dir).select(
-        "query_id", "match_id", F.lit(1).alias("hit")
+    # |queries|·k rows on both sides — broadcast the approx side so the
+    # recall join never falls back to a sort-merge exchange
+    approx = F.broadcast(
+        ann_pq_topk(spark, sf_dir).select(
+            "query_id", "match_id", F.lit(1).alias("hit")
+        )
     )
     return (
         exact.join(approx, ["query_id", "match_id"], "left")
