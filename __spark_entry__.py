@@ -102,6 +102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: bigram LM surprise + provider yield dashboard
         "bigram_surprise": T.bigram_surprise,
         "source_quality_report": EV.source_quality_report,
+        # new this round: water-filling budget allocation + contrastive
+        # triplet mining over the verified near-dup graph
+        "budget_mix_plan": EV.budget_mix_plan,
+        "contrastive_pairs": D.contrastive_pairs,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -137,11 +141,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_value": TM.scd2_user_value,
         "range_join_nearby": TM.range_join_nearby,
         "rolling_window_activity": TM.rolling_window_activity,
+        # ---------------- fold: entry 51+ below -------------------------
+        # (cohort_retention/gapfill_hourly spill past the fold this
+        # round: temporal.py itself is unchanged, both are r4-green, and
+        # nine other events_source consumers remain inside the prefix)
         "cohort_retention": TM.cohort_retention,
         "gapfill_hourly": TM.gapfill_hourly,
         # --- backfill to the 50-entry fold: oldest-proven rows (r03 for
         # the similarity suite, r01-r03 for the relational set) ----------
-        # ---------------- fold: entry 51+ below -------------------------
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
@@ -316,6 +323,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_recall": PQ2.ANN_PQ_RECALL_SQL,
         "bigram_surprise": T.BIGRAM_SURPRISE_SQL,
         "source_quality_report": EV.SOURCE_QUALITY_REPORT_SQL,
+        "budget_mix_plan": EV.BUDGET_MIX_PLAN_SQL,
+        "contrastive_pairs": D.CONTRASTIVE_PAIRS_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -120,6 +120,8 @@ def main() -> None:
         "ann_pq_recall",
         "bigram_surprise",
         "source_quality_report",
+        "budget_mix_plan",
+        "contrastive_pairs",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

@@ -27,7 +27,7 @@ buckets; everything is whole-stage-codegen-able except nothing (no UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .docs_source import load_docs
@@ -702,3 +702,111 @@ JOIN (SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id) s
 ORDER BY c.doc_id
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# contrastive training-pair mining over the verified near-dup graph
+# ---------------------------------------------------------------------------
+
+NEG_MULT = 31  # deterministic negative-candidate stride
+NEG_OFFSET = 7
+NEG_TRIES = 3  # candidates per pair before giving up
+
+
+def contrastive_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(anchor, positive, negative): (anchor, positive, negative)
+    triplets for contrastive embedding training — positives are the
+    LSH-verified near-duplicate pairs (texts known to be semantically
+    equivalent), negatives are deterministic pseudo-random documents
+    screened against the verified-duplicate set. The standard way a
+    pipeline turns its dedup byproduct into embedding-model supervision.
+
+    Negative selection: candidate k (k < {NEG_TRIES}) for an anchor is
+    (anchor·{NEG_MULT} + {NEG_OFFSET} + k) mod N over the dense fixture
+    id space; the first candidate that is neither endpoint nor a
+    verified duplicate of the anchor wins (pairs whose {NEG_TRIES}
+    candidates all collide are dropped — measure-zero on real data;
+    non-dense id spaces first map through a rank, e.g.
+    evaluation.corpus_shard_plan's global order).
+
+    Plan: the pair table is LSH-candidate-bounded; candidates explode it
+    ×{NEG_TRIES}; the duplicate screen is a broadcast anti-join against
+    the same pair table. Nothing scales beyond the dedup output."""
+    pairs = dedup_minhash_verified(spark, sf_dir, docs).select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    )
+    d = _docs(spark, sf_dir, docs)
+    nd = d.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        pairs.crossJoin(F.broadcast(nd))
+        .select(
+            "anchor",
+            "positive",
+            F.explode(F.array(*[F.lit(k) for k in range(NEG_TRIES)])).alias(
+                "k"
+            ),
+            F.col("n"),
+        )
+        .select(
+            "anchor",
+            "positive",
+            "k",
+            F.expr(
+                f"(anchor * {NEG_MULT} + {NEG_OFFSET} + k) % n"
+            ).alias("neg"),
+        )
+        .filter(
+            (F.col("neg") != F.col("anchor"))
+            & (F.col("neg") != F.col("positive"))
+        )
+    )
+    dup_set = dedup_minhash_verified(spark, sf_dir, docs).select(
+        "doc_a", "doc_b"
+    )
+    screened = cand.join(
+        F.broadcast(dup_set),
+        (F.least("anchor", "neg") == F.col("doc_a"))
+        & (F.greatest("anchor", "neg") == F.col("doc_b")),
+        "left_anti",
+    )
+    w = Window.partitionBy("anchor", "positive").orderBy("k")
+    return (
+        screened.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor", "positive", F.col("neg").cast("long").alias("negative"))
+        .orderBy("anchor", "positive")
+    )
+
+
+def _contrastive_pairs_sql() -> str:
+    base = DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH dup AS ({base}),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+cand AS (
+  SELECT d.doc_a AS anchor, d.doc_b AS positive, t.k,
+         (d.doc_a * {NEG_MULT} + {NEG_OFFSET} + t.k) % nd.n AS neg
+  FROM dup d CROSS JOIN nd, unnest(range({NEG_TRIES})) AS t(k)
+),
+ok AS (
+  SELECT c.* FROM cand c
+  WHERE c.neg != c.anchor AND c.neg != c.positive
+    AND NOT EXISTS (
+      SELECT 1 FROM dup p
+      WHERE p.doc_a = LEAST(c.anchor, c.neg)
+        AND p.doc_b = GREATEST(c.anchor, c.neg))
+),
+first_ok AS (
+  SELECT anchor, positive, neg,
+         ROW_NUMBER() OVER (PARTITION BY anchor, positive ORDER BY k) AS rn
+  FROM ok
+)
+SELECT anchor, positive, CAST(neg AS BIGINT) AS negative
+FROM first_ok WHERE rn = 1
+ORDER BY anchor, positive
+"""
+
+
+CONTRASTIVE_PAIRS_SQL = _contrastive_pairs_sql()

@@ -804,3 +804,134 @@ ORDER BY d.source
 
 
 SOURCE_QUALITY_REPORT_SQL = _source_quality_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# water-filling token-budget allocation across sources
+# ---------------------------------------------------------------------------
+
+BUDGET_NUM = 1  # global budget = total_tokens * BUDGET_NUM / BUDGET_DEN
+BUDGET_DEN = 2
+WATERFILL_ITERS = 3  # unrolled redistribution rounds
+
+
+def budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, alloc_tokens, alloc_ppm): allocate a global
+    token budget (here {BUDGET_NUM}/{BUDGET_DEN} of the corpus) across
+    sources by water-filling — every source gets min(its tokens, fair
+    share), and budget freed by small sources redistributes to large
+    ones over {WATERFILL_ITERS} rounds: fair_0 = B div S; sources with
+    n_tokens <= fair_i are satisfied; fair_(i+1) = remaining budget div
+    remaining sources. This is how a pretraining mix caps dominant
+    providers without starving small ones (the proportional-with-cap
+    allocation mixture tooling implements); a fixed unrolled round count
+    keeps the iterative solve inside the cross-engine hash gate
+    (exactly optimal once no source crosses the waterline between
+    rounds — 3 rounds saturate on Zipf-ish source distributions).
+
+    Plan: one tokenize pass → |sources|-row table; every round is an
+    aggregate over those |sources| rows crossed back as a broadcast
+    one-row frame. Driver/executor cost is independent of corpus size
+    beyond the first scan."""
+    from .docs_source import load_docs
+    from .textstats import BPE_ISH_RE
+
+    d = load_docs(spark, sf_dir).select(
+        "source",
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH_RE}', 0)")
+        ).alias("toks"),
+    )
+    tok = d.groupBy("source").agg(F.sum("toks").alias("n_tokens"))
+    g = tok.agg(
+        F.sum("n_tokens").alias("grand"), F.count(F.lit(1)).alias("s")
+    ).select(
+        F.expr(f"(grand * {BUDGET_NUM}) div {BUDGET_DEN}").alias("b"), "s"
+    )
+    cur = tok.crossJoin(F.broadcast(g)).select(
+        "source", "n_tokens", F.expr("b div s").alias("fair")
+    )
+    for _ in range(WATERFILL_ITERS - 1):
+        # budget left after fully satisfying under-waterline sources,
+        # spread over the sources still above it
+        nxt = cur.agg(
+            F.sum(
+                F.when(F.col("n_tokens") <= F.col("fair"), F.col("n_tokens"))
+            ).alias("taken"),
+            F.sum(
+                F.when(F.col("n_tokens") > F.col("fair"), 1).otherwise(0)
+            ).alias("rem_s"),
+            F.max("fair").alias("prev_fair"),
+        )
+        g2 = (
+            nxt.crossJoin(F.broadcast(g))
+            .select(
+                F.when(
+                    F.col("rem_s") > 0,
+                    F.expr("(b - coalesce(taken, 0)) div rem_s"),
+                )
+                .otherwise(F.col("prev_fair"))
+                .alias("fair2")
+            )
+        )
+        cur = cur.drop("fair").crossJoin(F.broadcast(g2)).select(
+            "source", "n_tokens", F.col("fair2").alias("fair")
+        )
+    out = cur.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.col("fair")).alias("alloc_tokens"),
+        F.expr(
+            "(least(n_tokens, fair) * 1000000) div b"
+        ).alias("alloc_ppm"),
+    )
+    return out.orderBy("source")
+
+
+def _budget_mix_plan_sql() -> str:
+    from .textstats import BPE_ISH_RE
+
+    iters = []
+    prev = "w0"
+    joined = None  # set below; pre-join to keep backslashes out of the f-string
+    iters.append(f"""w0 AS (
+  SELECT t.source, t.n_tokens, g.b // g.s AS fair
+  FROM tok t CROSS JOIN g
+)""")
+    for i in range(1, WATERFILL_ITERS):
+        iters.append(f"""a{i} AS (
+  SELECT SUM(CASE WHEN n_tokens <= fair THEN n_tokens END) AS taken,
+         SUM(CASE WHEN n_tokens > fair THEN 1 ELSE 0 END) AS rem_s,
+         MAX(fair) AS prev_fair
+  FROM {prev}
+)""")
+        iters.append(f"""w{i} AS (
+  SELECT w.source, w.n_tokens,
+         CASE WHEN a.rem_s > 0
+              THEN (g.b - COALESCE(a.taken, 0)) // a.rem_s
+              ELSE a.prev_fair END AS fair
+  FROM {prev} w CROSS JOIN a{i} a CROSS JOIN g
+)""")
+        prev = f"w{i}"
+    joined = ",\n".join(iters)
+    return f"""
+WITH tok AS (
+  SELECT source,
+         SUM(len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))) AS n_tokens
+  FROM documents GROUP BY source
+), g AS (
+  SELECT (SUM(n_tokens) * {BUDGET_NUM}) // {BUDGET_DEN} AS b,
+         COUNT(*) AS s
+  FROM tok
+),
+{joined}
+SELECT w.source,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       CAST(LEAST(w.n_tokens, w.fair) AS BIGINT) AS alloc_tokens,
+       CAST((LEAST(w.n_tokens, w.fair) * 1000000) // g.b AS BIGINT) AS alloc_ppm
+FROM {prev} w CROSS JOIN g
+ORDER BY w.source
+"""
+
+
+BUDGET_MIX_PLAN_SQL = _budget_mix_plan_sql()
