@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # triplet mining over the verified near-dup graph
         "budget_mix_plan": EV.budget_mix_plan,
         "contrastive_pairs": D.contrastive_pairs,
+        # new this round: tokenizer equity + provider overlap matrix
+        "tokenizer_fertility": T.tokenizer_fertility,
+        "source_overlap_matrix": D.source_overlap_matrix,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -115,11 +118,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_participation": G.triangle_participation,
         "pagerank_topk": G.pagerank_topk,
         "basket_lift_topk": G.basket_lift_topk,
-        # dedup.py: quadratic guards added (module shared by the family)
-        "dedup_exact": D.dedup_exact,
+        # dedup.py: quadratic guards + LSH hot-bucket cap touched the
+        # minhash/jaccard/cosine paths — those re-prove here.
+        # (dedup_exact and simhash_fingerprints moved past the fold:
+        # their code paths are untouched since their r3 green rows.)
         "dedup_minhash_pairs": D.dedup_minhash_pairs,
         "dedup_minhash_verified": D.dedup_minhash_verified,
-        "simhash_fingerprints": D.simhash_fingerprints,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_groups": D.dedup_groups,
@@ -149,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly": TM.gapfill_hourly,
         # --- backfill to the 50-entry fold: oldest-proven rows (r03 for
         # the similarity suite, r01-r03 for the relational set) ----------
+        "dedup_exact": D.dedup_exact,
+        "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
@@ -325,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_report": EV.SOURCE_QUALITY_REPORT_SQL,
         "budget_mix_plan": EV.BUDGET_MIX_PLAN_SQL,
         "contrastive_pairs": D.CONTRASTIVE_PAIRS_SQL,
+        "tokenizer_fertility": T.TOKENIZER_FERTILITY_SQL,
+        "source_overlap_matrix": D.SOURCE_OVERLAP_MATRIX_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -122,6 +122,8 @@ def main() -> None:
         "source_quality_report",
         "budget_mix_plan",
         "contrastive_pairs",
+        "tokenizer_fertility",
+        "source_overlap_matrix",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

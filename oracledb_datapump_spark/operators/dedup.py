@@ -810,3 +810,57 @@ ORDER BY anchor, positive
 
 
 CONTRASTIVE_PAIRS_SQL = _contrastive_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(source_a, source_b, n_pairs): how many LSH-verified
+    near-duplicate pairs connect each (ordered) source pair — the
+    provider-overlap matrix that exposes mirror sites and syndicated
+    content (a diagonal-heavy matrix means intra-provider boilerplate,
+    heavy off-diagonal cells mean providers scraping each other).
+    Sources are ordered lexically within a pair so the matrix is upper
+    triangular and hash-stable.
+
+    Plan: the pair table is LSH-candidate-bounded; two broadcast label
+    joins and a |sources|²-bounded groupBy — nothing scales beyond the
+    dedup output."""
+    pairs = dedup_minhash_verified(spark, sf_dir, docs).select("doc_a", "doc_b")
+    d = _docs(spark, sf_dir, docs).select("doc_id", "source")
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_overlap_matrix_sql() -> str:
+    base = DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH dup AS ({base})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM dup
+JOIN documents da ON da.doc_id = dup.doc_a
+JOIN documents db ON db.doc_id = dup.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+SOURCE_OVERLAP_MATRIX_SQL = _source_overlap_matrix_sql()

@@ -520,3 +520,69 @@ FROM big g JOIN rates r USING (bigram)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# per-language tokenizer fertility
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(lang, n_docs, total_words, total_subtokens, fertility_q):
+    subtokens-per-word by language — THE tokenizer-equity metric
+    (languages a BPE vocabulary serves badly pay more subtokens per
+    word, inflating their effective sequence length and training cost).
+    fertility_q = total_subtokens·1000 div total_words (milli-subtokens
+    per word). Uses the whitespace word count and the BPE-ish subtoken
+    count from ``token_count``'s contract.
+
+    Plan: both counts are row-local regex sizes; one |langs|-row
+    groupBy. Corpus-sized cost is the scan."""
+    d = load_docs(spark, sf_dir, docs)
+    per = d.select(
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+        ).alias("ws"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH_RE}', 0)")
+        ).alias("bpe"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("total_words"),
+            F.sum("bpe").alias("total_subtokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_subtokens",
+            F.expr("(total_subtokens * 1000) div total_words").alias(
+                "fertility_q"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS ws,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_RE}')) AS bpe
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS total_words,
+       CAST(SUM(bpe) AS BIGINT) AS total_subtokens,
+       CAST((SUM(bpe) * 1000) // SUM(ws) AS BIGINT) AS fertility_q
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
