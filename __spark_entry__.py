@@ -47,6 +47,7 @@ from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import stateful as ST
 from oracledb_datapump_spark.streaming import joins as SJ
 from oracledb_datapump_spark.streaming import sketch as SK2
+from oracledb_datapump_spark.streaming import vectors as SV
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: tokenizer equity + provider overlap matrix
         "tokenizer_fertility": T.tokenizer_fertility,
         "source_overlap_matrix": D.source_overlap_matrix,
+        # new this round: frozen-codebook streaming PQ encode (two
+        # checkpointed cycles must equal the batch code table)
+        "streaming_pq_codes": SV.streaming_pq_codes,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -333,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs": D.CONTRASTIVE_PAIRS_SQL,
         "tokenizer_fertility": T.TOKENIZER_FERTILITY_SQL,
         "source_overlap_matrix": D.SOURCE_OVERLAP_MATRIX_SQL,
+        "streaming_pq_codes": SV.STREAMING_PQ_CODES_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,
