@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: frozen-codebook streaming PQ encode (two
         # checkpointed cycles must equal the batch code table)
         "streaming_pq_codes": SV.streaming_pq_codes,
+        # new this round: v2 gates + DSIR + bigram-plausibility arms
+        "curated_corpus_v3": CU.curated_corpus_v3,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -338,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": T.TOKENIZER_FERTILITY_SQL,
         "source_overlap_matrix": D.SOURCE_OVERLAP_MATRIX_SQL,
         "streaming_pq_codes": SV.STREAMING_PQ_CODES_SQL,
+        "curated_corpus_v3": CU.CURATED_V3_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -124,6 +124,7 @@ def main() -> None:
         "contrastive_pairs",
         "tokenizer_fertility",
         "source_overlap_matrix",
+        "curated_corpus_v3",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

@@ -191,3 +191,88 @@ ORDER BY q.doc_id
 
 
 CURATED_V2_SQL = _curated_v2_sql()
+
+
+# ---------------------------------------------------------------------------
+# v3: v2's gates + importance-resampling and sequence-plausibility arms
+# ---------------------------------------------------------------------------
+
+DSIR_MIN_PER_FEAT_Q = -50  # milli-bits/feature: keep target-like or neutral
+BIGRAM_LO = 5_000_000  # milli-bits/bigram sequence-plausibility band
+BIGRAM_HI = 5_600_000
+
+
+def curated_corpus_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, quality_score, dsir_per_feat_q,
+    surprise2_per_tok_q): curated_corpus_v2's seven gates plus the two
+    round-5 model-based arms —
+
+      ∧ DSIR importance ≥ {DSIR_MIN_PER_FEAT_Q} milli-bits/feature
+        (hashed-bigram target-likeness: drop strongly off-target docs)
+      ∧ bigram surprise in [{BIGRAM_LO}, {BIGRAM_HI}] milli-bits/bigram
+        (sequence plausibility: drop degenerate repetition AND gibberish)
+
+    — i.e. the full heuristic + LM-proxy + importance-weighting stack a
+    current pipeline runs before tokenization. Each arm remains its own
+    gated operator; this composition is one declarative plan."""
+    from .textprep import dsir_importance
+    from .textstats import bigram_surprise
+
+    base = _shared_docs(spark, sf_dir)
+    v2 = curated_corpus_v2(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    dsir = dsir_importance(spark, sf_dir, docs=base).select(
+        "doc_id",
+        F.expr("(logratio_q * 1000) div n_feats").alias("dsir_per_feat_q"),
+    )
+    big = bigram_surprise(spark, sf_dir, docs=base).select(
+        "doc_id", "surprise2_per_tok_q"
+    )
+    return (
+        v2.join(dsir, "doc_id")
+        .join(big, "doc_id")
+        .filter(
+            (F.col("dsir_per_feat_q") >= DSIR_MIN_PER_FEAT_Q)
+            & (F.col("surprise2_per_tok_q") >= BIGRAM_LO)
+            & (F.col("surprise2_per_tok_q") <= BIGRAM_HI)
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality_score",
+            "dsir_per_feat_q",
+            "surprise2_per_tok_q",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _curated_v3_sql() -> str:
+    from .textprep import DSIR_IMPORTANCE_SQL
+    from .textstats import BIGRAM_SURPRISE_SQL
+
+    v2 = CURATED_V2_SQL.replace("ORDER BY q.doc_id", "")
+    dsir = DSIR_IMPORTANCE_SQL.replace("ORDER BY f.doc_id", "")
+    big = BIGRAM_SURPRISE_SQL.replace("ORDER BY g.doc_id", "")
+    return f"""
+WITH v2 AS ({v2}),
+dsir_raw AS ({dsir}),
+dsir AS (
+  SELECT doc_id,
+         CAST((logratio_q * 1000) // n_feats AS BIGINT) AS dsir_per_feat_q
+  FROM dsir_raw
+),
+big AS ({big})
+SELECT v2.doc_id, v2.n_tokens, v2.quality_score,
+       dsir.dsir_per_feat_q, big.surprise2_per_tok_q
+FROM v2
+JOIN dsir USING (doc_id)
+JOIN big USING (doc_id)
+WHERE dsir.dsir_per_feat_q >= {DSIR_MIN_PER_FEAT_Q}
+  AND big.surprise2_per_tok_q BETWEEN {BIGRAM_LO} AND {BIGRAM_HI}
+ORDER BY v2.doc_id
+"""
+
+
+CURATED_V3_SQL = _curated_v3_sql()
