@@ -842,7 +842,14 @@ def budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"regexp_extract_all(lower(text), '{BPE_ISH_RE}', 0)")
         ).alias("toks"),
     )
-    tok = d.groupBy("source").agg(F.sum("toks").alias("n_tokens"))
+    # checkpoint the |sources|-row table: every unrolled round re-plans
+    # its lineage otherwise, and the lineage contains the corpus
+    # tokenize scan (audited: 12 scans of documents before, 1 after)
+    tok = (
+        d.groupBy("source")
+        .agg(F.sum("toks").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
     g = tok.agg(
         F.sum("n_tokens").alias("grand"), F.count(F.lit(1)).alias("s")
     ).select(
