@@ -76,6 +76,9 @@ def test_flashback_directives():
 def test_data_options_flags():
     cfg = compile_directives([D.DATA_OPTIONS(["SKIP_CONST_ERR", "VALIDATE_TBL_DATA"])])
     assert cfg.skip_constraint_errors and cfg.validate_table_data
+    assert not cfg.allow_schema_evolution
+    cfg = compile_directives([D.DATA_OPTIONS("ALLOW_SCHEMA_EVOLUTION")])
+    assert cfg.allow_schema_evolution
     with pytest.raises(InvalidDirective):
         D.DATA_OPTIONS(["NOT_A_FLAG"])
 
