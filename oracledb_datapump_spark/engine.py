@@ -383,6 +383,25 @@ def import_table(
                 # between the target and the dump resolves to the union
                 # of columns, null-filling either side; off = the strict
                 # by-name union (AnalysisException on drift) stands.
+                # The merge-key columns themselves may NEVER be
+                # null-filled: a side missing the key would collapse to
+                # one all-null-key partition and row_number()==1 would
+                # silently keep a single survivor — mass data loss where
+                # the strict path fails loudly.
+                if config.allow_schema_evolution:
+                    from .exceptions import UsageError
+
+                    for side, cols in (
+                        ("target", existing.columns),
+                        ("dump", df.columns),
+                    ):
+                        miss = [k for k in keys if k not in cols]
+                        if miss:
+                            raise UsageError(
+                                f"MERGE_KEY column(s) {miss} missing from "
+                                f"the {side} side; schema evolution cannot "
+                                "null-fill a merge key"
+                            )
                 merged = existing.withColumn("__src", F.lit(0)).unionByName(
                     df.withColumn("__src", F.lit(1)),
                     allowMissingColumns=config.allow_schema_evolution,

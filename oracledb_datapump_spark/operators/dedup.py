@@ -762,8 +762,12 @@ def contrastive_pairs(
             & (F.col("neg") != F.col("positive"))
         )
     )
-    dup_set = dedup_minhash_verified(spark, sf_dir, docs).select(
-        "doc_a", "doc_b"
+    # the duplicate screen is the SAME pair table renamed — reusing the
+    # DataFrame keeps ONE LSH-verify subtree in the plan (a second
+    # dedup_minhash_verified call would build the whole candidate +
+    # Jaccard pipeline twice)
+    dup_set = pairs.select(
+        F.col("anchor").alias("doc_a"), F.col("positive").alias("doc_b")
     )
     screened = cand.join(
         F.broadcast(dup_set),

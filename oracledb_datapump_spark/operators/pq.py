@@ -161,12 +161,21 @@ def _fit_codebooks(
                 int(r.s),
                 int(r.n),
             )
-        for (m, cid), dims in acc.items():
-            # floor(int-sum / count) in IEEE double — mirrors the SQL
-            # twin's CAST(... AS DOUBLE)/COUNT(*) exactly (sums < 2^53)
-            books[(m, cid)] = [
-                int(math.floor(dims[i][0] / dims[i][1])) for i in range(PQ_SUB)
+        # REBUILD from the assignment sums (do not update in place):
+        # a code that won zero vectors this round must DROP out of the
+        # book, exactly as the SQL twin's c{it+1} CTE has no row for it
+        # — retaining its stale centroid would let it win vectors next
+        # round in Spark but not in DuckDB, breaking the bit-identity
+        # contract (clustering.py rebuilds for the same reason).
+        books = {
+            (m, cid): [
+                # floor(int-sum / count) in IEEE double — mirrors the SQL
+                # twin's CAST(... AS DOUBLE)/COUNT(*) exactly (sums < 2^53)
+                int(math.floor(dims[i][0] / dims[i][1]))
+                for i in range(PQ_SUB)
             ]
+            for (m, cid), dims in acc.items()
+        }
     _CODEBOOK_CACHE[key] = books
     return books
 
@@ -189,22 +198,12 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, match_id, rank, adist): asymmetric-distance top-k —
-    the PQ search path. The LUT (query × subspace × code → exact integer
-    distance) is |queries|·M·K rows, built row-locally on the broadcast
-    query side; scoring joins the corpus (vec_id, m, code) stream
-    against the broadcast LUT and sums M lookups per vector — one corpus
-    scan, one partial-aggregated groupBy, no full-dimension math in the
-    hot path."""
-    books = _fit_codebooks(spark, sf_dir)
-    packed = _packed_codebooks(spark, books)
-    q = _quantized(spark, sf_dir)
-    queries = q.filter(F.col("vec_id") < PQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
-    )
-    # LUT: explode the packed codebook row against each query vector
-    lut = (
+def _query_lut(queries: DataFrame, packed: DataFrame) -> DataFrame:
+    """(query_id, m, code, d): the asymmetric-distance lookup table —
+    every query's exact integer squared-L2 to every codeword, built
+    row-locally by exploding the packed codebook row against the
+    (broadcastable) query side. |queries|·M·K rows."""
+    return (
         queries.crossJoin(F.broadcast(packed))
         .select("query_id", "q_qv", F.explode("cents").alias("c"))
         .select(
@@ -222,7 +221,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d"),
         )
     )
-    codes_long = (
+
+
+def _codes_long(q: DataFrame, packed: DataFrame) -> DataFrame:
+    """(vec_id, m, code): the corpus code table in long form — the
+    M-codes-per-vector layout every PQ search variant joins against."""
+    return (
         _with_codes(q, packed)
         .select(
             "vec_id",
@@ -240,6 +244,24 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"))
     )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, match_id, rank, adist): asymmetric-distance top-k —
+    the PQ search path. The LUT (query × subspace × code → exact integer
+    distance) is |queries|·M·K rows, built row-locally on the broadcast
+    query side; scoring joins the corpus (vec_id, m, code) stream
+    against the broadcast LUT and sums M lookups per vector — one corpus
+    scan, one partial-aggregated groupBy, no full-dimension math in the
+    hot path."""
+    books = _fit_codebooks(spark, sf_dir)
+    packed = _packed_codebooks(spark, books)
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    lut = _query_lut(queries, packed)
+    codes_long = _codes_long(q, packed)
     dists = (
         codes_long.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -420,42 +442,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     books = _fit_codebooks(spark, sf_dir)
     packed = _packed_codebooks(spark, books)
-    lut = (
-        queries.crossJoin(F.broadcast(packed))
-        .select("query_id", "q_qv", F.explode("cents").alias("c"))
-        .select(
-            "query_id",
-            F.col("c.m").alias("m"),
-            F.col("c.cid").alias("code"),
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("q_qv"), F.col("c.m") * PQ_SUB + 1, PQ_SUB),
-                    F.col("c.cv"),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-        )
-    )
-    codes_long = (
-        _with_codes(q, packed)
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(m).cast("long").alias("m"),
-                            F.col(f"code_{m}").alias("code"),
-                        )
-                        for m in range(PQ_M)
-                    ]
-                )
-            ).alias("e"),
-        )
-        .select("vec_id", F.col("e.m").alias("m"), F.col("e.code").alias("code"))
-    )
+    lut = _query_lut(queries, packed)
+    codes_long = _codes_long(q, packed)
     cand = assign.join(F.broadcast(probes), "cluster").select(
         "query_id", "vec_id"
     )

@@ -164,3 +164,49 @@ def test_source_quality_report_totals(spark):
     n = load_docs(spark, SF).count()
     assert sum(r.n_docs for r in rows) == n
     assert all(0 <= r.pass_ppm <= 1_000_000 for r in rows)
+
+
+def test_pq_fit_drops_emptied_codes_like_sql_twin(spark, tmp_path):
+    """If an init code wins zero vectors (vec 1 duplicates vec 0, so the
+    lowest-cid tie-break starves code 1 in iteration 1), the Spark fit
+    must DROP it — exactly as the SQL twin's update CTE has no row for
+    it — and the cross-engine hash must still match. Regression: the fit
+    once updated the book in place, retaining stale init centroids for
+    emptied codes that DuckDB had dropped."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from oracledb_datapump_spark.operators import pq as PQ
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(40, 64)).astype(np.float32)
+    vecs[1] = vecs[0]  # code 1's init == code 0's init → code 1 empties
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * 40, pa.int32()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+    PQ._CODEBOOK_CACHE.pop((spark.sparkContext.applicationId, sf_dir), None)
+
+    books = PQ._fit_codebooks(spark, sf_dir)
+    # the starved code must be gone from at least one subspace book
+    assert any((m, 1) not in books for m in range(PQ.PQ_M)), sorted(books)
+
+    sdf = PQ.embedding_pq_codes(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    odf = con.sql(PQ.EMBEDDING_PQ_CODES_SQL).df()
+    cols = list(sdf.columns)
+    s2 = sdf.sort_values(cols).reset_index(drop=True)
+    o2 = odf[cols].astype(sdf.dtypes.to_dict()).sort_values(cols).reset_index(drop=True)
+    assert s2.equals(o2)

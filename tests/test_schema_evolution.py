@@ -135,3 +135,33 @@ def test_merge_with_evolution_null_fills_missing(spark, tmp_path):
         "SELECT COUNT(*) FROM tgt.nation WHERE n_regionkey IS NULL"
     ).fetchone()[0]
     assert nulls == 2
+
+
+def test_merge_evolution_refuses_missing_merge_key(spark, tmp_path):
+    """Schema evolution must never null-fill a MERGE_KEY column — a
+    keyless side would collapse into one null-key partition and
+    row_number()==1 would silently keep a single survivor. The job must
+    fail loudly instead."""
+    src = _setup(spark, tmp_path)
+    # incoming lacks n_nationkey entirely
+    src.execute(
+        "CREATE SCHEMA IF NOT EXISTS hk; "
+        "CREATE TABLE hk.nation AS "
+        "SELECT n_name, n_regionkey FROM hr.nation LIMIT 2"
+    )
+    d2 = f"{tmp_path}/d2k"
+    _export(src, spark, "hk", d2)
+    st = Job(
+        "IMPORT", "SCHEMA", dumpfiles=d2,
+        directives=[
+            D.REMAP_SCHEMA("hk", "tgt"),
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("n_nationkey"),
+            D.DATA_OPTIONS("ALLOW_SCHEMA_EVOLUTION"),
+        ],
+    ).run(connection=src, spark=spark)
+    assert st.job_state in ("COMPLETED_WITH_ERRORS", "ERROR", "STOPPED"), (
+        st.job_state
+    )
+    # target must be untouched (the strict-failure guarantee)
+    assert src.execute("SELECT COUNT(*) FROM tgt.nation").fetchone()[0] == 25
