@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pq_codes": SV.streaming_pq_codes,
         # new this round: v2 gates + DSIR + bigram-plausibility arms
         "curated_corpus_v3": CU.curated_corpus_v3,
+        # new this round: per-pack utilization over the sequence packer
+        "pack_fill_report": EV.pack_fill_report,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
@@ -148,12 +150,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_closed": SD.streaming_rollup_closed,
         # temporal family consumes load_events → re-prove with it
         "asof_attribution": TM.asof_attribution,
-        "scd2_user_value": TM.scd2_user_value,
         # ---------------- fold: entry 51+ below -------------------------
-        # (range_join/rolling_window/cohort/gapfill spill past the fold
-        # this round: temporal.py itself is unchanged, all four are
-        # r4-green, and seven other events_source consumers remain
-        # inside the gated prefix)
+        # (scd2/range_join/rolling_window/cohort/gapfill spill past the
+        # fold this round: temporal.py itself is unchanged, all five are
+        # r4-green, and six other events_source consumers remain inside
+        # the gated prefix)
+        "scd2_user_value": TM.scd2_user_value,
         "range_join_nearby": TM.range_join_nearby,
         "rolling_window_activity": TM.rolling_window_activity,
         "cohort_retention": TM.cohort_retention,
@@ -342,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap_matrix": D.SOURCE_OVERLAP_MATRIX_SQL,
         "streaming_pq_codes": SV.STREAMING_PQ_CODES_SQL,
         "curated_corpus_v3": CU.CURATED_V3_SQL,
+        "pack_fill_report": EV.PACK_FILL_REPORT_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

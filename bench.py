@@ -125,6 +125,7 @@ def main() -> None:
         "tokenizer_fertility",
         "source_overlap_matrix",
         "curated_corpus_v3",
+        "pack_fill_report",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

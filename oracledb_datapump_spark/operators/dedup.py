@@ -734,8 +734,14 @@ def contrastive_pairs(
     Plan: the pair table is LSH-candidate-bounded; candidates explode it
     ×{NEG_TRIES}; the duplicate screen is a broadcast anti-join against
     the same pair table. Nothing scales beyond the dedup output."""
-    pairs = dedup_minhash_verified(spark, sf_dir, docs).select(
-        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    # checkpoint the candidate-bounded pair table: it feeds BOTH the
+    # triplet build and the negative screen, and a plan that references
+    # the LSH-verify lineage twice executes it twice (audited: 13 scans
+    # → 1 after truncation)
+    pairs = (
+        dedup_minhash_verified(spark, sf_dir, docs)
+        .select(F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive"))
+        .localCheckpoint(eager=True)
     )
     d = _docs(spark, sf_dir, docs)
     nd = d.agg(F.count(F.lit(1)).alias("n"))

@@ -942,3 +942,54 @@ ORDER BY w.source
 
 
 BUDGET_MIX_PLAN_SQL = _budget_mix_plan_sql()
+
+
+# ---------------------------------------------------------------------------
+# pack-utilization report over the sequence-packing plan
+# ---------------------------------------------------------------------------
+
+
+def pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pack_id, n_docs_start, n_crossing, tokens_start): per-pack
+    utilization of the {PACK_BUDGET}-token sequence packer — how many
+    documents start in each pack, how many of those run past its end
+    (attention-mask boundary resets / cross-doc contamination risk the
+    trainer must handle), and the token mass starting there. The
+    dashboard that says whether the pack budget fits the document
+    length distribution before a 100 TB tokenization run.
+
+    Plan: one |docs|-row aggregate over pack_plan's audited output;
+    crossing is row-local arithmetic (offset + len > budget)."""
+    p = pack_plan(spark, sf_dir)
+    return (
+        p.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_start"),
+            F.sum(
+                (
+                    F.col("pack_offset") + F.col("bpe_ish_tokens")
+                    > PACK_BUDGET
+                ).cast("long")
+            ).alias("n_crossing"),
+            F.sum("bpe_ish_tokens").alias("tokens_start"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+def _pack_fill_report_sql() -> str:
+    base = PACK_PLAN_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH pp AS ({base})
+SELECT pack_id,
+       COUNT(*) AS n_docs_start,
+       CAST(SUM(CASE WHEN pack_offset + bpe_ish_tokens > {PACK_BUDGET}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing,
+       CAST(SUM(bpe_ish_tokens) AS BIGINT) AS tokens_start
+FROM pp
+GROUP BY pack_id
+ORDER BY pack_id
+"""
+
+
+PACK_FILL_REPORT_SQL = _pack_fill_report_sql()
