@@ -117,15 +117,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus_v3": CU.curated_corpus_v3,
         # new this round: per-pack utilization over the sequence packer
         "pack_fill_report": EV.pack_fill_report,
+        # new this round: sketch-error + score-reliability gauges
+        "minhash_estimate_accuracy": D.minhash_estimate_accuracy,
+        "quality_calibration": EV.quality_calibration,
         # clustering.py: centroid fit memoized per (session, sf_dir)
         "kmeans_assign": CL.kmeans_assign,
         "kmeans_cluster_sizes": CL.cluster_sizes,
         "dedup_semantic": CL.dedup_semantic,
         "cluster_label_purity": EV.cluster_label_purity,
-        # graph.py: triangle edge list localCheckpointed
+        # graph.py: triangle edge list localCheckpointed (pagerank and
+        # basket_lift are untouched this round → moved past the fold on
+        # their r4 green rows)
         "triangle_participation": G.triangle_participation,
-        "pagerank_topk": G.pagerank_topk,
-        "basket_lift_topk": G.basket_lift_topk,
         # dedup.py: quadratic guards + LSH hot-bucket cap touched the
         # minhash/jaccard/cosine paths — those re-prove here.
         # (dedup_exact and simhash_fingerprints moved past the fold:
@@ -162,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly": TM.gapfill_hourly,
         # --- backfill to the 50-entry fold: oldest-proven rows (r03 for
         # the similarity suite, r01-r03 for the relational set) ----------
+        "pagerank_topk": G.pagerank_topk,
+        "basket_lift_topk": G.basket_lift_topk,
         "dedup_exact": D.dedup_exact,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_normalize": EM.embedding_normalize,
@@ -345,6 +350,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_pq_codes": SV.STREAMING_PQ_CODES_SQL,
         "curated_corpus_v3": CU.CURATED_V3_SQL,
         "pack_fill_report": EV.PACK_FILL_REPORT_SQL,
+        "minhash_estimate_accuracy": D.MINHASH_ESTIMATE_ACCURACY_SQL,
+        "quality_calibration": EV.QUALITY_CALIBRATION_SQL,
         "span_dup_score": SX.SPAN_DUP_SQL,
         "tfidf_search_topk": SX.TFIDF_SEARCH_SQL,
         "bm25_search_topk": SX.BM25_SEARCH_SQL,

@@ -126,6 +126,8 @@ def main() -> None:
         "source_overlap_matrix",
         "curated_corpus_v3",
         "pack_fill_report",
+        "minhash_estimate_accuracy",
+        "quality_calibration",
     ]
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()

@@ -874,3 +874,141 @@ ORDER BY 1, 2
 
 
 SOURCE_OVERLAP_MATRIX_SQL = _source_overlap_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy gauge
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_accuracy(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, est_ppm, exact_ppm, err_ppm): for every LSH
+    candidate pair, the MinHash Jaccard ESTIMATE (matching seeds /
+    {NUM_HASHES}) against the exact shingle-set Jaccard — the
+    sketch-error gauge that sizes k (more permutations → tighter
+    estimate) before trusting MinHash similarity at 100 TB. All ppm
+    integers: est = matches·1e6 div {NUM_HASHES}, exact =
+    |∩|·1e6 div |∪|, err = est − exact.
+
+    Plan: the signature table is the same one partial-aggregated
+    groupBy the LSH path builds; matching-seed counts are row-local on
+    the joined pair; the exact side reuses the candidate-bounded
+    intersection join of dedup_minhash_verified. Nothing exceeds the
+    candidate set."""
+    cand = dedup_minhash_pairs(spark, sf_dir, docs).localCheckpoint(eager=True)
+    agg = (
+        _shingles_multiset(spark, sf_dir, docs)
+        .groupBy("doc_id")
+        .agg(*_minhash_cols())
+    )
+    sa = agg.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)],
+    )
+    sb = agg.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(NUM_HASHES)
+    )
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("n_match"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"(n_match * 1000000) div {NUM_HASHES}").alias("est_ppm"),
+        )
+    )
+    sh = _shingles(spark, sf_dir, docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("_b2"), F.col("shingle").alias("sh_b"))
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, (F.col("doc_b") == F.col("_b2")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    exact = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(coalesce(inter, 0) * 1000000)"
+                " div (na + nb - coalesce(inter, 0))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            "exact_ppm",
+            (F.col("est_ppm") - F.col("exact_ppm")).alias("err_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_estimate_accuracy_sql() -> str:
+    match_expr = " + ".join(
+        f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+        for j in range(NUM_HASHES)
+    )
+    return (
+        "WITH "
+        + SQL_MINHASH_CTE
+        + f""",
+bands AS (
+  {_sql_band_selects()}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST((({match_expr}) * 1000000) // {NUM_HASHES} AS BIGINT) AS est_ppm
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.doc_a
+  JOIN mh b ON b.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST((COALESCE(i.inter, 0) * 1000000)
+              // (na.n + nb.n - COALESCE(i.inter, 0)) AS BIGINT) AS exact_ppm
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_ppm, x.exact_ppm,
+       CAST(e.est_ppm - x.exact_ppm AS BIGINT) AS err_ppm
+FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+ORDER BY e.doc_a, e.doc_b
+"""
+    )
+
+
+MINHASH_ESTIMATE_ACCURACY_SQL = _minhash_estimate_accuracy_sql()

@@ -993,3 +993,114 @@ ORDER BY pack_id
 
 
 PACK_FILL_REPORT_SQL = _pack_fill_report_sql()
+
+
+# ---------------------------------------------------------------------------
+# quality-score calibration against the Gopher rules
+# ---------------------------------------------------------------------------
+
+CALIB_TILES = 10
+
+
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_docs, n_pass, pass_ppm, min_score_q, max_score_q):
+    reliability curve of the cheap heuristic quality score against the
+    (independent) Gopher rule verdict — docs ranked by score into
+    {CALIB_TILES} global deciles, each reporting its Gopher pass rate.
+    A monotone curve validates using the cheap score as a pre-filter at
+    100 TB (run the heuristic everywhere, the full rules only near the
+    threshold); a flat curve says the score carries no signal.
+
+    Integer contract: the ranking key is score_q =
+    (length_ok·n_distinct·1e6) div n_tokens with length_ok ∈ {{2, 1}} —
+    an integer strictly monotone with quality_score's float (0.5/1.0
+    length factor × type-token ratio), so the global order is
+    hash-exact; deciles come from the SQL-exact NTILE arithmetic
+    (functions.global_order.exact_ntile, pinned against DuckDB NTILE).
+
+    Plan: the rank is a distributed range partition + per-partition
+    row_number with driver prefix offsets (no single-partition window);
+    everything after is a {CALIB_TILES}-row aggregate."""
+    from .textprep import quality_gopher
+    from .docs_source import load_docs
+    from ..functions.global_order import exact_ntile, with_global_order_stat
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    d = load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), TOKEN_SPLIT_RE), lambda t: t != ""
+        ).alias("toks"),
+    )
+    scored = d.select(
+        "doc_id",
+        F.expr(
+            "(CASE WHEN size(toks) BETWEEN 20 AND 80 THEN 2 ELSE 1 END"
+            " * size(array_distinct(toks)) * 1000000) div size(toks)"
+        ).alias("score_q"),
+    )
+    g = quality_gopher(spark, sf_dir).select(
+        "doc_id", F.col("passes").cast("long").alias("p")
+    )
+    j = scored.join(g, "doc_id")
+    ranked, n_rows = with_global_order_stat(
+        j, [F.asc("score_q"), F.asc("doc_id")], out="rnk"
+    )
+    tiled = ranked.withColumn(
+        "decile", exact_ntile(F.col("rnk"), n_rows, CALIB_TILES)
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p").alias("n_pass"),
+            F.min("score_q").alias("min_score_q"),
+            F.max("score_q").alias("max_score_q"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_pass",
+            F.expr("(n_pass * 1000000) div n_docs").alias("pass_ppm"),
+            "min_score_q",
+            "max_score_q",
+        )
+        .orderBy("decile")
+    )
+
+
+def _quality_calibration_sql() -> str:
+    from .textprep import QUALITY_GOPHER_SQL
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    g = QUALITY_GOPHER_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH gq AS ({g}),
+scored AS (
+  SELECT doc_id,
+         (CASE WHEN len(l) BETWEEN 20 AND 80 THEN 2 ELSE 1 END
+          * len(list_distinct(l)) * 1000000) // len(l) AS score_q
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'),
+                           t -> t != '') AS l
+        FROM documents)
+),
+tiled AS (
+  SELECT s.doc_id, s.score_q,
+         CASE WHEN gq.passes THEN 1 ELSE 0 END AS p,
+         NTILE({CALIB_TILES}) OVER (ORDER BY s.score_q, s.doc_id) AS decile
+  FROM scored s JOIN gq ON gq.doc_id = s.doc_id
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p) AS BIGINT) AS n_pass,
+       CAST((SUM(p) * 1000000) // COUNT(*) AS BIGINT) AS pass_ppm,
+       CAST(MIN(score_q) AS BIGINT) AS min_score_q,
+       CAST(MAX(score_q) AS BIGINT) AS max_score_q
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+QUALITY_CALIBRATION_SQL = _quality_calibration_sql()
