@@ -98,3 +98,36 @@ def test_bigram_surprise_counts(spark):
              "doc_id", "n_toks", "n_bigrams").collect()}
     for doc_id, (n_toks, n_bigrams) in j.items():
         assert n_bigrams == n_toks - 1, doc_id
+
+
+def test_minhash_estimate_accuracy_bounds(spark):
+    """Estimates and exact Jaccard both in [0, 1e6]; est quantized to
+    sixteenths; err = est - exact identically."""
+    from oracledb_datapump_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_estimate_accuracy,
+    )
+
+    rows = minhash_estimate_accuracy(spark, SF).collect()
+    assert len(rows) > 0
+    sixteenths = {(k * 1_000_000) // NUM_HASHES for k in range(NUM_HASHES + 1)}
+    for r in rows:
+        assert 0 <= r.est_ppm <= 1_000_000 and r.est_ppm in sixteenths
+        assert 0 <= r.exact_ppm <= 1_000_000
+        assert r.err_ppm == r.est_ppm - r.exact_ppm
+
+
+def test_quality_calibration_partitions_corpus(spark):
+    """Deciles 1..10 cover every doc once; score ranges are ordered and
+    non-overlapping across deciles."""
+    from oracledb_datapump_spark.operators.evaluation import (
+        CALIB_TILES,
+        quality_calibration,
+    )
+    from oracledb_datapump_spark.operators.docs_source import load_docs
+
+    rows = sorted(quality_calibration(spark, SF).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, CALIB_TILES + 1))
+    assert sum(r.n_docs for r in rows) == load_docs(spark, SF).count()
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_score_q <= a.max_score_q <= b.min_score_q
