@@ -221,6 +221,12 @@ class DumpSet:
 
         self._recover_interrupted_compaction()
         report: dict[str, dict[str, int]] = {}
+        # Two-phase: decide every table FIRST, rewrite only after the
+        # whole dump set validates. Raising mid-iteration would discard
+        # the partial report and leave later tables permanently
+        # uncompactable behind the failing one — the loud parquet-only
+        # contract stands, but it fires before any work is done.
+        todo: list[tuple[str, str, str, list[str], int, int]] = []
         for schema, table in self.list_tables():
             d = self.table_dir(schema, table)
             parts = [
@@ -250,6 +256,8 @@ class DumpSet:
                     f"{os.path.relpath(d, self.root)} holds non-parquet "
                     "data files (DUMP_FORMAT)"
                 )
+            todo.append((schema, table, d, parts, n_target, nbytes))
+        for schema, table, d, parts, n_target, nbytes in todo:
             codec = "snappy"
             try:
                 import pyarrow.parquet as pq

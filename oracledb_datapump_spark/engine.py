@@ -117,11 +117,16 @@ def _count_dump_rows(path: str, fmt: str = "parquet", spark=None) -> tuple[int, 
                     have_rows = True
                 except Exception:
                     pass
-    if not have_rows and fmt in ("json", "csv"):
+    # orc included: a pyarrow build without ORC support (or any footer
+    # read failure) must fall back to a Spark count, not report 0 rows
+    # for an intact dump (VALIDATE_TBL_DATA would then fail a good run)
+    if not have_rows and fmt in ("json", "csv", "orc"):
         if spark is not None:
             reader = spark.read
             if fmt == "csv":
-                reader = reader.option("header", "false")
+                reader = reader.option("header", "false").option(
+                    "multiLine", "true"
+                )
             rows = reader.format(fmt).load(path).count()
         else:
             rows = -1
@@ -351,7 +356,13 @@ def import_table(
                     "in the manifest; cannot type a headerless CSV read"
                 )
             if fmt == "csv":
-                reader = reader.option("header", "false")
+                # multiLine: Spark's CSV writer quotes embedded newlines
+                # on export; without it the reader splits a quoted field
+                # across physical lines into null-padded garbage rows —
+                # silent corruption on any text corpus
+                reader = reader.option("header", "false").option(
+                    "multiLine", "true"
+                )
         df = reader.format(fmt).load(src_dir)
         if plan.predicate:
             df = df.filter(plan.predicate)

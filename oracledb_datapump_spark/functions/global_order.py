@@ -42,6 +42,15 @@ def with_global_order_stat(
     is the INCLUSIVE global running sum of ``cumsum_col`` and
     grand_total is its full sum. The input should already be projected
     narrow — every column rides through the range shuffle.
+
+    ``order_exprs`` MUST be a UNIQUE tuple per row (all callers include
+    a key column): range partitioning can split a tie group across a
+    partition boundary, and no window frame makes a split tie both
+    partition-stable and equal to the single-partition formulation. The
+    cumsum window below pins an explicit ROWS frame so that WITH unique
+    keys the result is bit-identical to ``SUM() OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)`` — the default RANGE frame would hand
+    every member of an intra-partition tie the tie-group total.
     """
     part = (
         df.repartitionByRange(n_partitions, *order_exprs)
@@ -74,7 +83,11 @@ def with_global_order_stat(
     )
     w = Window.partitionBy("__pid").orderBy(*order_exprs)
     stat = (
-        F.row_number().over(w) if cumsum_col is None else F.sum(cumsum_col).over(w)
+        F.row_number().over(w)
+        if cumsum_col is None
+        else F.sum(cumsum_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     )
     return part.withColumn(out, (stat + off_col).cast("long")).drop("__pid"), acc
 
@@ -90,9 +103,19 @@ def exact_ntile(rank_col: Column, n_rows: int, n_tiles: int) -> Column:
     if q == 0:
         # fewer rows than tiles: rank IS the tile
         return rank_col.cast("long")
+    # Integral division via remainder subtraction, NOT floor(a/b):
+    # Spark's `/` on longs is double division, and a rank past 2^53 is
+    # inexact as a double, so floor could land one tile off while
+    # DuckDB's integer NTILE stays exact. Subtracting the exact long
+    # remainder first makes the numerator exactly divisible; the small
+    # integer quotient (≤ n_tiles) then survives the double round-trip
+    # bit-exactly at any rank magnitude.
+    def _idiv(num: Column, den: int) -> Column:
+        return ((num - (num % den)) / den).cast("long")
+
     return (
-        F.when(rank_col <= big, F.floor((rank_col - 1) / (q + 1)))
-        .otherwise(F.lit(r) + F.floor((rank_col - 1 - big) / q))
+        F.when(rank_col <= big, _idiv(rank_col - 1, q + 1))
+        .otherwise(F.lit(r) + _idiv(rank_col - 1 - big, q))
         .cast("long")
         + F.lit(1)
     ).cast("long")

@@ -254,8 +254,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     {PAIR_BLOCKS}) and the left side is replicated once per block, so
     the join key (cluster, block) has K·{PAIR_BLOCKS} values and every
     pair is still evaluated exactly once — the standard blocked
-    self-join; replication cost is {PAIR_BLOCKS}× the narrow left rows,
-    nothing at 100 TB against the quadratic fold it parallelizes."""
+    self-join. The replicated left rows CARRY the embedding
+    ({PAIR_BLOCKS}× the wide vectors through the shuffle, ~2 KB/vector
+    at dim 64); attaching vectors after the blocked match instead would
+    re-shuffle the PAIR stream by vec_id, and within-cluster pairs
+    outnumber {PAIR_BLOCKS}·n whenever clusters hold more than
+    ~2·{PAIR_BLOCKS} members — the up-front replication is the cheaper
+    side of that trade at every scale this operator targets."""
     from .emb_source import load_embeddings
 
     e = load_embeddings(spark, sf_dir)

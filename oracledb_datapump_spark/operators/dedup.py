@@ -49,13 +49,16 @@ QUADRATIC_GUARD_MAX_ROWS = 100_000
 def _guard_quadratic(df: DataFrame, op: str, scale_path: str, verification: bool) -> None:
     if verification:
         return
-    n = df.count()
+    # limit(N+1).count() answers "more rows than the limit?" after
+    # reading at most N+1 rows — a full df.count() would scan the very
+    # 100 TB input this guard exists to refuse
+    n = df.limit(QUADRATIC_GUARD_MAX_ROWS + 1).count()
     if n > QUADRATIC_GUARD_MAX_ROWS:
         from ..exceptions import UsageError
 
         raise UsageError(
             f"{op} is a verification-grade O(n^2) baseline and its input "
-            f"has {n} rows (limit {QUADRATIC_GUARD_MAX_ROWS}). Use the "
+            f"exceeds {QUADRATIC_GUARD_MAX_ROWS} rows. Use the "
             f"candidate-bounded scale path ({scale_path}), or pass "
             f"verification=True to force the quadratic plan."
         )

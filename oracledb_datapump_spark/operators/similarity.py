@@ -389,12 +389,18 @@ def export_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     return meta
 
 
-def load_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def load_ann_index(
+    spark: SparkSession, index_dir: str, expected_source: str | None = None
+) -> DataFrame:
     """Read an exported LSH index back, validating its parameters
     against the engine's current constants — a bits/tables/quant
     mismatch would silently compute Hamming probes in the wrong space,
     the exact class of bug the events/documents absorbers exist to
-    prevent."""
+    prevent. ``expected_source`` additionally pins the CORPUS the index
+    was built from: a stale or foreign index joined on vec_id against a
+    different embeddings table returns plausible-but-wrong neighbors
+    with no error — the manifest records `source` precisely to catch
+    that drift."""
     import json
     import os
 
@@ -415,6 +421,19 @@ def load_ann_index(spark: SparkSession, index_dir: str) -> DataFrame:
             f"expects {expected} — rebuild the index (export_ann_index) "
             "rather than probing the wrong bucket space"
         )
+    if (
+        expected_source is not None
+        and meta.get("source") is not None
+        and os.path.abspath(meta["source"]) != os.path.abspath(expected_source)
+    ):
+        from ..exceptions import UsageError
+
+        raise UsageError(
+            f"ANN index at {index_dir} was built from "
+            f"{meta['source']!r}, but the query targets "
+            f"{expected_source!r} — rebuild the index for this corpus "
+            "rather than joining stale buckets by vec_id"
+        )
     return spark.read.parquet(os.path.join(index_dir, "lsh_signatures"))
 
 
@@ -423,5 +442,8 @@ def ann_lsh_topk_from_index(
 ) -> DataFrame:
     """ann_lsh_topk served from a previously exported index: identical
     results, zero signature recompute — the production query path once
-    the index artifact exists."""
-    return ann_lsh_topk(spark, sf_dir, sig=load_ann_index(spark, index_dir))
+    the index artifact exists. The load validates both the LSH
+    parameters AND that the index was built from this corpus."""
+    return ann_lsh_topk(
+        spark, sf_dir, sig=load_ann_index(spark, index_dir, expected_source=sf_dir)
+    )

@@ -180,3 +180,20 @@ def test_ann_index_export_import_identical(spark, sf_dir, tmp_path):
     json.dump(m, open(mpath, "w"))
     with pytest.raises(UsageError, match="wrong bucket space"):
         S.load_ann_index(spark, idx)
+
+
+def test_ann_index_rejects_foreign_corpus(spark, sf_dir, tmp_path):
+    """An index built from corpus A must refuse to serve queries against
+    corpus B: the vec_id join against a different embeddings table would
+    probe stale buckets and return plausible-but-wrong neighbors with no
+    error (the manifest records `source` exactly for this drift)."""
+    import pytest
+
+    from oracledb_datapump_spark.exceptions import UsageError
+
+    idx = str(tmp_path / "ann_idx_src")
+    S.export_ann_index(spark, sf_dir, idx)
+    with pytest.raises(UsageError, match="rebuild the index for this corpus"):
+        S.ann_lsh_topk_from_index(spark, "/root/testdata/sf0.01", idx)
+    # the matching corpus still loads fine
+    assert S.ann_lsh_topk_from_index(spark, sf_dir, idx).count() > 0

@@ -203,3 +203,27 @@ def test_dump_format_via_json_protocol(spark, sf_dir, tmp_path):
     resp = DataPump.submit(_json.dumps(req))
     assert resp.state == "COMPLETED"
     assert _sniff_dump_format(f"{dump}/hr/nation") == "orc"
+
+
+def test_csv_roundtrip_with_embedded_newlines(spark, duck, tmp_path):
+    """A string value containing newlines must survive a CSV dump
+    round-trip: the exporter quotes it across physical lines, and the
+    importer must read multiLine or silently split it into null-padded
+    garbage rows (regression: the reader lacked the multiLine option, so
+    any text corpus — this engine's core workload — corrupted under
+    DUMP_FORMAT(CSV))."""
+    duck.execute(
+        "CREATE TABLE test1.notes AS SELECT * FROM (VALUES "
+        "(1, 'plain'), "
+        "(2, 'line one' || chr(10) || 'line two'), "
+        "(3, 'quoted \"x\"' || chr(10) || chr(10) || 'after blank')"
+        ") AS t(id, body)"
+    )
+    dump = str(tmp_path / "csv_newlines")
+    _roundtrip(spark, duck, dump, "CSV", tables=("notes",))
+    rows = dict(
+        duck.execute("SELECT id, body FROM rt_csv.notes ORDER BY id").fetchall()
+    )
+    assert len(rows) == 3
+    assert rows[2] == "line one\nline two"
+    assert rows[3] == 'quoted "x"\n\nafter blank'
