@@ -338,17 +338,21 @@ class DuckDbConnector:
             try:
                 cur.register("_dp_incoming", batches)
                 registered = True
+                # INSERT ... BY NAME, never positional SELECT *: when the
+                # incoming column order differs from the target's DDL
+                # (COLUMNS projection, reordered dump), positional insert
+                # silently swaps same-typed columns — data corruption
                 if mode == "overwrite":
                     if truncate and exists:
                         # TABLE_EXISTS_ACTION=TRUNCATE: keep DDL, delete rows
                         cur.execute(f"DELETE FROM {fq}")
-                        cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
+                        cur.execute(f"INSERT INTO {fq} BY NAME SELECT * FROM _dp_incoming")
                     else:
                         # TABLE_EXISTS_ACTION=REPLACE: drop & recreate
                         cur.execute(f"CREATE OR REPLACE TABLE {fq} AS SELECT * FROM _dp_incoming")
                 elif mode == "append":
                     if exists:
-                        cur.execute(f"INSERT INTO {fq} SELECT * FROM _dp_incoming")
+                        cur.execute(f"INSERT INTO {fq} BY NAME SELECT * FROM _dp_incoming")
                     else:
                         cur.execute(f"CREATE TABLE {fq} AS SELECT * FROM _dp_incoming")
                 else:  # error / first write
@@ -455,6 +459,20 @@ class JdbcConnector:
                 return f"(SELECT * FROM {fq} AS OF SCN {int(as_of[4:-1])})"
             if as_of.startswith("TS(") and as_of.endswith(")"):
                 ts = as_of[3:-1]
+                # the auto-captured marker is a tz-AWARE isoformat (ends
+                # in +00:00 or Z); TO_TIMESTAMP's mask cannot consume an
+                # offset, so parse with TO_TIMESTAMP_TZ + TZH:TZM when
+                # one is present (ORA-01830 otherwise on every default
+                # flashback export)
+                if ts.endswith("Z"):
+                    ts = ts[:-1] + "+00:00"
+                has_tz = len(ts) > 6 and ts[-6] in "+-" and ts[-3] == ":"
+                if has_tz:
+                    return (
+                        f"(SELECT * FROM {fq} AS OF TIMESTAMP "
+                        f"TO_TIMESTAMP_TZ('{ts}', "
+                        f"'YYYY-MM-DD\"T\"HH24:MI:SS.FFTZH:TZM'))"
+                    )
                 return (
                     f"(SELECT * FROM {fq} AS OF TIMESTAMP "
                     f"TO_TIMESTAMP('{ts}', 'YYYY-MM-DD\"T\"HH24:MI:SS.FF'))"

@@ -128,10 +128,15 @@ class DumpSet:
         return out
 
     def dumpfiles(self) -> list[str]:
-        """All part-file paths (the dump 'files' — reference's DumpFileSet)."""
+        """All part-file paths (the dump 'files' — reference's DumpFileSet).
+        Deduplicated: Spark's part-00000-*.snappy.parquet names match BOTH
+        globs, and a doubled list would double every consumer's file
+        counts (JOB_DONE event, manifest, JobStatusInfo.files)."""
         return sorted(
-            glob.glob(os.path.join(self.root, "*", "*", "*.parquet"))
-            + glob.glob(os.path.join(self.root, "*", "*", "part-*"))
+            set(
+                glob.glob(os.path.join(self.root, "*", "*", "*.parquet"))
+                + glob.glob(os.path.join(self.root, "*", "*", "part-*"))
+            )
         )
 
     def get_dumpfile_info(self, schema: str, table: str) -> DumpFileInfo:
@@ -366,11 +371,17 @@ def cleanup_orphans(root: str, min_age_s: float = 3600.0) -> list[str]:
         job_names = {e.get("job_name") for e in events if e.get("job_name")}
         if any(_status.job_exists(j) for j in job_names):
             continue  # live in this process — keep
+        if not os.path.isfile(ds.events_path):
+            # manifest present but the event log is gone (pruned/lost):
+            # the JOB_DONE check could not run, so this may be a
+            # COMPLETED job's archive — a GC must never delete data it
+            # cannot prove is an orphan
+            continue
         try:
             if now - os.path.getmtime(ds.events_path) < min_age_s:
                 continue  # recently active (possibly another process) — keep
         except OSError:
-            pass
+            continue  # vanished mid-scan — keep, retry next pass
         shutil.rmtree(path)
         removed.append(path)
     return removed

@@ -117,10 +117,11 @@ def _count_dump_rows(path: str, fmt: str = "parquet", spark=None) -> tuple[int, 
                     have_rows = True
                 except Exception:
                     pass
-    # orc included: a pyarrow build without ORC support (or any footer
-    # read failure) must fall back to a Spark count, not report 0 rows
-    # for an intact dump (VALIDATE_TBL_DATA would then fail a good run)
-    if not have_rows and fmt in ("json", "csv", "orc"):
+    # parquet/orc included: a runtime without pyarrow (it is a test
+    # extra, not a dependency) or any footer-read failure must fall back
+    # to a Spark count, not report 0 rows for an intact dump
+    # (VALIDATE_TBL_DATA would then fail a good run)
+    if not have_rows and fmt in ("json", "csv", "orc", "parquet"):
         if spark is not None:
             reader = spark.read
             if fmt == "csv":
@@ -164,6 +165,12 @@ def export_table(
                 "TABLE_EXPORT_METADATA_ONLY",
                 table=plan.source_key,
                 schema_json=df.schema.json(),
+            )
+            # a worker that never logs _DONE stays EXECUTING in
+            # status_from_events forever (it matches only the
+            # _START/_DONE/_ERROR suffixes)
+            dumpset.log_event(
+                "TABLE_EXPORT_DONE", table=plan.source_key, rows=0, bytes=0
             )
             return TableResult(
                 plan, ok=True, rows=0, bytes=0, files=0,
@@ -242,8 +249,16 @@ def export_table(
             # recorded schema keeps text formats typed on the read-back
             from pyspark.sql import functions as F
 
+            wm_reader = spark.read.schema(df.schema)
+            if fmt == "csv":
+                # same multiLine contract as every other CSV read here:
+                # a split quoted row could mis-parse a fragment into the
+                # watermark column and silently skip rows next run
+                wm_reader = wm_reader.option("header", "false").option(
+                    "multiLine", "true"
+                )
             wm_row = (
-                spark.read.schema(df.schema).format(fmt).load(out_dir)
+                wm_reader.format(fmt).load(out_dir)
                 .agg(F.max(inc_col))
                 .collect()
             )[0]
@@ -280,11 +295,13 @@ def import_table(
         if not os.path.isdir(src_dir):
             # metadata-only entry in the dump set — nothing to load
             dumpset.log_event("TABLE_IMPORT_SKIP_NO_DATA", table=plan.target_key)
+            dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=0)
             return TableResult(plan, ok=True, rows=0, skipped=True)
         if plan.write_mode == "ignore" and connector.table_exists(
             plan.target_schema, plan.target_table
         ):
             dumpset.log_event("TABLE_IMPORT_SKIP_EXISTS", table=plan.target_key)
+            dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=0)
             return TableResult(plan, ok=True, rows=0, skipped=True)
         fmt = _sniff_dump_format(src_dir)
         # PARTITION_OPTIONS=DEPARTITION: one target table per hive
@@ -498,18 +515,25 @@ def import_table(
         rows, size, nfiles = _count_dump_rows(src_dir, fmt, spark)
         if config.validate_table_data:
             # VALIDATE_TBL_DATA (reference DATA_OPTIONS bit,
-            # directives.py:227-238): post-write row-count verify.
+            # directives.py:227-238): post-write row-count verify. A
+            # QUERY predicate legitimately imports FEWER rows than the
+            # dump holds — verify against the filtered frame's count in
+            # that case, not the dump total (which would fail every
+            # correct filtered import).
             back = connector.read_table(
                 spark, plan.target_schema, plan.target_table
             )
             written = back.count()
+            expect = rows
+            if plan.predicate is not None:
+                expect = df.count()
             if (
                 plan.write_mode not in ("append", "merge")
-                and rows is not None
-                and written != rows
+                and expect is not None
+                and written != expect
             ):
                 raise RuntimeError(
-                    f"VALIDATE_TBL_DATA: wrote {written} rows, dump has {rows}"
+                    f"VALIDATE_TBL_DATA: wrote {written} rows, expected {expect}"
                 )
         dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=rows)
         return TableResult(plan, ok=True, rows=rows, bytes=size, files=nfiles)

@@ -166,7 +166,21 @@ class Job:
 
         self._set_state(JobState.DEFINING)
         register_job(self.job_name, self)
+        try:
+            return self._run_registered(wait, spark, config)
+        except BaseException:
+            # A failure anywhere after registration (planning, manifest
+            # write, synchronous execution) must not leak the registry
+            # entry: attach() would find a permanently DEFINING job and
+            # cleanup_orphans would skip its dump dir forever.
+            # deregister_job is an idempotent pop, so paths that already
+            # deregistered before raising are unaffected.
+            deregister_job(self.job_name)
+            raise
 
+    def _run_registered(
+        self, wait: bool, spark: SparkSession, config: Any
+    ) -> JobStatusInfo:
         if self.operation == Operation.EXPORT:
             plans = plan_export(self.connector, self.operation, self.mode, config)
         else:
@@ -354,6 +368,24 @@ class Job:
         if self.dumpset is None:
             return JobStatusInfo(job_state=self._state.value)
         info = status_from_events(self.dumpset, request)
+        # An ATTACHED job's in-memory state is a snapshot from attach
+        # time; the process actually running the job advances the EVENT
+        # LOG. When the log shows a terminal state the snapshot hasn't
+        # reached, adopt it — otherwise poll_for_completion (which reads
+        # self._state) spins forever on a job another process finished.
+        if self.connector is None and getattr(self, "_worker", None) is None:
+            from .base import TERMINAL_STATES
+
+            try:
+                ev = JobState(info.job_state)
+            except ValueError:
+                ev = None
+            if (
+                ev is not None
+                and ev in TERMINAL_STATES
+                and self._state not in TERMINAL_STATES
+            ):
+                self._state = ev
         if self._state != JobState.UNDEFINED:
             info.job_state = self._state.value
         return info
