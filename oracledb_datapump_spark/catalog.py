@@ -324,6 +324,25 @@ class DuckDbConnector:
             return
         if mode == "error" and exists:
             raise FileError(f"Table exists: {schema}.{table}")
+        if exists and (mode == "append" or (mode == "overwrite" and truncate)):
+            # strict schema contract: BY NAME binding below fixes column
+            # ORDER, but DuckDB would also null-fill MISSING columns —
+            # silently legitimizing drift the engine only permits under
+            # ALLOW_SCHEMA_EVOLUTION (which pre-aligns the frame before
+            # calling here). Enforce set equality so unflagged drift
+            # still fails loudly.
+            target_cols = {
+                r[0]
+                for r in self.execute(f"DESCRIBE {fq}").fetchall()
+            }
+            incoming = set(df.columns)
+            if incoming != target_cols:
+                raise FileError(
+                    f"Schema drift writing {schema}.{table}: incoming "
+                    f"columns {sorted(incoming)} != target "
+                    f"{sorted(target_cols)} (use "
+                    "DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION) to reconcile)"
+                )
         self.ensure_schema(schema)
         batches = df.toArrow()  # Arrow table on the driver (test-scale only)
         if not isinstance(batches, pa.Table):  # pragma: no cover
