@@ -116,6 +116,12 @@ def _sniff_epoch_unit(path: str) -> str:
         if os.path.isdir(path)
         else [path]
     )
+    # Sniff EVERY file and demand agreement: deciding from the first
+    # file with statistics would silently misread a directory that mixes
+    # epoch-ns and epoch-ms int64 files by 1,000,000× — the exact silent
+    # shift this guard exists to prevent (the type sniffer already
+    # rejects mixed physical types the same way).
+    seen: dict[str, str] = {}
     for f in files:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
@@ -131,15 +137,28 @@ def _sniff_epoch_unit(path: str) -> str:
                 # logical timestamp column (stat is a datetime): the unit
                 # is carried by the type, and nanosAsLong only maps NANOS
                 # to long — epoch-ns by contract
-                return "ns"
+                seen[f] = "ns"
+                continue
             mx = abs(int(st.max))
             for unit, lo in _UNIT_BOUNDS:
                 if mx >= lo:
-                    return unit
-            raise ValueError(
-                f"events source {f}: int64 ts max {st.max} matches no "
-                "plausible epoch unit (ns/us/ms/s)"
-            )
+                    seen[f] = unit
+                    break
+            else:
+                raise ValueError(
+                    f"events source {f}: int64 ts max {st.max} matches no "
+                    "plausible epoch unit (ns/us/ms/s)"
+                )
+    units = set(seen.values())
+    if len(units) > 1:
+        raise ValueError(
+            f"events source {path}: files disagree on the ts epoch unit "
+            f"({ {k: v for k, v in sorted(seen.items())} }); a mixed-unit "
+            "directory cannot be read with one schema — normalize the "
+            "files first"
+        )
+    if units:
+        return units.pop()
     # no statistics anywhere — keep the historical contract
     return "ns"
 

@@ -49,16 +49,34 @@ PQ_QUERIES = 10  # vec_id < PQ_QUERIES form the search query set
 PQ_TOP_K = 5
 
 
+def quantize_expr():
+    """The canonical embedding→int64 quantization column (floor(x·scale))
+    — shared by the batch operators AND the streaming encoder so the
+    'streaming sink equals batch codes bit-for-bit' invariant cannot be
+    broken by one copy drifting."""
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
+    )
+
+
+def codes_select(coded: DataFrame) -> DataFrame:
+    """(vec_id, code_0..code_{M-1}, recon_err) projection over a
+    ``_with_codes`` frame — the shared output shape of the batch and
+    streaming encoders."""
+    return coded.select(
+        "vec_id",
+        *[F.col(f"code_{m}") for m in range(PQ_M)],
+        sum(F.col(f"dist_{m}") for m in range(PQ_M)).cast("long").alias(
+            "recon_err"
+        ),
+    )
+
+
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .emb_source import load_embeddings
 
     emb = load_embeddings(spark, sf_dir)
-    return emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * PQ_SCALE).cast("long")
-        ).alias("qv"),
-    )
+    return emb.select("vec_id", quantize_expr().alias("qv"))
 
 
 def _packed_codebooks(
@@ -189,13 +207,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = _with_codes(
         _quantized(spark, sf_dir), _packed_codebooks(spark, books)
     )
-    return coded.select(
-        "vec_id",
-        *[F.col(f"code_{m}") for m in range(PQ_M)],
-        sum(F.col(f"dist_{m}") for m in range(PQ_M)).cast("long").alias(
-            "recon_err"
-        ),
-    ).orderBy("vec_id")
+    return codes_select(coded).orderBy("vec_id")
 
 
 def _query_lut(queries: DataFrame, packed: DataFrame) -> DataFrame:

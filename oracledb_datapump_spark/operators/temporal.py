@@ -31,17 +31,25 @@ def asof_join(
 
     One shuffle (hash on ``by``), one ordered window pass; right-side
     carry state is a single row per key regardless of history length."""
-    r = right.select(
+    # The carry travels as ONE struct per right row, not per-column:
+    # per-column last(ignorenulls) would (a) replace a legitimate NULL
+    # in the latest right row with a stale value from an OLDER row and
+    # (b) mix fields from different right rows — neither is ASOF
+    # semantics (which attach the latest right ROW atomically, nulls
+    # included). A right row whose timestamp is NULL is excluded up
+    # front: ascending sort puts nulls FIRST, where it would otherwise
+    # masquerade as the earliest match (SQL NULL comparison = no match).
+    r = right.filter(F.col(ts_right).isNotNull()).select(
         F.col(by).alias("__by"),
         F.col(ts_right).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c) for c in carry],
+        F.struct(*[F.col(c) for c in carry]).alias("__carry"),
     )
     l = left.select(
         F.col(by).alias("__by"),
         F.col(ts_left).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(r.schema[c].dataType).alias(c) for c in carry],
+        F.lit(None).cast(r.schema["__carry"].dataType).alias("__carry"),
         F.struct(*left.columns).alias("__row"),
     )
     r = r.withColumn("__row", F.lit(None).cast(l.schema["__row"].dataType))
@@ -53,10 +61,11 @@ def asof_join(
     carried = l.unionByName(r).select(
         "__tag",
         "__row",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carry],
+        F.last("__carry", ignorenulls=True).over(w).alias("__carry"),
     )
     out_left = [F.col(f"__row.{c}").alias(c) for c in left.columns]
-    return carried.filter(F.col("__tag") == 1).select(*out_left, *carry)
+    out_carry = [F.col(f"__carry.{c}").alias(c) for c in carry]
+    return carried.filter(F.col("__tag") == 1).select(*out_left, *out_carry)
 
 
 def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,7 +49,10 @@ def run_dedup_export(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
 # watermarked windowed aggregation (streaming twin of events_hourly_rollup)
 # ---------------------------------------------------------------------------
 
-ROLLUP_LATENESS = "30 minutes"
+# lateness in µs first; the interval string AND the SQL oracle's
+# eviction literal both derive from it (no silent drift on retune)
+ROLLUP_LATENESS_US = 1_800_000_000
+ROLLUP_LATENESS = f"{ROLLUP_LATENESS_US // 1_000_000} seconds"
 
 
 def stream_hourly_rollup(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -150,7 +153,7 @@ def streaming_rollup_closed(spark: SparkSession, src_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-STREAMING_ROLLUP_CLOSED_SQL = """
+STREAMING_ROLLUP_CLOSED_SQL = f"""
 WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
 mx AS (SELECT MAX(us) AS m FROM e),
 agg AS (
@@ -159,7 +162,7 @@ agg AS (
   FROM e GROUP BY 1, 2
 )
 SELECT hour_start, event_type, n_events FROM agg, mx
-WHERE (hour_start + 3600) * 1000000 <= m - 1800000000
+WHERE (hour_start + 3600) * 1000000 <= m - {ROLLUP_LATENESS_US}
 ORDER BY hour_start, event_type
 """
 

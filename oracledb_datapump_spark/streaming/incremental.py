@@ -77,9 +77,11 @@ def run_incremental_export(
         .start()
     )
     q.awaitTermination()
-    progress = q.lastProgress
+    # recentProgress covers only THIS run's micro-batches; lastProgress's
+    # batchId is cumulative across the checkpoint's lifetime and would
+    # over-report every cycle after the first
     return {
-        "batches": progress["batchId"] + 1 if progress else 0,
+        "batches": len(q.recentProgress),
         "sink_path": os.path.join(out_dir, "windowed"),
     }
 

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from ..events_source import event_time_expr, pin_utc, stream_events_raw
 
-ATTRIBUTION_HORIZON = "1 hour"
+# single source of truth for the horizon: the SQL oracle derives its
+# microsecond literal from this value, so tuning it cannot silently
+# desynchronize the streaming join from its hash-gate twin
+ATTRIBUTION_HORIZON_US = 3_600_000_000
+ATTRIBUTION_HORIZON = f"{ATTRIBUTION_HORIZON_US // 1_000_000} seconds"
 LATENESS = "30 minutes"
 
 
@@ -153,7 +157,7 @@ def streaming_attribution_pairs(spark: SparkSession, src_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
-STREAMING_ATTRIBUTION_SQL = """
+STREAMING_ATTRIBUTION_SQL = f"""
 WITH e AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
 ),
@@ -164,6 +168,6 @@ p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e
 SELECT p.purchase_id, p.user_id, c.click_id, p.pus - c.cus AS gap_us
 FROM p JOIN c ON p.user_id = c.user_id
              AND c.cus <= p.pus
-             AND c.cus >= p.pus - 3600000000
+             AND c.cus >= p.pus - {ATTRIBUTION_HORIZON_US}
 ORDER BY purchase_id, click_id
 """

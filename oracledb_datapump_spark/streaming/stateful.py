@@ -66,17 +66,29 @@ def make_tracker(idle_flush_ms: int):
         if state.hasTimedOut:
             if state.exists:
                 seq, last, n, start = state.get
-                closed.append(
-                    dict(
-                        user_id=user_id,
-                        session_seq=seq,
-                        n_events=n,
-                        session_start_us=start,
-                        session_end_us=last,
-                        closed_by="timeout",
+                if n and last is not None:
+                    closed.append(
+                        dict(
+                            user_id=user_id,
+                            session_seq=seq,
+                            n_events=n,
+                            session_start_us=start,
+                            session_end_us=last,
+                            closed_by="timeout",
+                        )
                     )
-                )
-            state.remove()
+                    # KEEP the numbering memory: removing state here made
+                    # the user's next session restart at seq 1, colliding
+                    # with this emitted (user_id, seq) key. The tiny
+                    # placeholder re-times-out once more and is dropped
+                    # by the empty branch below — bounded state, monotone
+                    # numbering across one idle window.
+                    state.update((seq + 1, None, 0, None))
+                    state.setTimeoutDuration(idle_flush_ms)
+                else:
+                    state.remove()
+            else:
+                state.remove()
         else:
             if state.exists:
                 seq, last, n, start = state.get
@@ -84,7 +96,10 @@ def make_tracker(idle_flush_ms: int):
                 # session_seq starts at 1, matching the batch sessionizer
                 # (its cumulative-sum numbering counts the opening flag)
                 seq, last, n, start = 1, None, 0, None
-            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            # list() first: `pdfs` is a generator (always truthy), so the
+            # old `if pdfs` guard was dead and pd.concat([]) would raise
+            chunks = list(pdfs)
+            rows = pd.concat(chunks) if chunks else pd.DataFrame()
             if len(rows):
                 rows = rows.sort_values(["ts_us", "event_id"])
                 for ts in rows["ts_us"]:
@@ -104,7 +119,13 @@ def make_tracker(idle_flush_ms: int):
                     if start is None:
                         start = ts
                     n += 1
-                    last = ts
+                    # a LATE event (earlier micro-batch disorder) must not
+                    # rewind the session clock: a rewound `last` fakes a
+                    # gap on the next on-time event and can emit
+                    # session_end < session_start. It still counts into
+                    # the open session and may extend its start backward.
+                    last = ts if last is None else max(last, ts)
+                    start = ts if start is None else min(start, ts)
                 state.update((seq, last, n, start))
                 if idle_flush_ms > 0:
                     # idle users flush idle_flush_ms after their last batch

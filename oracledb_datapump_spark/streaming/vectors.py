@@ -36,21 +36,11 @@ def stream_pq_encode(
     plus row-local argmin; zero streaming state."""
     schema = spark.read.parquet(src_dir).schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
-    q = raw.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * PQ.PQ_SCALE).cast("long"),
-        ).alias("qv"),
-    )
-    coded = PQ._with_codes(q, packed)
-    return coded.select(
-        "vec_id",
-        *[F.col(f"code_{m}") for m in range(PQ.PQ_M)],
-        sum(F.col(f"dist_{m}") for m in range(PQ.PQ_M))
-        .cast("long")
-        .alias("recon_err"),
-    )
+    # the quantizer and the output projection are the SAME helpers the
+    # batch operator uses — the bit-for-bit streaming-equals-batch gate
+    # depends on there being exactly one copy of each expression
+    q = raw.select("vec_id", PQ.quantize_expr().alias("qv"))
+    return PQ.codes_select(PQ._with_codes(q, packed))
 
 
 def run_pq_encode_cycle(

@@ -92,3 +92,30 @@ def test_rolling_window_trailing_hour(spark, sf_dir):
         for r in out.filter(F.col("user_id") == uid).collect()
     }
     assert got == expect
+
+
+def test_asof_carries_latest_row_atomically_with_nulls(spark):
+    """ASOF semantics attach the latest prior right ROW as a unit: a
+    NULL field in that row stays NULL (not back-filled from an older
+    row), fields never mix across rows, and a NULL right timestamp is
+    no match at all (regression: per-column last(ignorenulls) did all
+    three wrong)."""
+    from oracledb_datapump_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 25), (2, 5)], "k int, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5, 10), (1, 20, None, 20), (2, None, 99, 99)],
+        "k int, rt long, a long, b long",
+    )
+    out = {
+        r.k: (r.a, r.b)
+        for r in asof_join(
+            left, right, by="k", ts_left="t", ts_right="rt", carry=["a", "b"]
+        ).collect()
+    }
+    # k=1: latest prior row is (rt=20, a=NULL, b=20) — a must stay NULL
+    assert out[1] == (None, 20)
+    # k=2: the only right row has a NULL timestamp — no match
+    assert out[2] == (None, None)
