@@ -43,7 +43,9 @@ from oracledb_datapump_spark.operators import sparse_text as SX
 from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
+from oracledb_datapump_spark.operators import pipeline as PL
 from oracledb_datapump_spark.streaming import dedup as SD
+from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
 from oracledb_datapump_spark.streaming import joins as SJ
 from oracledb_datapump_spark.streaming import sketch as SK2
@@ -62,111 +64,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gated prefix; queries proven green in an earlier round with unchanged
     code sit after the fold (r01-r03 rows are the standing evidence)."""
     return {
-        # --- gated prefix: the LAST 6 never-gated queries (r4 verdict's
-        # #1 ask — closing these completes 102/102 driver-gated
-        # coverage); locally hash-verified at both fixture scales -------
-        "streaming_sessions_closed": ST.streaming_sessions_closed,
-        "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
-        "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
-        "source_token_budget": EV.source_token_budget,
-        "dedup_group_size_histogram": EV.dedup_group_size_histogram,
-        "join_key_skew_profile": EV.join_key_skew_profile,
-        # new this round: sequence packer (fixed-token-budget training
-        # packs via distributed prefix-sum of token counts), Gopher
-        # n-gram repetition filters, and the streaming dedup front-door
-        # under the hash gate (doubled source → batch DISTINCT)
-        "pack_plan": EV.pack_plan,
-        "repetition_ngram_fracs": T.repetition_ngram_fracs,
-        "streaming_dedup_unique": SD.streaming_dedup_unique,
-        "curriculum_order": EV.curriculum_order,
-        # corpus_shard_plan refactored onto the shared global-order
-        # helper this round → re-prove under the hash
-        "corpus_shard_plan": EV.corpus_shard_plan,
-        # --- operators whose code changed this round (rotation policy:
-        # changed code re-proves under the driver hash) ------------------
-        # sparse_text.py: span_dup_score de-skewed (window → two-phase agg)
-        "span_dup_score": SX.span_dup_score,
-        "tfidf_search_topk": SX.tfidf_search_topk,
-        # new this round: Okapi BM25 over the same inverted index
-        "bm25_search_topk": SX.bm25_search_topk,
-        # new this round: DSIR hashed-bigram importance weights
-        "dsir_importance": TP.dsir_importance,
-        # new this round: product quantization (codes + asymmetric search)
-        "embedding_pq_codes": PQ2.embedding_pq_codes,
-        "ann_pq_topk": PQ2.ann_pq_topk,
-        # new this round: retrieval MRR/hit-rate dashboard over BM25
-        "retrieval_eval_mrr": EV.retrieval_eval_mrr,
-        # new this round: composed IVF-PQ search (coarse routing + LUT)
-        "ann_ivfpq_topk": PQ2.ann_ivfpq_topk,
-        # new this round: PQ recall gauge vs exact integer-L2
-        "ann_pq_recall": PQ2.ann_pq_recall,
-        # new this round: bigram LM surprise + provider yield dashboard
-        "bigram_surprise": T.bigram_surprise,
-        "source_quality_report": EV.source_quality_report,
-        # new this round: water-filling budget allocation + contrastive
-        # triplet mining over the verified near-dup graph
-        "budget_mix_plan": EV.budget_mix_plan,
-        "contrastive_pairs": D.contrastive_pairs,
-        # new this round: tokenizer equity + provider overlap matrix
-        "tokenizer_fertility": T.tokenizer_fertility,
-        "source_overlap_matrix": D.source_overlap_matrix,
-        # new this round: frozen-codebook streaming PQ encode (two
-        # checkpointed cycles must equal the batch code table)
-        "streaming_pq_codes": SV.streaming_pq_codes,
-        # new this round: v2 gates + DSIR + bigram-plausibility arms
-        "curated_corpus_v3": CU.curated_corpus_v3,
-        # new this round: per-pack utilization over the sequence packer
-        "pack_fill_report": EV.pack_fill_report,
-        # new this round: sketch-error + score-reliability gauges
-        "minhash_estimate_accuracy": D.minhash_estimate_accuracy,
-        "quality_calibration": EV.quality_calibration,
-        # clustering.py: centroid fit memoized per (session, sf_dir)
-        "kmeans_assign": CL.kmeans_assign,
-        "kmeans_cluster_sizes": CL.cluster_sizes,
-        "dedup_semantic": CL.dedup_semantic,
-        "cluster_label_purity": EV.cluster_label_purity,
-        # graph.py: triangle edge list localCheckpointed (pagerank and
-        # basket_lift are untouched this round → moved past the fold on
-        # their r4 green rows)
-        "triangle_participation": G.triangle_participation,
-        # dedup.py: quadratic guards + LSH hot-bucket cap touched the
-        # minhash/jaccard/cosine paths — those re-prove here.
-        # (dedup_exact and simhash_fingerprints moved past the fold:
-        # their code paths are untouched since their r3 green rows.)
+        # --- gated prefix (round 6): 9 NEW operators, then every
+        # operator whose code changed this round, then oldest-green
+        # backfill to the 50-entry fold -----------------------------------
+        # new: CDC-style incremental export under the hash gate (two
+        # checkpointed availableNow cycles must equal the batch aggregate
+        # below the final watermark) — r5 verdict ask #6
+        "incremental_export_cycles": SI.incremental_export_cycles,
+        # new: pipeline.py — curation/QA dashboards over the existing
+        # dedup / quality / DSIR / events primitives
+        "dedup_keep_best": PL.dedup_keep_best,
+        "minhash_band_hitrates": PL.minhash_band_hitrates,
+        "host_cap_sample": PL.host_cap_sample,
+        "filter_ablation_report": PL.filter_ablation_report,
+        "hourly_heavy_hitters": PL.hourly_heavy_hitters,
+        "events_anomaly_hours": PL.events_anomaly_hours,
+        "dsir_resample_plan": PL.dsir_resample_plan,
+        "user_recency_weight": PL.user_recency_weight,
+        # --- dedup.py changed (verified-pair memo + candidate-restricted
+        # size broadcasts): the whole verified-pair consumer family
+        # re-proves under the hash ---------------------------------------
         "dedup_minhash_pairs": D.dedup_minhash_pairs,
         "dedup_minhash_verified": D.dedup_minhash_verified,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_groups": D.dedup_groups,
-        # engine.py: MERGE tiebreak now walks nested map types; the ORC
-        # roundtrip gates the new DUMP_FORMAT write/read path
-        "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
-        "datapump_roundtrip_orc": E.datapump_roundtrip_orc,
-        # embeddings.py: int64 covariance headroom guard enforced
-        "embedding_pca_scores": EM.embedding_pca_scores,
-        # events_source.py: epoch-unit sniffing — every events consumer
+        "dedup_group_size_histogram": EV.dedup_group_size_histogram,
+        "contrastive_pairs": D.contrastive_pairs,
+        "source_overlap_matrix": D.source_overlap_matrix,
+        "minhash_estimate_accuracy": D.minhash_estimate_accuracy,
+        "dedup_rate_by_source": EV.dedup_rate_by_source,
+        "curated_corpus": CU.curated_corpus,
+        "curated_corpus_v2": CU.curated_corpus_v2,
+        "curated_corpus_v3": CU.curated_corpus_v3,
+        # --- events_source.py changed (per-row-group epoch-unit guard):
+        # every batch + streaming events consumer re-proves ---------------
         "events_hourly_rollup": A.events_hourly_rollup,
         "events_sessionize": A.events_sessionize,
         "funnel_conversion": A5.funnel_conversion,
         "events_json_stats": A4.events_json_stats,
-        # streaming/dedup.py: tie-boundary docs + empty-dir stream guard
-        "streaming_rollup_closed": SD.streaming_rollup_closed,
-        # temporal family consumes load_events → re-prove with it
         "asof_attribution": TM.asof_attribution,
-        # ---------------- fold: entry 51+ below -------------------------
-        # (scd2/range_join/rolling_window/cohort/gapfill spill past the
-        # fold this round: temporal.py itself is unchanged, all five are
-        # r4-green, and six other events_source consumers remain inside
-        # the gated prefix)
         "scd2_user_value": TM.scd2_user_value,
         "range_join_nearby": TM.range_join_nearby,
         "rolling_window_activity": TM.rolling_window_activity,
         "cohort_retention": TM.cohort_retention,
         "gapfill_hourly": TM.gapfill_hourly,
-        # --- backfill to the 50-entry fold: oldest-proven rows (r03 for
-        # the similarity suite, r01-r03 for the relational set) ----------
-        "pagerank_topk": G.pagerank_topk,
-        "basket_lift_topk": G.basket_lift_topk,
+        "streaming_rollup_closed": SD.streaming_rollup_closed,
+        # stateful.py also changed: keep-alive placeholder now persists
+        "streaming_sessions_closed": ST.streaming_sessions_closed,
+        "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
+        "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
+        "streaming_dedup_unique": SD.streaming_dedup_unique,
+        # --- backfill to the fold: the OLDEST standing green rows (r03)
+        # refresh their evidence ------------------------------------------
         "dedup_exact": D.dedup_exact,
         "simhash_fingerprints": D.simhash_fingerprints,
         "embedding_normalize": EM.embedding_normalize,
@@ -178,11 +126,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
         "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
-        # relational analytics proven green r01-r03, code unchanged
         "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
         "q2_min_cost_supplier": A5.q2_min_cost_supplier,
         "q8_market_share": A5.q8_market_share,
+        # ---------------- fold: entry 51+ below -------------------------
+        # proven green r05 with unchanged code
+        "source_token_budget": EV.source_token_budget,
+        "join_key_skew_profile": EV.join_key_skew_profile,
+        "pack_plan": EV.pack_plan,
+        "repetition_ngram_fracs": T.repetition_ngram_fracs,
+        "curriculum_order": EV.curriculum_order,
+        "corpus_shard_plan": EV.corpus_shard_plan,
+        "span_dup_score": SX.span_dup_score,
+        "tfidf_search_topk": SX.tfidf_search_topk,
+        "bm25_search_topk": SX.bm25_search_topk,
+        "dsir_importance": TP.dsir_importance,
+        "embedding_pq_codes": PQ2.embedding_pq_codes,
+        "ann_pq_topk": PQ2.ann_pq_topk,
+        "retrieval_eval_mrr": EV.retrieval_eval_mrr,
+        "ann_ivfpq_topk": PQ2.ann_ivfpq_topk,
+        "ann_pq_recall": PQ2.ann_pq_recall,
+        "bigram_surprise": T.bigram_surprise,
+        "source_quality_report": EV.source_quality_report,
+        "budget_mix_plan": EV.budget_mix_plan,
+        "tokenizer_fertility": T.tokenizer_fertility,
+        "streaming_pq_codes": SV.streaming_pq_codes,
+        "pack_fill_report": EV.pack_fill_report,
+        "quality_calibration": EV.quality_calibration,
+        "kmeans_assign": CL.kmeans_assign,
+        "kmeans_cluster_sizes": CL.cluster_sizes,
+        "dedup_semantic": CL.dedup_semantic,
+        "cluster_label_purity": EV.cluster_label_purity,
+        "triangle_participation": G.triangle_participation,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "datapump_roundtrip_merge": E.datapump_roundtrip_merge,
+        "datapump_roundtrip_orc": E.datapump_roundtrip_orc,
+        "embedding_pca_scores": EM.embedding_pca_scores,
+        "pagerank_topk": G.pagerank_topk,
+        "basket_lift_topk": G.basket_lift_topk,
         "q20_part_promotion": A5.q20_part_promotion,
         "q21_suppliers_kept_waiting": A5.q21_suppliers_kept_waiting,
         "q3_shipping_priority": A.q3_shipping_priority,
@@ -231,10 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": M.media_features,
         "media_resize": M.media_resize,
         "frame_sample": M.frame_sample,
-        "curated_corpus": CU.curated_corpus,
-        "curated_corpus_v2": CU.curated_corpus_v2,
         "lang_id_confusion": EV.lang_id_confusion,
-        "dedup_rate_by_source": EV.dedup_rate_by_source,
         "ann_lsh_recall": EV.ann_lsh_recall,
         "doc_chunks": EV.doc_chunks,
     }
@@ -242,6 +222,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "incremental_export_cycles": SI.INCREMENTAL_EXPORT_CYCLES_SQL,
+        "dedup_keep_best": PL.DEDUP_KEEP_BEST_SQL,
+        "minhash_band_hitrates": PL.MINHASH_BAND_HITRATES_SQL,
+        "host_cap_sample": PL.HOST_CAP_SAMPLE_SQL,
+        "filter_ablation_report": PL.FILTER_ABLATION_SQL,
+        "hourly_heavy_hitters": PL.HOURLY_HEAVY_HITTERS_SQL,
+        "events_anomaly_hours": PL.EVENTS_ANOMALY_HOURS_SQL,
+        "dsir_resample_plan": PL.DSIR_RESAMPLE_PLAN_SQL,
+        "user_recency_weight": PL.USER_RECENCY_WEIGHT_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

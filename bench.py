@@ -2,28 +2,230 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", ..., "queries": {...}}
+
+Execution model: ONE JVM (the historical contract), with per-query
+cache-clear + RDD-unpersist + full GC between queries. A round-6
+controlled experiment (same code, same data, back-to-back) compared
+this against SPARK_GRAFT_BENCH_BATCHES=4 fresh JVMs (round-robin
+slices): batching was 1.14x SLOWER overall (each child pays cold-JIT
+warm-up; the inter-query GC already prevents accumulation), so the
+single-JVM contract stands. The batching machinery is kept for future
+diagnosis via SPARK_GRAFT_BENCH_BATCHES=N.
+
+The full result (per-query medians, spread, GC-time deltas, JVM heap,
+per-query ratio vs BASELINE-QUERIES.md) is also written to
+BENCH_FULL.json next to this file; the stdout JSON line keeps the
+"queries" dict LAST so a tail-truncated capture still retains it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# Queries deliberately NOT benchmarked (must still exist in queries()).
+# tests/test_bench_contract.py enforces: every queries() entry is either
+# in HEADLINE or listed here with a reason.
+EXCLUDED = {
+    # availableNow streaming: per-run micro-batch startup cost (~5-10s of
+    # fixed overhead per cycle) would swamp the batch-throughput signal
+    "streaming_rollup_closed": "streaming availableNow startup dominates",
+    "streaming_sessions_closed": "streaming availableNow startup dominates",
+    "streaming_attribution_pairs": "streaming availableNow startup dominates",
+    "streaming_cms_cells": "streaming availableNow startup dominates",
+    "streaming_dedup_unique": "streaming availableNow startup dominates",
+    "streaming_pq_codes": "streaming availableNow startup dominates",
+    "incremental_export_cycles": "two streaming export cycles + filesystem checkpointing",
+    # O(n^2) verification baselines: runtime-guarded pedagogical references
+    # (refuse >100k rows); the scale path is the MinHash/LSH family (benched)
+    "dedup_ngram_jaccard": "O(n^2) guarded baseline; scale path is minhash (benched)",
+    "dedup_embedding_cosine": "O(n^2) guarded baseline; scale path is ann_lsh (benched)",
+    # trivially-subsumed variants of benched queries (same plan shape,
+    # different literal) — benching both would double-count one code path
+    "q4_order_priority": "same semi-join shape as q21 (benched)",
+    "q7_nation_volume": "same multi-join shape as q5 (benched)",
+    "q8_market_share": "same multi-join shape as q5 (benched)",
+    "q9_product_profit": "same multi-join shape as q5 (benched)",
+    "q11_important_stock": "same agg-over-join shape as q2 (benched)",
+    "q12_shipping_delay": "same filtered-agg shape as q6 (benched)",
+    "q13_customer_distribution": "same outer-join-agg shape as q10 (benched)",
+    "q14_promo_effect": "same filtered-agg shape as q6 (benched)",
+    "q15_top_supplier": "same agg+argmax shape as top_suppliers_window (benched)",
+    "q16_supplier_part_counts": "same distinct-agg shape as distinct_counts family",
+    "q17_small_quantity_revenue": "same scalar-subquery shape as q2 (benched)",
+    "q19_disjunctive_revenue": "same filtered-agg shape as q6 (benched)",
+    "q20_part_promotion": "same semi-join shape as q21 (benched)",
+    "q22_global_sales_opportunity": "same anti-join-agg shape as q21 (benched)",
+    "datapump_roundtrip_nation": "same export/import path as supplier roundtrip (benched)",
+    "sales_cube": "same rollup path as sales_rollup (benched)",
+    "shipmode_pivot": "same pivot path as sales_rollup family",
+    "skew_salted_revenue": "salting demo of revenue_by_nation (benched)",
+    "customer_order_set_ops": "set-op micro-query, subsumed by TPC-H joins",
+    "distinct_counts": "micro-agg, subsumed by hll_distinct (benched)",
+    "embedding_normalize": "projection-only micro-op, subsumed by ANN family",
+    "embedding_quantize": "projection-only micro-op, subsumed by ANN family",
+    "doc_fingerprint": "projection-only micro-op, subsumed by simhash (benched)",
+    "text_normalize": "projection-only micro-op, subsumed by lang_id (benched)",
+    "quality_score": "subsumed by quality_gopher (benched)",
+    "corpus_split": "subsumed by stratified_sample (benched)",
+    "mix_weights": "one-row agg, subsumed by corpus_mix family",
+    "corpus_mix": "subsumed by curated_corpus (benched)",
+    "price_outliers_by_brand": "same window-agg shape as top_suppliers_window",
+    "media_resize": "stubbed codec path, same plumbing as media_features (benched)",
+    "frame_sample": "stubbed codec path, same plumbing as media_features (benched)",
+    "scd2_user_value": "same window shape as rolling_window_activity (benched)",
+    "basket_lift_topk": "same self-join shape as triangle_participation family",
+    "funnel_conversion": "one-row agg over events, subsumed by sessionize (benched)",
+    "events_json_stats": "same events-scan shape as hourly rollup (benched)",
+    "kmeans_cluster_sizes": "rides kmeans_assign's memoized fit (benched)",
+    "triangle_participation": "same self-join family as pagerank (benched)",
+    "lang_id_confusion": "same scan as lang_id (benched) + tiny agg",
+    "dedup_rate_by_source": "rides dedup_exact (benched) + tiny agg",
+    "doc_chunks": "explode-only micro-op, subsumed by span_dup_score",
+}
 
-def main() -> None:
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "revenue_by_nation",
+    "top_suppliers_window",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "q10_returned_items",
+    "q18_large_orders",
+    "sales_rollup",
+    "price_quantiles",
+    "datapump_roundtrip_supplier",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_minhash_verified",
+    "simhash_fingerprints",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "centroid_topk",
+    "lang_id",
+    "token_count",
+    "media_features",
+    "curated_corpus",
+    "q2_min_cost_supplier",
+    "q21_suppliers_kept_waiting",
+    "quality_gopher",
+    "contamination_ngram",
+    "vocab_ngram_counts",
+    "kmeans_assign",
+    "dedup_semantic",
+    "asof_attribution",
+    "dedup_groups",
+    "stratified_sample",
+    "pii_redact",
+    "hll_distinct",
+    "range_join_nearby",
+    "rolling_window_activity",
+    "cms_heavy_hitters",
+    "pagerank_topk",
+    "span_dup_score",
+    "tfidf_search_topk",
+    "unigram_surprise",
+    "histogram_quantiles",
+    "curated_corpus_v2",
+    "cohort_retention",
+    "gapfill_hourly",
+    "table_profile",
+    # new in r4 (no r02 baseline; totals compare on the common set)
+    "datapump_roundtrip_merge",
+    "lang_id_confusion",
+    "cluster_label_purity",
+    "dedup_rate_by_source",
+    "ann_lsh_recall",
+    "corpus_shard_plan",
+    "doc_chunks",
+    "embedding_pca_scores",
+    # new in r5
+    "source_token_budget",
+    "dedup_group_size_histogram",
+    "join_key_skew_profile",
+    "pack_plan",
+    "repetition_ngram_fracs",
+    "curriculum_order",
+    "datapump_roundtrip_orc",
+    "bm25_search_topk",
+    "dsir_importance",
+    "embedding_pq_codes",
+    "ann_pq_topk",
+    "retrieval_eval_mrr",
+    "ann_ivfpq_topk",
+    "ann_pq_recall",
+    "bigram_surprise",
+    "source_quality_report",
+    "budget_mix_plan",
+    "contrastive_pairs",
+    "tokenizer_fertility",
+    "source_overlap_matrix",
+    "curated_corpus_v3",
+    "pack_fill_report",
+    "minhash_estimate_accuracy",
+    "quality_calibration",
+    # new in r6 (pipeline.py dashboards; no prior baseline)
+    "dedup_keep_best",
+    "minhash_band_hitrates",
+    "host_cap_sample",
+    "filter_ablation_report",
+    "hourly_heavy_hitters",
+    "events_anomaly_hours",
+    "dsir_resample_plan",
+    "user_recency_weight",
+]
+
+# lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
+# r4 before the exclusion ledger existed; keep them (continuity with the
+# r04/r05 tails) and drop the duplicate-reason entries from EXCLUDED.
+for _k in ("lang_id_confusion", "dedup_rate_by_source", "doc_chunks"):
+    EXCLUDED.pop(_k, None)
+
+
+def load_baseline() -> dict[str, tuple[float, str]]:
+    """Parse BASELINE-QUERIES.md (query -> (best median sec, round tag))."""
+    path = os.path.join(REPO, "BASELINE-QUERIES.md")
+    out: dict[str, tuple[float, str]] = {}
+    if not os.path.exists(path):
+        return out
+    for line in open(path):
+        m = re.match(r"\|\s*([a-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|\s*(\S+)\s*\|", line)
+        if m:
+            out[m.group(1)] = (float(m.group(2)), m.group(3))
+    return out
+
+
+def _jvm_gc_heap(spark) -> tuple[float, float]:
+    """(cumulative JVM GC time ms, current heap-used MB)."""
+    jvm = spark.sparkContext._jvm
+    beans = jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    it = beans.iterator()
+    gc_ms = 0
+    while it.hasNext():
+        gc_ms += it.next().getCollectionTime()
+    rt = jvm.java.lang.Runtime.getRuntime()
+    heap_mb = (rt.totalMemory() - rt.freeMemory()) / 1048576.0
+    return float(gc_ms), heap_mb
+
+
+def run_slice(names: list[str], runs: int) -> dict:
     from oracledb_datapump_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
-    # 32 headline queries in one JVM accumulate codegen/plan state; 8g
-    # heap showed ~30% GC drag on the tail queries at sf0.1
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     spark = get_spark(
         app_name="datapump-bench",
@@ -42,99 +244,13 @@ def main() -> None:
 
     load_events(spark, SF_DIR).count()
 
-    headline = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "revenue_by_nation",
-        "top_suppliers_window",
-        "events_hourly_rollup",
-        "events_sessionize",
-        "q10_returned_items",
-        "q18_large_orders",
-        "sales_rollup",
-        "price_quantiles",
-        "datapump_roundtrip_supplier",
-        "dedup_exact",
-        "dedup_minhash_pairs",
-        "dedup_minhash_verified",
-        "simhash_fingerprints",
-        "ann_bruteforce_topk",
-        "ann_lsh_topk",
-        "centroid_topk",
-        "lang_id",
-        "token_count",
-        "media_features",
-        "curated_corpus",
-        "q2_min_cost_supplier",
-        "q21_suppliers_kept_waiting",
-        "quality_gopher",
-        "contamination_ngram",
-        "vocab_ngram_counts",
-        "kmeans_assign",
-        "dedup_semantic",
-        "asof_attribution",
-        "dedup_groups",
-        "stratified_sample",
-        "pii_redact",
-        "hll_distinct",
-        "range_join_nearby",
-        "rolling_window_activity",
-        "cms_heavy_hitters",
-        "pagerank_topk",
-        "span_dup_score",
-        "tfidf_search_topk",
-        "unigram_surprise",
-        "histogram_quantiles",
-        "curated_corpus_v2",
-        "cohort_retention",
-        "gapfill_hourly",
-        "table_profile",
-        # new in r4 (no r02 baseline; totals compare on the common set)
-        "datapump_roundtrip_merge",
-        "lang_id_confusion",
-        "cluster_label_purity",
-        "dedup_rate_by_source",
-        "ann_lsh_recall",
-        "corpus_shard_plan",
-        "doc_chunks",
-        "embedding_pca_scores",
-        # new in r5 (no r04 baseline; totals compare on the common set).
-        # The three streaming families are correctness-gated but not
-        # benched: each run spins availableNow stream cycles whose
-        # fixed startup cost would swamp the batch-throughput signal.
-        "source_token_budget",
-        "dedup_group_size_histogram",
-        "join_key_skew_profile",
-        "pack_plan",
-        "repetition_ngram_fracs",
-        "curriculum_order",
-        "datapump_roundtrip_orc",
-        "bm25_search_topk",
-        "dsir_importance",
-        "embedding_pq_codes",
-        "ann_pq_topk",
-        "retrieval_eval_mrr",
-        "ann_ivfpq_topk",
-        "ann_pq_recall",
-        "bigram_surprise",
-        "source_quality_report",
-        "budget_mix_plan",
-        "contrastive_pairs",
-        "tokenizer_fertility",
-        "source_overlap_matrix",
-        "curated_corpus_v3",
-        "pack_fill_report",
-        "minhash_estimate_accuracy",
-        "quality_calibration",
-    ]
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in headline:
+    gc_delta: dict[str, float] = {}
+    heap_mb: dict[str, float] = {}
+    for name in names:
         fn = qs[name]
         samples: list[float] = []
         # cache isolation: curated_corpus_* persist a shared documents
@@ -152,11 +268,11 @@ def main() -> None:
         it = jsc.getPersistentRDDs().values().iterator()
         while it.hasNext():
             it.next().unpersist(False)
-        # 60 queries in one JVM accumulate codegen classes + freed block
-        # refs; an explicit full GC between queries keeps tail-query
-        # timings comparable to head-query timings (observed: unchanged
-        # mid-list queries drifting 0.6s → 4.6s run-to-run without it)
+        # codegen classes + freed block refs accumulate within a batch;
+        # an explicit full GC between queries keeps tail-query timings
+        # comparable to head-query timings within the batch
         spark.sparkContext._jvm.System.gc()
+        gc0, _ = _jvm_gc_heap(spark)
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
@@ -170,28 +286,122 @@ def main() -> None:
             # succeeded — a partial-run median would inflate the headline
             # total and make clean and errored runs incomparable
             continue
+        gc1, hmb = _jvm_gc_heap(spark)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)  # median
         spread[name] = round(samples[-1] - samples[0], 3)
+        gc_delta[name] = round(gc1 - gc0, 1)
+        heap_mb[name] = round(hmb, 1)
         print(
             f"# {name}: {timings[name]:.3f}s median of {len(samples)}"
-            f" (spread {spread[name]:.3f}s, {n} rows)",
+            f" (spread {spread[name]:.3f}s, {n} rows,"
+            f" gc {gc_delta[name]:.0f}ms, heap {heap_mb[name]:.0f}MB)",
             file=sys.stderr,
         )
+    return {
+        "queries": timings,
+        "spread": spread,
+        "errors": errors,
+        "gc_ms": gc_delta,
+        "heap_mb": heap_mb,
+    }
+
+
+def main() -> None:
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "1"))
+    slice_spec = os.environ.get("SPARK_GRAFT_BENCH_SLICE")
+
+    if slice_spec:
+        # child mode: run my round-robin slice in this (fresh) JVM and emit
+        # the partial result as one JSON line on stdout
+        i, n = (int(x) for x in slice_spec.split("/"))
+        part = run_slice(HEADLINE[i::n], runs)
+        print(json.dumps(part))
+        return
+
+    merged: dict[str, dict] = {
+        "queries": {},
+        "spread": {},
+        "errors": {},
+        "gc_ms": {},
+        "heap_mb": {},
+    }
+    if batches <= 1:
+        part = run_slice(HEADLINE, runs)
+        for k in merged:
+            merged[k].update(part[k])
+    else:
+        for i in range(batches):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_SLICE"] = f"{i}/{batches}"
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                text=True,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+            try:
+                part = json.loads(line)
+            except json.JSONDecodeError:
+                part = {}
+            for k in merged:
+                merged[k].update(part.get(k, {}))
+            if proc.returncode != 0 and not part:
+                merged["errors"][f"batch_{i}"] = f"child rc={proc.returncode}"
+
+    timings = merged["queries"]
+    # order the merged dicts by HEADLINE position, not child arrival
+    for k in merged:
+        merged[k] = {q: merged[k][q] for q in HEADLINE if q in merged[k]} | {
+            q: v for q, v in merged[k].items() if q not in HEADLINE
+        }
+    timings = merged["queries"]
+
+    baseline = load_baseline()
+    ratios: dict[str, float] = {}
+    base_sum = cur_sum = 0.0
+    for q, t in timings.items():
+        if q in baseline and baseline[q][0] > 0:
+            ratios[q] = round(t / baseline[q][0], 2)
+            base_sum += baseline[q][0]
+            cur_sum += t
+            if ratios[q] >= 2.0:
+                print(
+                    f"# BASELINE-REGRESSION {q}: {t:.3f}s vs best"
+                    f" {baseline[q][0]:.3f}s ({baseline[q][1]}) = {ratios[q]:.2f}x",
+                    file=sys.stderr,
+                )
+    vs_baseline = round(cur_sum / base_sum, 3) if base_sum else None
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # "queries" LAST: the driver records a tail-truncated capture of this
+    # line, so the most important dict must sit at the end
     out = {
         "metric": "headline_queries_total_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
         "runs_per_query": runs,
-        "spread": spread,
-        "errors": errors,
+        "batches": batches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "errors": merged["errors"],
+        "vs_baseline_best": vs_baseline,
+        "spread": merged["spread"],
+        "queries": timings,
     }
+    full = dict(out)
+    full["gc_ms"] = merged["gc_ms"]
+    full["heap_mb"] = merged["heap_mb"]
+    full["vs_baseline_per_query"] = ratios
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "BENCH_FULL.json")
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=False)
     print(json.dumps(out))
-    if errors:
+    if merged["errors"]:
         # nonzero exit signals breakage to the driver; the JSON line above
         # still carries every healthy query's median
         sys.exit(2)

@@ -121,7 +121,10 @@ def _sniff_epoch_unit(path: str) -> str:
     # epoch-ns and epoch-ms int64 files by 1,000,000× — the exact silent
     # shift this guard exists to prevent (the type sniffer already
     # rejects mixed physical types the same way).
-    seen: dict[str, str] = {}
+    # Inference is per ROW GROUP, and intra-file disagreement must raise
+    # like the cross-file case: overwriting one slot per file would let
+    # the last row group silently win when a file mixes units internally.
+    seen: dict[tuple[str, int], str] = {}
     for f in files:
         md = pq.ParquetFile(f).metadata
         for rg in range(md.num_row_groups):
@@ -137,12 +140,12 @@ def _sniff_epoch_unit(path: str) -> str:
                 # logical timestamp column (stat is a datetime): the unit
                 # is carried by the type, and nanosAsLong only maps NANOS
                 # to long — epoch-ns by contract
-                seen[f] = "ns"
+                seen[(f, rg)] = "ns"
                 continue
             mx = abs(int(st.max))
             for unit, lo in _UNIT_BOUNDS:
                 if mx >= lo:
-                    seen[f] = unit
+                    seen[(f, rg)] = unit
                     break
             else:
                 raise ValueError(

@@ -183,3 +183,92 @@ def test_rollup_two_cycle_incremental_append(spark, sf_dir, tmp_path):
     assert len(c2) > len(c1), "cycle 2 must append newly-closed windows"
     keys = [(r.hour_start, r.event_type) for r in c2]
     assert len(keys) == len(set(keys)), "append-once violated"
+
+
+def _events_table(rows):
+    """rows: (event_id, ts datetime, user_id, event_type) → arrow table
+    with the fixture schema."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+def test_sessions_gap_tie_boundary(spark, tmp_path):
+    """Pin the exact-gap tie for the sessionizer oracles (r5 verdict ask
+    #5): a gap of EXACTLY SESSION_GAP_US does NOT split a session (both
+    the stateful tracker and the batch SQL use a STRICT `>`), while
+    SESSION_GAP_US + 1µs does. An hour-aligned regenerated fixture can
+    therefore never flip the streaming_sessions_closed gate."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from oracledb_datapump_spark.streaming import stateful as ST
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    gap_us = ST.SESSION_GAP_US
+    t2 = base + dt.timedelta(microseconds=gap_us)  # tie: SAME session
+    t3 = t2 + dt.timedelta(microseconds=gap_us + 1)  # 1µs past: NEW session
+    t4 = t3 + dt.timedelta(microseconds=2 * gap_us)  # open tail (dropped)
+    rows = [(1, base, 7, "x"), (2, t2, 7, "x"), (3, t3, 7, "x"), (4, t4, 7, "x")]
+    src = tmp_path / "sess_tie_src"
+    out = str(tmp_path / "sess_tie_out")
+    src.mkdir()
+    pq.write_table(_events_table(rows), str(src / "events.parquet"))
+
+    info = ST.run_session_export(spark, str(src), out, idle_flush_ms=0)
+    got = sorted(
+        (r.session_seq, r.n_events, r.session_start_us, r.session_end_us)
+        for r in spark.read.parquet(info["sink_path"]).collect()
+    )
+
+    def us(d):
+        return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    # session 1 = events 1+2 (the exact-gap event stays), session 2 =
+    # event 3 alone (closed by event 4's gap); event 4's session is the
+    # user's open tail and must NOT be emitted
+    assert got == [(1, 2, us(base), us(t2)), (2, 1, us(t3), us(t3))], got
+
+
+def test_attribution_horizon_tie_boundary(spark, tmp_path):
+    """Pin both inclusive edges of the attribution interval join's
+    oracle (r5 verdict ask #5): a click EXACTLY HORIZON before the
+    purchase attributes (`>=` comparator), a click at EXACTLY the
+    purchase time attributes (`<=` comparator), and a click 1µs before
+    the horizon does not. Hour-aligned timestamps can't flip the
+    streaming_attribution_pairs gate."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from oracledb_datapump_spark.streaming import joins as SJ
+
+    base = dt.datetime(2024, 1, 1, 2, 0, 0)  # purchase time
+    hz = SJ.ATTRIBUTION_HORIZON_US
+    rows = [
+        (1, base - dt.timedelta(microseconds=hz), 7, "click"),  # tie: IN
+        (2, base, 7, "click"),  # equal-time tie: IN
+        (3, base - dt.timedelta(microseconds=hz + 1), 7, "click"),  # OUT
+        (4, base, 7, "purchase"),
+    ]
+    src = tmp_path / "attr_tie_src"
+    out = str(tmp_path / "attr_tie_out")
+    src.mkdir()
+    pq.write_table(_events_table(rows), str(src / "events.parquet"))
+
+    info = SJ.run_attribution_export(spark, str(src), out)
+    got = sorted(
+        (r.purchase_id, r.click_id, r.gap_us)
+        for r in spark.read.parquet(info["sink_path"]).collect()
+    )
+    assert got == [(4, 1, hz), (4, 2, 0)], got
