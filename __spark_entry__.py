@@ -113,24 +113,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
         "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
         "streaming_dedup_unique": SD.streaming_dedup_unique,
+        # new (second batch): vocabulary/novelty/contamination/embedding-
+        # health/attribution-latency/threshold-sweep/lang-matrix/length-
+        # band dashboards
+        "zipf_vocab_curve": PL.zipf_vocab_curve,
+        "ngram_novelty_by_source": PL.ngram_novelty_by_source,
+        "contamination_by_source": PL.contamination_by_source,
+        "embedding_norm_outliers": PL.embedding_norm_outliers,
+        "attribution_latency_histogram": PL.attribution_latency_histogram,
+        "dedup_threshold_curve": PL.dedup_threshold_curve,
+        "source_lang_matrix": PL.source_lang_matrix,
+        "length_decile_bands": PL.length_decile_bands,
         # --- backfill to the fold: the OLDEST standing green rows (r03)
         # refresh their evidence ------------------------------------------
         "dedup_exact": D.dedup_exact,
         "simhash_fingerprints": D.simhash_fingerprints,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
+        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
+        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
+        "q8_market_share": A5.q8_market_share,
+        # ---------------- fold: entry 51+ below -------------------------
+        # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "centroid_topk": S.centroid_topk,
-        "q1_pricing_summary": A.q1_pricing_summary,
-        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
-        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
         "q9_product_profit": A3.q9_product_profit,
         "sales_cube": A5.sales_cube,
         "skew_salted_revenue": A5.skew_salted_revenue,
-        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
-        "q8_market_share": A5.q8_market_share,
-        # ---------------- fold: entry 51+ below -------------------------
         # proven green r05 with unchanged code
         "source_token_budget": EV.source_token_budget,
         "join_key_skew_profile": EV.join_key_skew_profile,
@@ -231,6 +243,14 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_hours": PL.EVENTS_ANOMALY_HOURS_SQL,
         "dsir_resample_plan": PL.DSIR_RESAMPLE_PLAN_SQL,
         "user_recency_weight": PL.USER_RECENCY_WEIGHT_SQL,
+        "zipf_vocab_curve": PL.ZIPF_VOCAB_CURVE_SQL,
+        "ngram_novelty_by_source": PL.NGRAM_NOVELTY_BY_SOURCE_SQL,
+        "contamination_by_source": PL.CONTAMINATION_BY_SOURCE_SQL,
+        "embedding_norm_outliers": PL.EMBEDDING_NORM_OUTLIERS_SQL,
+        "attribution_latency_histogram": PL.ATTRIBUTION_LATENCY_HISTOGRAM_SQL,
+        "dedup_threshold_curve": PL.DEDUP_THRESHOLD_CURVE_SQL,
+        "source_lang_matrix": PL.SOURCE_LANG_MATRIX_SQL,
+        "length_decile_bands": PL.LENGTH_DECILE_BANDS_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

@@ -187,6 +187,14 @@ HEADLINE = [
     "events_anomaly_hours",
     "dsir_resample_plan",
     "user_recency_weight",
+    "zipf_vocab_curve",
+    "ngram_novelty_by_source",
+    "contamination_by_source",
+    "embedding_norm_outliers",
+    "attribution_latency_histogram",
+    "dedup_threshold_curve",
+    "source_lang_matrix",
+    "length_decile_bands",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

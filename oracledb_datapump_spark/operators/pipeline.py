@@ -521,3 +521,510 @@ FROM e, m
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary Zipf curve
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 50
+
+
+def zipf_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, tok, cnt, cnt_bitlen): the corpus' top-{ZIPF_TOP_K} token
+    frequencies with a bitlen log2 proxy — the rank-frequency curve a
+    corpus linguist eyeballs for Zipf conformance (a healthy natural-
+    language corpus drops ~1 bit per rank doubling; a flat curve means
+    boilerplate, a cliff means template spam).
+
+    Plan: token explode → partial-aggregated groupBy(tok) — map-side
+    combine keeps shuffle at |vocab| — then a distributed sort+LIMIT
+    top-k (Spark plans TakeOrderedAndProject: per-partition heads, no
+    single-partition window over the vocabulary); the rank window runs
+    over the {ZIPF_TOP_K} survivors only."""
+    from ..functions.text import tokens as _tokens
+
+    d = load_docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            F.expr("CAST(length(bin(cnt)) AS BIGINT)").alias("cnt_bitlen"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _zipf_vocab_curve_sql() -> str:
+    from ..functions.text import TOKEN_SPLIT_RE
+
+    return f"""
+WITH c AS (
+  SELECT tok, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '')) AS tok
+    FROM documents)
+  GROUP BY tok
+),
+top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT {ZIPF_TOP_K})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+       tok, cnt, CAST(length(bin(cnt)) AS BIGINT) AS cnt_bitlen
+FROM top
+ORDER BY rank
+"""
+
+
+ZIPF_VOCAB_CURVE_SQL = _zipf_vocab_curve_sql()
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram novelty
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 8  # word n-gram order (matches contamination's gram size)
+
+
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_grams, n_exclusive, exclusive_ppm): per provider, how
+    many of its distinct word-{NOVELTY_N}-grams appear in NO other
+    source — the novelty audit that separates providers contributing
+    genuinely new text from mirrors re-serving syndicated content
+    (complement of source_overlap_matrix, which only sees near-dup
+    DOCUMENT pairs; this sees partial/fragment reuse).
+
+    Plan: distinct grams are built row-locally and hashed to 64-bit
+    BEFORE the explode (8-byte shuffle keys); one groupBy(gh) computes
+    each gram's source-spread via min/max source (a gram is exclusive
+    iff min = max — no distinct-count needed); one bounded
+    groupBy(source). Shuffle is |distinct grams|, the same class as the
+    contamination join."""
+    from ..functions.text import hash64, tokens as _tokens
+
+    d = load_docs(spark, sf_dir)
+    wt = d.select("source", _tokens("text").alias("toks")).filter(
+        F.size("toks") >= NOVELTY_N
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - NOVELTY_N),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, NOVELTY_N)),
+        )
+    )
+    sg = (
+        wt.select("source", F.explode(grams).alias("gram"))
+        .select("source", hash64(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    spread = sg.groupBy("gh").agg(
+        F.min("source").alias("lo"), F.max("source").alias("hi")
+    )
+    per_src = (
+        sg.join(spread, "gh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("lo") == F.col("hi")).cast("long")).alias("n_exclusive"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_grams",
+        "n_exclusive",
+        F.expr("(n_exclusive * 1000000) div n_grams").alias("exclusive_ppm"),
+    ).orderBy("source")
+
+
+def _ngram_novelty_sql() -> str:
+    from ..functions.text import TOKEN_SPLIT_RE, sql_hash64
+
+    return f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '{TOKEN_SPLIT_RE}'), t -> t != '') AS l
+  FROM documents
+),
+sg AS (
+  SELECT DISTINCT source, {sql_hash64("array_to_string(l[i+1:i+" + str(NOVELTY_N) + "], ' ')")} AS gh
+  FROM toks, unnest(range(len(l) - {NOVELTY_N - 1})) AS t(i)
+  WHERE len(l) >= {NOVELTY_N}
+),
+spread AS (SELECT gh, MIN(source) AS lo, MAX(source) AS hi FROM sg GROUP BY gh)
+SELECT sg.source, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN lo = hi THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       CAST((SUM(CASE WHEN lo = hi THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS exclusive_ppm
+FROM sg JOIN spread USING (gh)
+GROUP BY sg.source
+ORDER BY sg.source
+"""
+
+
+NGRAM_NOVELTY_BY_SOURCE_SQL = _ngram_novelty_sql()
+
+
+# ---------------------------------------------------------------------------
+# contamination rollup by source
+# ---------------------------------------------------------------------------
+
+
+def contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_train_docs, n_contaminated, contam_ppm): the per-
+    provider rollup of the benchmark-contamination check — which
+    providers ship eval-overlapping text (the decision table for
+    dropping or re-filtering a provider before training).
+
+    Plan: contamination_ngram's own candidate-bounded gram join, a
+    broadcast of its (small) contaminated-doc list onto the train-doc
+    projection, one bounded groupBy(source)."""
+    contam = (
+        TP.contamination_ngram(spark, sf_dir)
+        .select(F.col("train_doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    train = load_docs(spark, sf_dir).filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        train.join(F.broadcast(contam), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.coalesce("is_contam", F.lit(0)).cast("long")).alias(
+                "n_contaminated"
+            ),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            F.expr("(n_contaminated * 1000000) div n_train_docs").alias(
+                "contam_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CONTAMINATION_BY_SOURCE_SQL = f"""
+WITH contam AS (
+  SELECT DISTINCT train_doc_id AS doc_id
+  FROM ({TP.CONTAMINATION_SQL.replace("ORDER BY train_doc_id", "")})
+)
+SELECT d.source, COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST((SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS contam_ppm
+FROM documents d LEFT JOIN contam c USING (doc_id)
+WHERE d.doc_id % 10 != 0
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding norm outliers (integer-exact sigma test)
+# ---------------------------------------------------------------------------
+
+EMB_QUANT = 10_000_000  # floor(x*1e7) int64 — the clustering/PCA recipe
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, norm_q, is_outlier): vectors whose squared norm sits more
+    than 2σ from the corpus mean — the embedding-health screen that
+    catches un-normalized batches, zero vectors, and exploded encodes
+    before they poison an ANN index. norm_q = Σ floor(x·1e7)² (the
+    repo's standard quantization, so the statistic is integer-exact);
+    the σ test is the same DECIMAL(38,0)/HUGEINT moment inequality as
+    events_anomaly_hours — no float mean, no sqrt, no engine drift.
+
+    Plan: row-local fold per vector, a 3-number global moment aggregate
+    broadcast back, row-local comparison. One scan, no data shuffle."""
+    from .emb_source import load_embeddings
+
+    e = load_embeddings(spark, sf_dir)
+    q = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: {
+                "q": F.floor(x.cast("double") * F.lit(float(EMB_QUANT))).cast(
+                    "long"
+                )
+            }["q"],
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v * v,
+    )
+    nq = e.select("vec_id", q.alias("norm_q"))
+    stats = nq.agg(
+        F.sum("norm_q").alias("s"),
+        F.sum(
+            F.col("norm_q").cast("decimal(38,0)") * F.col("norm_q")
+        ).alias("qq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flag = F.expr(
+        """
+        CAST((norm_q * n - s) AS DECIMAL(38,0)) * (norm_q * n - s)
+        > 4 * (CAST(n AS DECIMAL(38,0)) * qq - CAST(s AS DECIMAL(38,0)) * s)
+        """
+    )
+    return (
+        nq.crossJoin(F.broadcast(stats))
+        .select("vec_id", "norm_q", flag.alias("is_outlier"))
+        .orderBy("vec_id")
+    )
+
+
+EMBEDDING_NORM_OUTLIERS_SQL = f"""
+WITH nq AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(x::DOUBLE * {EMB_QUANT}) AS BIGINT)
+                   * CAST(floor(x::DOUBLE * {EMB_QUANT}) AS BIGINT))) AS BIGINT)
+           AS norm_q
+  FROM embeddings
+),
+st AS (
+  SELECT SUM(norm_q) AS s,
+         SUM(CAST(norm_q AS HUGEINT) * norm_q) AS qq,
+         COUNT(*) AS n
+  FROM nq
+)
+SELECT vec_id, norm_q,
+       CAST((norm_q * n - s) AS HUGEINT) * (norm_q * n - s)
+         > 4 * (CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s) AS is_outlier
+FROM nq, st
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# attribution latency histogram (bitlen buckets)
+# ---------------------------------------------------------------------------
+
+
+def attribution_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gap_bitlen, n_pairs): the click→purchase latency distribution in
+    power-of-two microsecond buckets (bitlen of gap_us; gap 0 lands in
+    bucket 1) — the exponential histogram an attribution-horizon owner
+    reads to pick HORIZON (the streaming join's state bound) without a
+    float log2.
+
+    Plan: rides the batch as-of join (window-composed, one shuffle per
+    side), then one |buckets|-row groupBy."""
+    from . import temporal as TM
+
+    att = TM.asof_attribution(spark, sf_dir)
+    return (
+        att.filter(F.col("click_id").isNotNull())
+        .select(F.expr("CAST(length(bin(gap_us)) AS BIGINT)").alias("gap_bitlen"))
+        .groupBy("gap_bitlen")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("gap_bitlen")
+    )
+
+
+def _attribution_latency_sql() -> str:
+    from .temporal import ASOF_ATTRIBUTION_SQL
+
+    base = ASOF_ATTRIBUTION_SQL.replace("ORDER BY purchase_id", "")
+    return f"""
+WITH att AS ({base})
+SELECT CAST(length(bin(gap_us)) AS BIGINT) AS gap_bitlen, COUNT(*) AS n_pairs
+FROM att
+WHERE click_id IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+ATTRIBUTION_LATENCY_HISTOGRAM_SQL = _attribution_latency_sql()
+
+
+# ---------------------------------------------------------------------------
+# MinHash threshold sweep (estimator precision curve)
+# ---------------------------------------------------------------------------
+
+THR_PPM_LO, THR_PPM_HI, THR_PPM_STEP = 400_000, 900_000, 100_000
+_THRESHOLDS = list(range(THR_PPM_LO, THR_PPM_HI + 1, THR_PPM_STEP))
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(thr_ppm, est_pos, exact_pos, both_pos, precision_ppm): for each
+    candidate Jaccard threshold, how many LSH candidate pairs the
+    MinHash ESTIMATE would accept, how many the exact computation
+    accepts, their overlap, and the estimator's precision — the sweep an
+    operator runs before committing a dedup threshold at 100 TB (where
+    only the estimate is affordable corpus-wide).
+
+    Plan: one pass of minhash_estimate_accuracy (candidate-bounded),
+    cross-joined with a {len(_THRESHOLDS)}-row broadcast threshold
+    table, one bounded groupBy."""
+    acc = D.minhash_estimate_accuracy(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(t,) for t in _THRESHOLDS], "thr_ppm long"
+    )
+    return (
+        acc.crossJoin(F.broadcast(thr))
+        .groupBy("thr_ppm")
+        .agg(
+            F.sum((F.col("est_ppm") >= F.col("thr_ppm")).cast("long")).alias(
+                "est_pos"
+            ),
+            F.sum((F.col("exact_ppm") >= F.col("thr_ppm")).cast("long")).alias(
+                "exact_pos"
+            ),
+            F.sum(
+                (
+                    (F.col("est_ppm") >= F.col("thr_ppm"))
+                    & (F.col("exact_ppm") >= F.col("thr_ppm"))
+                ).cast("long")
+            ).alias("both_pos"),
+        )
+        .select(
+            "thr_ppm",
+            "est_pos",
+            "exact_pos",
+            "both_pos",
+            F.expr(
+                "CASE WHEN est_pos = 0 THEN 0"
+                " ELSE (both_pos * 1000000) div est_pos END"
+            ).alias("precision_ppm"),
+        )
+        .orderBy("thr_ppm")
+    )
+
+
+def _dedup_threshold_curve_sql() -> str:
+    base = D.MINHASH_ESTIMATE_ACCURACY_SQL.replace("ORDER BY doc_a, doc_b", "")
+    thrs = ", ".join(str(t) for t in _THRESHOLDS)
+    return f"""
+WITH acc AS ({base}),
+thr AS (SELECT CAST(unnest([{thrs}]) AS BIGINT) AS thr_ppm)
+SELECT thr_ppm,
+       CAST(SUM(CASE WHEN est_ppm >= thr_ppm THEN 1 ELSE 0 END) AS BIGINT) AS est_pos,
+       CAST(SUM(CASE WHEN exact_ppm >= thr_ppm THEN 1 ELSE 0 END) AS BIGINT) AS exact_pos,
+       CAST(SUM(CASE WHEN est_ppm >= thr_ppm AND exact_ppm >= thr_ppm
+                THEN 1 ELSE 0 END) AS BIGINT) AS both_pos,
+       CAST(CASE WHEN SUM(CASE WHEN est_ppm >= thr_ppm THEN 1 ELSE 0 END) = 0
+                 THEN 0
+                 ELSE (SUM(CASE WHEN est_ppm >= thr_ppm AND exact_ppm >= thr_ppm
+                           THEN 1 ELSE 0 END) * 1000000)
+                      // SUM(CASE WHEN est_ppm >= thr_ppm THEN 1 ELSE 0 END) END
+            AS BIGINT) AS precision_ppm
+FROM acc, thr
+GROUP BY thr_ppm
+ORDER BY thr_ppm
+"""
+
+
+DEDUP_THRESHOLD_CURVE_SQL = _dedup_threshold_curve_sql()
+
+
+# ---------------------------------------------------------------------------
+# source × language confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, lang, lang_pred, n_docs): document counts per (provider,
+    labeled language, predicted language) — the per-provider view of the
+    language-ID confusion that tells you WHICH provider's metadata or
+    text is lying when lang_id_confusion shows global disagreement.
+
+    Plan: lang_id's shuffle-free codegen pass + one broadcast label
+    join + a bounded triple groupBy."""
+    from .textstats import lang_id
+
+    pred = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    d = load_docs(spark, sf_dir).select("doc_id", "source", "lang")
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("source", "lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "lang", "lang_pred")
+    )
+
+
+def _source_lang_matrix_sql() -> str:
+    from .textstats import LANG_ID_SQL
+
+    base = LANG_ID_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH pred AS ({base})
+SELECT d.source, d.lang, p.lang_pred, COUNT(*) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+SOURCE_LANG_MATRIX_SQL = _source_lang_matrix_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-source token-length decile bands
+# ---------------------------------------------------------------------------
+
+N_DECILES = 10
+
+
+def length_decile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, decile, n_docs, min_tokens, max_tokens): each provider's
+    token-length distribution as exact NTILE({N_DECILES}) bands — the
+    compact per-provider length profile a curriculum or packing planner
+    reads (a provider whose top decile dwarfs its median needs chunking;
+    one whose bottom decile is near-zero needs a length floor).
+
+    Plan: row-local token counts, one window per source (ANSI NTILE is
+    identical in Spark and DuckDB given the unique (ws_tokens, doc_id)
+    order), one bounded groupBy. Per-source partitions are provider-
+    sized; a pathological mega-provider would reuse the distributed
+    global-order helper per source."""
+    t = TS.token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    d = load_docs(spark, sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.asc("ws_tokens"), F.asc("doc_id"))
+    return (
+        d.join(t, "doc_id")
+        .withColumn("decile", F.ntile(N_DECILES).over(w).cast("long"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ws_tokens").cast("long").alias("min_tokens"),
+            F.max("ws_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+LENGTH_DECILE_BANDS_SQL = f"""
+WITH t AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+              AS BIGINT) AS ws_tokens
+  FROM documents d
+),
+r AS (
+  SELECT source, ws_tokens,
+         CAST(NTILE({N_DECILES}) OVER (
+           PARTITION BY source ORDER BY ws_tokens, doc_id) AS BIGINT) AS decile
+  FROM t
+)
+SELECT source, decile, COUNT(*) AS n_docs,
+       MIN(ws_tokens) AS min_tokens, MAX(ws_tokens) AS max_tokens
+FROM r
+GROUP BY source, decile
+ORDER BY source, decile
+"""
