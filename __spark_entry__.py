@@ -44,6 +44,8 @@ from oracledb_datapump_spark.operators import temporal as TM
 from oracledb_datapump_spark.operators import textprep as TP
 from oracledb_datapump_spark.operators import textstats as T
 from oracledb_datapump_spark.operators import pipeline as PL
+from oracledb_datapump_spark.operators import pipeline2 as PL2
+from oracledb_datapump_spark.operators import pipeline3 as PL3
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -134,6 +136,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_cost_supplier": A5.q2_min_cost_supplier,
         "q8_market_share": A5.q8_market_share,
         # ---------------- fold: entry 51+ below -------------------------
+        # NEW in round 6, past the fold (the prefix was full): first in
+        # line for the round-7 gated prefix; hash-verified at sf0.001 +
+        # sf0.01 by tests/test_queries_oracle.py until then
+        "doc_embedding_coverage": PL2.doc_embedding_coverage,
+        "session_length_histogram": PL2.session_length_histogram,
+        "quality_vs_dup_matrix": PL2.quality_vs_dup_matrix,
+        "token_share_by_lang": PL2.token_share_by_lang,
+        "conversion_by_hour": PL2.conversion_by_hour,
+        "shard_balance_report": PL2.shard_balance_report,
+        "pq_code_histogram": PL2.pq_code_histogram,
+        "events_dow_hour_profile": PL2.events_dow_hour_profile,
+        "event_transition_gaps": PL3.event_transition_gaps,
+        "repeat_purchase_gaps": PL3.repeat_purchase_gaps,
+        "quality_length_moments": PL3.quality_length_moments,
+        "prefix_collision_histogram": PL3.prefix_collision_histogram,
+        "hourly_event_dups": PL3.hourly_event_dups,
+        "payload_k_band_profile": PL3.payload_k_band_profile,
+        "orders_backlog_timeline": PL3.orders_backlog_timeline,
+        "mktsegment_yoy": PL3.mktsegment_yoy,
+        "embedding_dim_profile": PL3.embedding_dim_profile,
+        "pq_subspace_error": PL3.pq_subspace_error,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -251,6 +274,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_threshold_curve": PL.DEDUP_THRESHOLD_CURVE_SQL,
         "source_lang_matrix": PL.SOURCE_LANG_MATRIX_SQL,
         "length_decile_bands": PL.LENGTH_DECILE_BANDS_SQL,
+        "doc_embedding_coverage": PL2.DOC_EMBEDDING_COVERAGE_SQL,
+        "session_length_histogram": PL2.SESSION_LENGTH_HISTOGRAM_SQL,
+        "quality_vs_dup_matrix": PL2.QUALITY_VS_DUP_MATRIX_SQL,
+        "token_share_by_lang": PL2.TOKEN_SHARE_BY_LANG_SQL,
+        "conversion_by_hour": PL2.CONVERSION_BY_HOUR_SQL,
+        "shard_balance_report": PL2.SHARD_BALANCE_REPORT_SQL,
+        "pq_code_histogram": PL2.PQ_CODE_HISTOGRAM_SQL,
+        "events_dow_hour_profile": PL2.EVENTS_DOW_HOUR_PROFILE_SQL,
+        "event_transition_gaps": PL3.EVENT_TRANSITION_GAPS_SQL,
+        "repeat_purchase_gaps": PL3.REPEAT_PURCHASE_GAPS_SQL,
+        "quality_length_moments": PL3.QUALITY_LENGTH_MOMENTS_SQL,
+        "prefix_collision_histogram": PL3.PREFIX_COLLISION_HISTOGRAM_SQL,
+        "hourly_event_dups": PL3.HOURLY_EVENT_DUPS_SQL,
+        "payload_k_band_profile": PL3.PAYLOAD_K_BAND_PROFILE_SQL,
+        "orders_backlog_timeline": PL3.ORDERS_BACKLOG_TIMELINE_SQL,
+        "mktsegment_yoy": PL3.MKTSEGMENT_YOY_SQL,
+        "embedding_dim_profile": PL3.EMBEDDING_DIM_PROFILE_SQL,
+        "pq_subspace_error": PL3.PQ_SUBSPACE_ERROR_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

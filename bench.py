@@ -195,6 +195,24 @@ HEADLINE = [
     "dedup_threshold_curve",
     "source_lang_matrix",
     "length_decile_bands",
+    "doc_embedding_coverage",
+    "session_length_histogram",
+    "quality_vs_dup_matrix",
+    "token_share_by_lang",
+    "conversion_by_hour",
+    "shard_balance_report",
+    "pq_code_histogram",
+    "events_dow_hour_profile",
+    "event_transition_gaps",
+    "repeat_purchase_gaps",
+    "quality_length_moments",
+    "prefix_collision_histogram",
+    "hourly_event_dups",
+    "payload_k_band_profile",
+    "orders_backlog_timeline",
+    "mktsegment_yoy",
+    "embedding_dim_profile",
+    "pq_subspace_error",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

@@ -466,7 +466,11 @@ def dedup_minhash_verified(
     runs on |candidates| pairs (LSH-bounded), not on every
     shingle-sharing pair. Join order: candidates ⋈ shingles(doc_a) ⋈
     shingles(doc_b, same shingle) → per-pair intersection counts."""
-    cand = dedup_minhash_pairs(spark, sf_dir, docs)
+    # localCheckpoint: the candidate table is referenced TWICE below (the
+    # intersection join and the size-table semi filter) — without
+    # materialization the whole LSH candidate pipeline would execute
+    # twice (observed: +65% on this query and every curated_corpus arm)
+    cand = dedup_minhash_pairs(spark, sf_dir, docs).localCheckpoint(eager=True)
     sh = _shingles(spark, sf_dir, docs)
     # restrict the per-doc size table to docs in the candidate set BEFORE
     # broadcasting: the full table is |corpus|-sized (unbroadcastable at
