@@ -46,6 +46,8 @@ from oracledb_datapump_spark.operators import textstats as T
 from oracledb_datapump_spark.operators import pipeline as PL
 from oracledb_datapump_spark.operators import pipeline2 as PL2
 from oracledb_datapump_spark.operators import pipeline3 as PL3
+from oracledb_datapump_spark.operators import pipeline4 as PL4
+from oracledb_datapump_spark.operators import pipeline5 as PL5
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -157,6 +159,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_yoy": PL3.mktsegment_yoy,
         "embedding_dim_profile": PL3.embedding_dim_profile,
         "pq_subspace_error": PL3.pq_subspace_error,
+        "source_lang_gini": PL4.source_lang_gini,
+        "pair_jaccard_histogram": PL4.pair_jaccard_histogram,
+        "customer_rfm_bands": PL4.customer_rfm_bands,
+        "nation_fulfillment_lag": PL4.nation_fulfillment_lag,
+        "value_anomaly_days": PL4.value_anomaly_days,
+        "pq_index_roundtrip": PQ2.pq_index_roundtrip,
+        "peak_concurrent_sessions": PL5.peak_concurrent_sessions,
+        "dup_degree_histogram": PL5.dup_degree_histogram,
+        "dup_cross_lang_pairs": PL5.dup_cross_lang_pairs,
+        "order_priority_mix_by_month": PL5.order_priority_mix_by_month,
+        "part_brand_price_spread": PL5.part_brand_price_spread,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -292,6 +305,17 @@ def oracle_sql() -> dict[str, str]:
         "mktsegment_yoy": PL3.MKTSEGMENT_YOY_SQL,
         "embedding_dim_profile": PL3.EMBEDDING_DIM_PROFILE_SQL,
         "pq_subspace_error": PL3.PQ_SUBSPACE_ERROR_SQL,
+        "source_lang_gini": PL4.SOURCE_LANG_GINI_SQL,
+        "pair_jaccard_histogram": PL4.PAIR_JACCARD_HISTOGRAM_SQL,
+        "customer_rfm_bands": PL4.CUSTOMER_RFM_BANDS_SQL,
+        "nation_fulfillment_lag": PL4.NATION_FULFILLMENT_LAG_SQL,
+        "value_anomaly_days": PL4.VALUE_ANOMALY_DAYS_SQL,
+        "pq_index_roundtrip": PQ2.ANN_PQ_SQL,
+        "peak_concurrent_sessions": PL5.PEAK_CONCURRENT_SESSIONS_SQL,
+        "dup_degree_histogram": PL5.DUP_DEGREE_HISTOGRAM_SQL,
+        "dup_cross_lang_pairs": PL5.DUP_CROSS_LANG_PAIRS_SQL,
+        "order_priority_mix_by_month": PL5.ORDER_PRIORITY_MIX_SQL,
+        "part_brand_price_spread": PL5.PART_BRAND_PRICE_SPREAD_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

@@ -213,6 +213,17 @@ HEADLINE = [
     "mktsegment_yoy",
     "embedding_dim_profile",
     "pq_subspace_error",
+    "source_lang_gini",
+    "pair_jaccard_histogram",
+    "customer_rfm_bands",
+    "nation_fulfillment_lag",
+    "value_anomaly_days",
+    "pq_index_roundtrip",
+    "peak_concurrent_sessions",
+    "dup_degree_histogram",
+    "dup_cross_lang_pairs",
+    "order_priority_mix_by_month",
+    "part_brand_price_spread",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

@@ -674,3 +674,147 @@ ORDER BY e.query_id
 
 
 ANN_PQ_RECALL_SQL = _pq_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# PQ index lifecycle: export the code table + codebooks as a dump artifact
+# ---------------------------------------------------------------------------
+
+PQ_INDEX_MANIFEST = "_pq_index_manifest.json"
+
+
+def export_pq_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Persist the PQ index — the corpus code table (vec_id, m, code)
+    as parquet plus the fitted codebooks IN the manifest (M·K·SUB ints,
+    driver model state) — the datapump lifecycle applied to the
+    compressed vector index, sibling of similarity.export_ann_index.
+    At 100 TB the encode is one corpus pass; the artifact amortizes it
+    across every later query batch, and a search node needs only this
+    artifact (codes + codebooks), never the raw embeddings. The
+    manifest pins (m, sub, k, iters, scale, source) so parameter or
+    corpus drift fails loudly at load."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    books = _fit_codebooks(spark, sf_dir)
+    packed = _packed_codebooks(spark, books)
+    _codes_long(_quantized(spark, sf_dir), packed).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "pq_codes"))
+    meta = {
+        "kind": "pq_index",
+        "m": PQ_M,
+        "sub": PQ_SUB,
+        "k": PQ_K,
+        "iters": PQ_ITERS,
+        "scale": PQ_SCALE,
+        "source": sf_dir,
+        "codebooks": [
+            {"m": m, "cid": cid, "cv": cv} for (m, cid), cv in sorted(books.items())
+        ],
+        "created_by": "oracledb-datapump-spark",
+    }
+    tmp = os.path.join(out_dir, PQ_INDEX_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+    os.replace(tmp, os.path.join(out_dir, PQ_INDEX_MANIFEST))
+    return meta
+
+
+def load_pq_index(
+    spark: SparkSession, index_dir: str, expected_source: str | None = None
+):
+    """(codes_long DataFrame, packed codebooks DataFrame) from an
+    exported PQ index, validating parameters and (optionally) the
+    source corpus — a stale or foreign code table joined by vec_id
+    returns plausible-but-wrong neighbors with no error, the same drift
+    class similarity.load_ann_index guards against."""
+    import json
+    import os
+
+    path = os.path.join(index_dir, PQ_INDEX_MANIFEST)
+    if not os.path.isfile(path):
+        from ..exceptions import FileError
+
+        raise FileError(f"No PQ index manifest at {path}")
+    with open(path) as f:
+        meta = json.load(f)
+    expected = {"m": PQ_M, "sub": PQ_SUB, "k": PQ_K, "iters": PQ_ITERS, "scale": PQ_SCALE}
+    got = {kk: meta.get(kk) for kk in expected}
+    if got != expected:
+        from ..exceptions import UsageError
+
+        raise UsageError(
+            f"PQ index at {index_dir} was built with {got}, engine expects "
+            f"{expected} — rebuild with export_pq_index rather than "
+            "decoding against the wrong codebook geometry"
+        )
+    if (
+        expected_source is not None
+        and meta.get("source") is not None
+        and os.path.abspath(meta["source"]) != os.path.abspath(expected_source)
+    ):
+        from ..exceptions import UsageError
+
+        raise UsageError(
+            f"PQ index at {index_dir} was built from {meta['source']!r}, "
+            f"but the query targets {expected_source!r} — rebuild the "
+            "index for this corpus rather than joining stale codes by vec_id"
+        )
+    books = {
+        (int(b["m"]), int(b["cid"])): [int(v) for v in b["cv"]]
+        for b in meta["codebooks"]
+    }
+    codes = spark.read.parquet(os.path.join(index_dir, "pq_codes"))
+    return codes, _packed_codebooks(spark, books)
+
+
+def ann_pq_topk_from_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """ann_pq_topk served from a previously exported index: identical
+    results, zero corpus re-encode and zero codebook refit — the
+    production search path once the artifact exists. Only the query
+    side (|queries| vectors) touches raw embeddings."""
+    codes_long, packed = load_pq_index(spark, index_dir, expected_source=sf_dir)
+    queries = (
+        _quantized(spark, sf_dir)
+        .filter(F.col("vec_id") < PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv"))
+    )
+    lut = _query_lut(queries, packed)
+    dists = (
+        codes_long.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("match_id"))
+        .agg(F.sum("d").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("match_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "match_id", "rank", "adist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gated lifecycle query: export the PQ index to a dump artifact,
+    load it back through the validating loader, and serve asymmetric
+    top-k purely from the artifact. The oracle is ANN_PQ_SQL — hash
+    equality proves the persisted index reproduces the in-memory search
+    bit-for-bit (codes, codebooks, and tie-breaks all survive the
+    round-trip). The result is eagerly materialized (it is
+    |queries|·top_k rows) before the artifact directory is removed."""
+    import shutil
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="pq_idx_rt_")
+    try:
+        export_pq_index(spark, sf_dir, idx)
+        return ann_pq_topk_from_index(spark, sf_dir, idx).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)

@@ -1,0 +1,111 @@
+"""Semantic properties of the round-6 pipeline3/pipeline4 dashboards —
+the hash-parity harness (test_queries_oracle) proves cross-engine
+equality; these prove the numbers MEAN what the docstrings claim."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_backlog_never_negative_and_conserves_orders(spark):
+    """Cumulative placed ≥ cumulative done at every month (an order's
+    completion month can't precede its placement month), and the final
+    placed total equals the orders row count."""
+    from oracledb_datapump_spark.operators.pipeline3 import orders_backlog_timeline
+
+    rows = orders_backlog_timeline(spark, SF).collect()
+    assert all(r.backlog >= 0 for r in rows), [r for r in rows if r.backlog < 0]
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert sum(r.n_placed for r in rows) == n_orders
+
+
+def test_rfm_bands_cover_every_customer_with_orders(spark):
+    from oracledb_datapump_spark.operators.pipeline3 import mktsegment_yoy  # noqa: F401
+    from oracledb_datapump_spark.operators.pipeline4 import customer_rfm_bands
+
+    rows = customer_rfm_bands(spark, SF).collect()
+    n_cust = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(r.r_band >= 1 and r.f_band >= 1 and r.m_band >= 1 for r in rows)
+
+
+def test_gini_bounds_and_monolingual_zero(spark):
+    """gini_ppm ∈ [0, 1e6); a source whose docs are all one language
+    must score exactly 0."""
+    from oracledb_datapump_spark.operators.pipeline4 import source_lang_gini
+
+    rows = source_lang_gini(spark, SF).collect()
+    assert all(0 <= r.gini_ppm < 1_000_000 for r in rows)
+    mono = [r for r in rows if r.n_langs == 1]
+    assert all(r.gini_ppm == 0 for r in mono)
+
+
+def test_moments_reconstruct_nonnegative_variance(spark):
+    """The emitted integer moment sums must satisfy the Cauchy-Schwarz
+    bound n·Σx² ≥ (Σx)² per source — otherwise the sums are not moments
+    of any real sample."""
+    from oracledb_datapump_spark.operators.pipeline3 import quality_length_moments
+
+    for r in quality_length_moments(spark, SF).collect():
+        assert r.n_docs * r.sum_ll >= r.sum_len**2, r
+        assert r.n_docs * r.sum_qq >= r.sum_q**2, r
+        assert r.corr_sign in (-1, 0, 1)
+
+
+def test_transition_gaps_conserve_event_pairs(spark):
+    """Σ n_transitions = Σ_users max(0, |events_u| − 1): every user
+    contributes exactly one fewer transition than events."""
+    from oracledb_datapump_spark.operators.pipeline3 import event_transition_gaps
+    from oracledb_datapump_spark.events_source import load_events
+
+    total = (
+        event_transition_gaps(spark, SF)
+        .agg(F.sum("n_transitions"))
+        .collect()[0][0]
+    )
+    per_user = (
+        load_events(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") - 1))
+        .collect()[0][0]
+    )
+    assert total == per_user
+
+
+def test_hourly_dups_bounded_by_events(spark):
+    from oracledb_datapump_spark.operators.pipeline3 import hourly_event_dups
+
+    rows = hourly_event_dups(spark, SF).collect()
+    assert all(0 <= r.n_dup_events < r.n_events for r in rows)
+
+
+def test_value_anomaly_days_flags_minority(spark):
+    """A >2σ test on per-day value sums can only flag a minority of the
+    days for a type (Chebyshev: at most 1/4 — allow ceil for tiny day
+    counts)."""
+    from oracledb_datapump_spark.operators.pipeline4 import value_anomaly_days
+
+    rows = value_anomaly_days(spark, SF).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.is_anomaly)
+    for t, flags in by_type.items():
+        assert sum(flags) <= max(1, len(flags) // 4 + 1), (t, sum(flags), len(flags))
+
+
+def test_prefix_histogram_conserves_docs(spark):
+    from oracledb_datapump_spark.operators.pipeline3 import (
+        prefix_collision_histogram,
+    )
+
+    rows = prefix_collision_histogram(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs == r.group_size * r.n_prefixes for r in rows)

@@ -210,3 +210,55 @@ def test_pq_fit_drops_emptied_codes_like_sql_twin(spark, tmp_path):
     s2 = sdf.sort_values(cols).reset_index(drop=True)
     o2 = odf[cols].astype(sdf.dtypes.to_dict()).sort_values(cols).reset_index(drop=True)
     assert s2.equals(o2)
+
+
+def test_pq_index_export_import_identical(spark, tmp_path):
+    """An exported PQ index must answer asymmetric top-k identically to
+    the direct path (zero corpus re-encode), and parameter-drifted /
+    foreign-corpus indexes must be rejected loudly (same contracts as
+    the LSH index lifecycle)."""
+    import json
+    import os
+
+    import pytest
+
+    from oracledb_datapump_spark.exceptions import UsageError
+    from oracledb_datapump_spark.operators import pq as PQ
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "pq_idx")
+    meta = PQ.export_pq_index(spark, sf_dir, idx)
+    assert meta["m"] == PQ.PQ_M and meta["k"] == PQ.PQ_K
+    assert len(meta["codebooks"]) <= PQ.PQ_M * PQ.PQ_K
+
+    direct = [tuple(r) for r in PQ.ann_pq_topk(spark, sf_dir).collect()]
+    via = [
+        tuple(r)
+        for r in PQ.ann_pq_topk_from_index(spark, sf_dir, idx).collect()
+    ]
+    assert direct == via and len(direct) > 0
+
+    # foreign corpus → loud rejection
+    with pytest.raises(UsageError, match="rebuild the index for this corpus"):
+        PQ.ann_pq_topk_from_index(spark, "/root/testdata/sf0.01", idx)
+
+    # drifted parameters → loud rejection
+    mpath = os.path.join(idx, PQ.PQ_INDEX_MANIFEST)
+    m = json.load(open(mpath))
+    m["k"] = 99
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(UsageError, match="codebook geometry"):
+        PQ.load_pq_index(spark, idx)
+
+
+def test_pq_index_roundtrip_survives_artifact_removal(spark):
+    """pq_index_roundtrip materializes before deleting its temp dir —
+    the returned frame must stay collectable afterwards and equal the
+    direct search."""
+    from oracledb_datapump_spark.operators import pq as PQ
+
+    sf_dir = "/root/testdata/sf0.001"
+    rt = PQ.pq_index_roundtrip(spark, sf_dir)
+    got = [tuple(r) for r in rt.collect()]
+    want = [tuple(r) for r in PQ.ann_pq_topk(spark, sf_dir).collect()]
+    assert got == want and len(got) > 0

@@ -28,10 +28,34 @@ META = {"metric", "value", "unit", "sf", "runs_per_query", "n", "rc", "cpus", "b
 
 
 def medians_from_tail(path: str) -> dict[str, float]:
+    """Extract ONLY provably-median pairs from a tail-truncated capture.
+
+    A bare name:value pair in a 2000-char tail is ambiguous — it can sit
+    inside the queries (median) dict OR the spread (max−min) dict, and a
+    spread read as a median fabricates a 10×-too-fast baseline (this
+    exact artifact produced the phantom r4→r5 "1.5× drift" AND a set of
+    impossible r05 "bests" like simhash at 0.092s — that value is a
+    spread). Rules:
+    - '"queries": {' visible → pairs after it, up to the dict's closing
+      brace, are medians (r1/r2 old format with queries near the end,
+      and the round-6+ format that prints queries last).
+    - else '"spread": {' visible → pairs BEFORE it are the end of the
+      queries dict (r4).
+    - else → nothing is provable (r3's tail is a stack trace; r5's tail
+      sits entirely inside the spread dict): contribute NOTHING."""
     tail = json.load(open(path)).get("tail", "")
-    head = tail.split('"spread": {')[0]
+    qi = tail.find('"queries": {')
+    if qi >= 0:
+        seg = tail[qi + len('"queries": {') :]
+        end = seg.find("}")
+        if end >= 0:
+            seg = seg[:end]
+    elif '"spread": {' in tail:
+        seg = tail.split('"spread": {')[0]
+    else:
+        return {}
     out: dict[str, float] = {}
-    for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', head):
+    for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', seg):
         if k not in META:
             out[k] = float(v)
     return out
