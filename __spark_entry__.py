@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cross_lang_pairs": PL5.dup_cross_lang_pairs,
         "order_priority_mix_by_month": PL5.order_priority_mix_by_month,
         "part_brand_price_spread": PL5.part_brand_price_spread,
+        "streaming_merge_apply": SI.streaming_merge_apply,
+        "streaming_scd2_enrich": SJ.streaming_scd2_enrich,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -316,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_cross_lang_pairs": PL5.DUP_CROSS_LANG_PAIRS_SQL,
         "order_priority_mix_by_month": PL5.ORDER_PRIORITY_MIX_SQL,
         "part_brand_price_spread": PL5.PART_BRAND_PRICE_SPREAD_SQL,
+        "streaming_merge_apply": SI.STREAMING_MERGE_APPLY_SQL,
+        "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

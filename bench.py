@@ -224,6 +224,8 @@ HEADLINE = [
     "dup_cross_lang_pairs",
     "order_priority_mix_by_month",
     "part_brand_price_spread",
+    "streaming_merge_apply",
+    "streaming_scd2_enrich",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

@@ -192,3 +192,179 @@ def batch_equivalent(spark: SparkSession, src_dir: str) -> DataFrame:
             "approx_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC APPLY: streaming MERGE into a warehouse table through the engine
+# ---------------------------------------------------------------------------
+
+
+def run_merge_apply_cycle(
+    spark: SparkSession,
+    src_dir: str,
+    wh_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """One availableNow cycle of the CDC *apply* path: tail the events
+    source and, per micro-batch, upsert the newest state per user into a
+    warehouse table through the FULL datapump lifecycle —
+    foreachBatch → reduce to latest-per-key → EXPORT the batch as a dump
+    set → IMPORT with TABLE_EXISTS_ACTION(MERGE) + MERGE_KEY(user_id).
+    The streaming sink and the batch importer share one merge
+    implementation (engine.py's newest-wins window), so there is no
+    second upsert codepath to drift.
+
+    Exactly-once story: the file source's checkpoint makes each batch
+    replay-at-least-once, and the apply is IDEMPOTENT — re-merging the
+    same reduced batch picks the same survivors (incoming equals what
+    the warehouse already holds), so at-least-once replay converges to
+    exactly-once state. At scale the per-batch dump hop is the
+    standard staging-table pattern; the merge shuffles on the key like
+    any upsert."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..base import JobMode, Operation
+    from ..catalog import ParquetConnector
+    from ..directives import DirectiveBase as D
+    from ..job import Job
+
+    stream = stream_events(spark, src_dir)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        reduced = (
+            batch_df.withColumn("ts_us", F.unix_micros("event_time"))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(
+                        F.desc("ts_us"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("ts_us").alias("last_ts_us"),
+                F.col("event_type").alias("last_event_type"),
+                F.expr("CAST(floor(value * 100) AS LONG)").alias(
+                    "last_value_cents"
+                ),
+            )
+        )
+        if not reduced.take(1):
+            return
+        stage = tempfile.mkdtemp(prefix="dp_apply_stage_")
+        dump = tempfile.mkdtemp(prefix="dp_apply_dump_")
+        try:
+            reduced.write.mode("overwrite").parquet(
+                os.path.join(stage, "user_state.parquet")
+            )
+            st = Job(
+                Operation.EXPORT,
+                JobMode.TABLE,
+                dumpfiles=dump,
+                directives=[
+                    D.INCLUDE_SCHEMA("main"),
+                    D.INCLUDE_TABLE("user_state"),
+                ],
+            ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+            if st.job_state != "COMPLETED":
+                raise RuntimeError(f"apply export failed: {st.error}")
+            st = Job(
+                Operation.IMPORT,
+                JobMode.TABLE,
+                dumpfiles=dump,
+                directives=[
+                    D.REMAP_SCHEMA("main", "tgt"),
+                    D.TABLE_EXISTS_ACTION("MERGE"),
+                    D.MERGE_KEY("user_id"),
+                ],
+            ).run(wait=True, connection=ParquetConnector(wh_dir), spark=spark)
+            if st.job_state != "COMPLETED":
+                raise RuntimeError(f"apply merge failed: {st.error}")
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(dump, ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, last_event_id, last_ts_us, last_event_type,
+    last_value_cents): TWO checkpointed availableNow CDC-apply cycles
+    over a time-split events source — early half merged in cycle 1, the
+    late half landing as a new file and merged in cycle 2 from cycle
+    1's checkpoint, each micro-batch flowing through the real datapump
+    EXPORT → IMPORT(MERGE) lifecycle. The final warehouse table must
+    equal the batch "latest event per user" query — the oracle states
+    exactly that, putting the streaming upsert path (sibling of the
+    export-side incremental_export_cycles) under the cross-engine hash.
+
+    The time split guarantees every cycle-2 row is newer than any
+    cycle-1 row for the same user, so engine.py's incoming-beats-
+    existing precedence IS newest-wins across cycles; within a batch
+    the explicit (ts_us, event_id) reduction pins the survivor."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..catalog import ParquetConnector
+
+    src = tempfile.mkdtemp(prefix="dp_apply_src_")
+    wh = tempfile.mkdtemp(prefix="dp_apply_wh_")
+    cp = tempfile.mkdtemp(prefix="dp_apply_cp_")
+    try:
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts = tbl.column("ts")
+        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+        mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
+        early = tbl.filter(pc.less(ts, mid))
+        late = tbl.filter(pc.greater_equal(ts, mid))
+        if early.num_rows == 0 or late.num_rows == 0:
+            pq.write_table(tbl, os.path.join(src, "events-0.parquet"))
+            run_merge_apply_cycle(spark, src, wh, cp)
+        else:
+            pq.write_table(early, os.path.join(src, "events-0.parquet"))
+            run_merge_apply_cycle(spark, src, wh, cp)
+            pq.write_table(late, os.path.join(src, "events-1.parquet"))
+            run_merge_apply_cycle(spark, src, wh, cp)
+        out = (
+            ParquetConnector(wh)
+            .read_table(spark, "tgt", "user_state")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+STREAMING_MERGE_APPLY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+       event_type AS last_event_type, value_cents AS last_value_cents
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""

@@ -171,3 +171,142 @@ FROM p JOIN c ON p.user_id = c.user_id
              AND c.cus >= p.pus - {ATTRIBUTION_HORIZON_US}
 ORDER BY purchase_id, click_id
 """
+
+
+# ---------------------------------------------------------------------------
+# stream-static SCD2 enrichment (dimension history join at event time)
+# ---------------------------------------------------------------------------
+
+
+def run_scd2_enrich_cycle(
+    spark: SparkSession,
+    src_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    dim: DataFrame,
+) -> None:
+    """One availableNow cycle of stream-static enrichment: every event
+    joins the SCD2 dimension row valid AT its event time
+    (valid_from ≤ ts < valid_to, open version unbounded) and lands in an
+    exactly-once parquet file sink. Stream-static joins need no
+    watermark (the static side never grows stale mid-batch), and the
+    file sink's transaction log makes replayed batches idempotent — the
+    classic enrich-and-land pipeline shape. At 100 TB the static
+    dimension is a broadcast or storage-partitioned join per
+    micro-batch; per-event state is zero."""
+    from .incremental import stream_events
+
+    ev = (
+        stream_events(spark, src_dir)
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.unix_micros("event_time").alias("ts_us"),
+        )
+        .alias("e")
+    )
+    d = dim.alias("d")
+    cond = (
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (F.col("d.valid_from_us") <= F.col("e.ts_us"))
+        & (F.col("d.valid_to_us").isNull() | (F.col("e.ts_us") < F.col("d.valid_to_us")))
+    )
+    enriched = ev.join(d, cond, "left_outer").select(
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.ts_us").alias("ts_us"),
+        F.col("d.version").alias("version"),
+        F.col("d.value_cents").alias("value_cents"),
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, n_enriched, sum_matched_cents): TWO
+    checkpointed availableNow cycles of stream-static SCD2 enrichment
+    over a time-split events source, then one batch aggregate over the
+    landed sink. The oracle is the equivalent batch as-of join against
+    the same dimension history — row conservation (versions never
+    overlap, so each event matches ≤ 1 row) plus the value sum put the
+    stream-static join AND the exactly-once file sink under the
+    cross-engine hash. Sibling of streaming_merge_apply: that gates the
+    upsert path, this gates the enrichment path."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..operators.temporal import scd2_user_value
+
+    src = tempfile.mkdtemp(prefix="dp_enrich_src_")
+    sink = tempfile.mkdtemp(prefix="dp_enrich_sink_")
+    cp = tempfile.mkdtemp(prefix="dp_enrich_cp_")
+    try:
+        dim = scd2_user_value(spark, sf_dir).localCheckpoint(eager=True)
+        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts = tbl.column("ts")
+        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+        mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
+        early = tbl.filter(pc.less(ts, mid))
+        late = tbl.filter(pc.greater_equal(ts, mid))
+        if early.num_rows == 0 or late.num_rows == 0:
+            pq.write_table(tbl, os.path.join(src, "events-0.parquet"))
+            run_scd2_enrich_cycle(spark, src, sink, cp, dim)
+        else:
+            pq.write_table(early, os.path.join(src, "events-0.parquet"))
+            run_scd2_enrich_cycle(spark, src, sink, cp, dim)
+            pq.write_table(late, os.path.join(src, "events-1.parquet"))
+            run_scd2_enrich_cycle(spark, src, sink, cp, dim)
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count("version").alias("n_enriched"),
+                F.sum(F.coalesce(F.col("value_cents"), F.lit(0)))
+                .cast("long")
+                .alias("sum_matched_cents"),
+            )
+            .orderBy("event_type")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+def _streaming_scd2_enrich_sql() -> str:
+    from ..operators.temporal import SCD2_SQL
+
+    scd = SCD2_SQL.replace("ORDER BY user_id, version", "")
+    return f"""
+WITH scd AS ({scd}),
+e AS (
+  SELECT event_id, event_type, user_id, epoch_us(ts) AS ts_us FROM events
+),
+j AS (
+  SELECT e.event_type, s.version, s.value_cents
+  FROM e LEFT JOIN scd s
+    ON e.user_id = s.user_id
+   AND s.valid_from_us <= e.ts_us
+   AND (s.valid_to_us IS NULL OR e.ts_us < s.valid_to_us)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(version) AS n_enriched,
+       CAST(SUM(COALESCE(value_cents, 0)) AS BIGINT) AS sum_matched_cents
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+STREAMING_SCD2_ENRICH_SQL = _streaming_scd2_enrich_sql()
