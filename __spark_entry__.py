@@ -48,6 +48,7 @@ from oracledb_datapump_spark.operators import pipeline2 as PL2
 from oracledb_datapump_spark.operators import pipeline3 as PL3
 from oracledb_datapump_spark.operators import pipeline4 as PL4
 from oracledb_datapump_spark.operators import pipeline5 as PL5
+from oracledb_datapump_spark.operators import pipeline6 as PL6
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -172,6 +173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_brand_price_spread": PL5.part_brand_price_spread,
         "streaming_merge_apply": SI.streaming_merge_apply,
         "streaming_scd2_enrich": SJ.streaming_scd2_enrich,
+        "nation_revenue_hhi": PL6.nation_revenue_hhi,
+        "user_activity_hhi": PL6.user_activity_hhi,
+        "value_quartiles_by_type": PL6.value_quartiles_by_type,
+        "order_width_histogram": PL6.order_width_histogram,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -320,6 +325,10 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_price_spread": PL5.PART_BRAND_PRICE_SPREAD_SQL,
         "streaming_merge_apply": SI.STREAMING_MERGE_APPLY_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
+        "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,
+        "user_activity_hhi": PL6.USER_ACTIVITY_HHI_SQL,
+        "value_quartiles_by_type": PL6.VALUE_QUARTILES_BY_TYPE_SQL,
+        "order_width_histogram": PL6.ORDER_WIDTH_HISTOGRAM_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

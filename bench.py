@@ -226,6 +226,10 @@ HEADLINE = [
     "part_brand_price_spread",
     "streaming_merge_apply",
     "streaming_scd2_enrich",
+    "nation_revenue_hhi",
+    "user_activity_hhi",
+    "value_quartiles_by_type",
+    "order_width_histogram",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

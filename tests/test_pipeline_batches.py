@@ -109,3 +109,63 @@ def test_prefix_histogram_conserves_docs(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert sum(r.n_docs for r in rows) == n_docs
     assert all(r.n_docs == r.group_size * r.n_prefixes for r in rows)
+
+
+def test_peak_concurrency_bounds(spark):
+    """Each hour's active-session count is ≥ the number of sessions
+    STARTING in it and Σ over hours ≥ total sessions (every session
+    covers ≥1 hour)."""
+    from oracledb_datapump_spark.operators.analytics import events_sessionize
+    from oracledb_datapump_spark.operators.pipeline5 import (
+        peak_concurrent_sessions,
+    )
+
+    rows = {r.hour_epoch: r.n_active_sessions for r in peak_concurrent_sessions(spark, SF).collect()}
+    sess = events_sessionize(spark, SF).collect()
+    assert sum(rows.values()) >= len(sess)
+    starts: dict[int, int] = {}
+    for s in sess:
+        h = (s.session_start_us // 3_600_000_000) * 3600
+        starts[h] = starts.get(h, 0) + 1
+    for h, c in starts.items():
+        assert rows.get(h, 0) >= c, (h, c, rows.get(h))
+
+
+def test_degree_histogram_conserves_pair_endpoints(spark):
+    """Σ degree·n_docs = 2·|verified pairs| (every pair contributes two
+    endpoint slots)."""
+    from oracledb_datapump_spark.operators.dedup import verified_pairs_cached
+    from oracledb_datapump_spark.operators.pipeline5 import dup_degree_histogram
+
+    rows = dup_degree_histogram(spark, SF).collect()
+    n_pairs = verified_pairs_cached(spark, SF).count()
+    assert sum(r.degree * r.n_docs for r in rows) == 2 * n_pairs
+
+
+def test_hhi_bounds_and_monopoly_floor(spark):
+    """hhi_ppm ∈ [1e6/n (rounded down), 1e6]; a single-participant
+    group scores ~1e6 (ppm truncation loses at most n ppm)."""
+    from oracledb_datapump_spark.operators.pipeline6 import (
+        nation_revenue_hhi,
+        user_activity_hhi,
+    )
+
+    for df, n_col in (
+        (nation_revenue_hhi(spark, SF), "n_suppliers"),
+        (user_activity_hhi(spark, SF), "n_users"),
+    ):
+        for r in df.collect():
+            n = getattr(r, n_col)
+            assert r.hhi_ppm <= 1_000_000, r
+            assert r.hhi_ppm >= 1_000_000 // n - n, r
+            if n == 1:
+                assert r.hhi_ppm >= 1_000_000 - 2, r
+
+
+def test_quartiles_monotone(spark):
+    from oracledb_datapump_spark.operators.pipeline6 import (
+        value_quartiles_by_type,
+    )
+
+    for r in value_quartiles_by_type(spark, SF).collect():
+        assert r.p25_cents <= r.p50_cents <= r.p75_cents, r
