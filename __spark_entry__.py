@@ -49,6 +49,7 @@ from oracledb_datapump_spark.operators import pipeline3 as PL3
 from oracledb_datapump_spark.operators import pipeline4 as PL4
 from oracledb_datapump_spark.operators import pipeline5 as PL5
 from oracledb_datapump_spark.operators import pipeline6 as PL6
+from oracledb_datapump_spark.operators import pipeline7 as PL7
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -177,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity_hhi": PL6.user_activity_hhi,
         "value_quartiles_by_type": PL6.value_quartiles_by_type,
         "order_width_histogram": PL6.order_width_histogram,
+        "pii_hit_rates": PL7.pii_hit_rates,
+        "session_funnel_rates": PL7.session_funnel_rates,
+        "dau_wau_stickiness": PL7.dau_wau_stickiness,
+        "simhash_pair_hamming": PL7.simhash_pair_hamming,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -329,6 +334,10 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_hhi": PL6.USER_ACTIVITY_HHI_SQL,
         "value_quartiles_by_type": PL6.VALUE_QUARTILES_BY_TYPE_SQL,
         "order_width_histogram": PL6.ORDER_WIDTH_HISTOGRAM_SQL,
+        "pii_hit_rates": PL7.PII_HIT_RATES_SQL,
+        "session_funnel_rates": PL7.SESSION_FUNNEL_RATES_SQL,
+        "dau_wau_stickiness": PL7.DAU_WAU_STICKINESS_SQL,
+        "simhash_pair_hamming": PL7.SIMHASH_PAIR_HAMMING_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

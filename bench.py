@@ -230,6 +230,10 @@ HEADLINE = [
     "user_activity_hhi",
     "value_quartiles_by_type",
     "order_width_histogram",
+    "pii_hit_rates",
+    "session_funnel_rates",
+    "dau_wau_stickiness",
+    "simhash_pair_hamming",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

@@ -558,13 +558,27 @@ ORDER BY doc_a, doc_b
 # checkpointed DataFrame would not survive between queries).
 _VERIFIED_PAIRS_CACHE: dict[tuple[str, str], tuple[list, "T.StructType"]] = {}
 
+# Driver-memo safety valve: beyond this many pairs the list is no longer
+# "model-scale" and collecting it would risk driver OOM (a 30%-duplicate
+# web corpus can emit billions of pairs). Past the cap the memo is
+# SKIPPED and callers get a localCheckpointed distributed frame instead —
+# consumers lose cross-query reuse but never correctness or the driver.
+VERIFIED_PAIRS_MEMO_MAX = 2_000_000
+
 
 def verified_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_minhash_verified(default docs), memoized on the driver."""
+    """dedup_minhash_verified(default docs), memoized on the driver when
+    the pair list is model-scale (≤ {VERIFIED_PAIRS_MEMO_MAX} rows);
+    otherwise a lineage-truncated distributed frame (the memo is an
+    optimization, never a correctness dependency)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _VERIFIED_PAIRS_CACHE.get(key)
     if hit is None:
-        src = dedup_minhash_verified(spark, sf_dir)
+        src = dedup_minhash_verified(spark, sf_dir).localCheckpoint(eager=True)
+        # the checkpoint is already materialized, so this count reads
+        # block metadata — no row transfer happens before the decision
+        if src.count() > VERIFIED_PAIRS_MEMO_MAX:
+            return src
         rows = [tuple(r) for r in src.collect()]
         hit = (rows, src.schema)
         _VERIFIED_PAIRS_CACHE[key] = hit

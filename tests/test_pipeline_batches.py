@@ -169,3 +169,22 @@ def test_quartiles_monotone(spark):
 
     for r in value_quartiles_by_type(spark, SF).collect():
         assert r.p25_cents <= r.p50_cents <= r.p75_cents, r
+
+
+def test_verified_pairs_memo_cap_falls_back_to_distributed(spark, monkeypatch):
+    """Past VERIFIED_PAIRS_MEMO_MAX the memo must be skipped (no driver
+    collect) while returning the same rows."""
+    from oracledb_datapump_spark.operators import dedup as D
+
+    D._VERIFIED_PAIRS_CACHE.pop(
+        (spark.sparkContext.applicationId, SF), None
+    )
+    monkeypatch.setattr(D, "VERIFIED_PAIRS_MEMO_MAX", 0)
+    big = sorted(tuple(r) for r in D.verified_pairs_cached(spark, SF).collect())
+    assert (
+        spark.sparkContext.applicationId,
+        SF,
+    ) not in D._VERIFIED_PAIRS_CACHE  # cap respected: nothing memoized
+    monkeypatch.setattr(D, "VERIFIED_PAIRS_MEMO_MAX", 2_000_000)
+    small = sorted(tuple(r) for r in D.verified_pairs_cached(spark, SF).collect())
+    assert big == small and len(small) > 0
