@@ -50,6 +50,7 @@ from oracledb_datapump_spark.operators import pipeline4 as PL4
 from oracledb_datapump_spark.operators import pipeline5 as PL5
 from oracledb_datapump_spark.operators import pipeline6 as PL6
 from oracledb_datapump_spark.operators import pipeline7 as PL7
+from oracledb_datapump_spark.operators import pipeline8 as PL8
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -182,6 +183,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel_rates": PL7.session_funnel_rates,
         "dau_wau_stickiness": PL7.dau_wau_stickiness,
         "simhash_pair_hamming": PL7.simhash_pair_hamming,
+        "rolling_retention_7d": PL8.rolling_retention_7d,
+        "dedup_token_savings": PL8.dedup_token_savings,
+        "ship_lag_quartiles_by_priority": PL8.ship_lag_quartiles_by_priority,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -338,6 +342,9 @@ def oracle_sql() -> dict[str, str]:
         "session_funnel_rates": PL7.SESSION_FUNNEL_RATES_SQL,
         "dau_wau_stickiness": PL7.DAU_WAU_STICKINESS_SQL,
         "simhash_pair_hamming": PL7.SIMHASH_PAIR_HAMMING_SQL,
+        "rolling_retention_7d": PL8.ROLLING_RETENTION_7D_SQL,
+        "dedup_token_savings": PL8.DEDUP_TOKEN_SAVINGS_SQL,
+        "ship_lag_quartiles_by_priority": PL8.SHIP_LAG_QUARTILES_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

@@ -234,6 +234,9 @@ HEADLINE = [
     "session_funnel_rates",
     "dau_wau_stickiness",
     "simhash_pair_hamming",
+    "rolling_retention_7d",
+    "dedup_token_savings",
+    "ship_lag_quartiles_by_priority",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
