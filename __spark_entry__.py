@@ -51,6 +51,7 @@ from oracledb_datapump_spark.operators import pipeline5 as PL5
 from oracledb_datapump_spark.operators import pipeline6 as PL6
 from oracledb_datapump_spark.operators import pipeline7 as PL7
 from oracledb_datapump_spark.operators import pipeline8 as PL8
+from oracledb_datapump_spark.operators import pipeline9 as PL9
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -186,6 +187,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_retention_7d": PL8.rolling_retention_7d,
         "dedup_token_savings": PL8.dedup_token_savings,
         "ship_lag_quartiles_by_priority": PL8.ship_lag_quartiles_by_priority,
+        "weekly_new_vs_returning": PL9.weekly_new_vs_returning,
+        "events_interarrival_moments": PL9.events_interarrival_moments,
+        "cold_start_users": PL9.cold_start_users,
+        "revenue_pareto_bands": PL9.revenue_pareto_bands,
         # r03-green backfill displaced by the second new-operator batch
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
@@ -345,6 +350,10 @@ def oracle_sql() -> dict[str, str]:
         "rolling_retention_7d": PL8.ROLLING_RETENTION_7D_SQL,
         "dedup_token_savings": PL8.DEDUP_TOKEN_SAVINGS_SQL,
         "ship_lag_quartiles_by_priority": PL8.SHIP_LAG_QUARTILES_SQL,
+        "weekly_new_vs_returning": PL9.WEEKLY_NEW_VS_RETURNING_SQL,
+        "events_interarrival_moments": PL9.EVENTS_INTERARRIVAL_MOMENTS_SQL,
+        "cold_start_users": PL9.COLD_START_USERS_SQL,
+        "revenue_pareto_bands": PL9.REVENUE_PARETO_BANDS_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

@@ -237,6 +237,10 @@ HEADLINE = [
     "rolling_retention_7d",
     "dedup_token_savings",
     "ship_lag_quartiles_by_priority",
+    "weekly_new_vs_returning",
+    "events_interarrival_moments",
+    "cold_start_users",
+    "revenue_pareto_bands",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

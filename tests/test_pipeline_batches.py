@@ -188,3 +188,53 @@ def test_verified_pairs_memo_cap_falls_back_to_distributed(spark, monkeypatch):
     monkeypatch.setattr(D, "VERIFIED_PAIRS_MEMO_MAX", 2_000_000)
     small = sorted(tuple(r) for r in D.verified_pairs_cached(spark, SF).collect())
     assert big == small and len(small) > 0
+
+
+def test_new_returning_conserves_weekly_actives(spark):
+    from oracledb_datapump_spark.operators.pipeline7 import dau_wau_stickiness
+    from oracledb_datapump_spark.operators.pipeline9 import (
+        weekly_new_vs_returning,
+    )
+
+    growth = {r.week_idx: (r.n_new, r.n_returning) for r in weekly_new_vs_returning(spark, SF).collect()}
+    wau = {r.week_idx: r.wau for r in dau_wau_stickiness(spark, SF).collect()}
+    assert set(growth) == set(wau)
+    for wk, (new, ret) in growth.items():
+        assert new + ret == wau[wk], (wk, new, ret, wau[wk])
+    # the first week is all-new by definition
+    first = min(growth)
+    assert growth[first][1] == 0
+
+
+def test_retention_and_pareto_shares_bounded(spark):
+    from oracledb_datapump_spark.operators.pipeline8 import rolling_retention_7d
+    from oracledb_datapump_spark.operators.pipeline9 import revenue_pareto_bands
+
+    for r in rolling_retention_7d(spark, SF).collect():
+        assert 0 <= r.n_retained <= r.n_active and 0 <= r.retained_ppm <= 1_000_000
+    bands = revenue_pareto_bands(spark, SF).collect()
+    total_share = sum(r.share_ppm for r in bands)
+    # ppm truncation loses < 1 ppm per band
+    assert 1_000_000 - len(bands) <= total_share <= 1_000_000
+
+
+def test_interarrival_moments_consistent(spark):
+    """n_gaps per type = n_events(type) − 1, and Cauchy-Schwarz holds
+    for the second moment (gap2s is per-term-truncated, so allow the
+    truncation slack of 1 per gap on the right side)."""
+    from oracledb_datapump_spark.events_source import load_events
+    from oracledb_datapump_spark.operators.pipeline9 import (
+        events_interarrival_moments,
+    )
+    from pyspark.sql import functions as FF
+
+    counts = {
+        r.event_type: r.c
+        for r in load_events(spark, SF)
+        .groupBy("event_type")
+        .agg(FF.count(FF.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in events_interarrival_moments(spark, SF).collect():
+        assert r.n_gaps == counts[r.event_type] - 1
+        assert r.max_gap_ms * r.n_gaps >= r.sum_gap_ms
