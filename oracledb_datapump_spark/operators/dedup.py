@@ -554,9 +554,14 @@ ORDER BY doc_a, doc_b
 # ≪ corpus — at 100 TB web scale the near-dup pair list is the dedup
 # OUTPUT, orders of magnitude below the input), keyed by
 # (applicationId, sf_dir) so a new Spark app or dataset recomputes, and
-# held as plain Python data because bench.py unpersists all RDDs (a
-# checkpointed DataFrame would not survive between queries).
-_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], tuple[list, "T.StructType"]] = {}
+# held as an ARROW TABLE (not Python tuples: createDataFrame from Arrow
+# ships columnar batches to the JVM with no per-row pickling, so a
+# near-cap 2M-row memo costs MBs of zero-copy transfer per consumer
+# instead of hundreds of MBs of tuple RPC) because bench.py unpersists
+# all RDDs (a checkpointed DataFrame would not survive between queries).
+# Value None memoizes the OVER-CAP verdict so repeat consumers skip the
+# redundant checkpoint+count and go straight to the distributed path.
+_VERIFIED_PAIRS_CACHE: dict[tuple[str, str], "object | None"] = {}
 
 # Driver-memo safety valve: beyond this many pairs the list is no longer
 # "model-scale" and collecting it would risk driver OOM (a 30%-duplicate
@@ -566,23 +571,37 @@ _VERIFIED_PAIRS_CACHE: dict[tuple[str, str], tuple[list, "T.StructType"]] = {}
 VERIFIED_PAIRS_MEMO_MAX = 2_000_000
 
 
+def _evict_other_sf_dirs(app_id: str, sf_dir: str) -> None:
+    """Keep only the most recent sf_dir per application: a long-lived app
+    touching many datasets would otherwise pin up to the cap's worth of
+    rows per sf_dir for its lifetime."""
+    for stale in [
+        k for k in _VERIFIED_PAIRS_CACHE if k[0] == app_id and k[1] != sf_dir
+    ]:
+        del _VERIFIED_PAIRS_CACHE[stale]
+
+
 def verified_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_minhash_verified(default docs), memoized on the driver when
     the pair list is model-scale (≤ {VERIFIED_PAIRS_MEMO_MAX} rows);
     otherwise a lineage-truncated distributed frame (the memo is an
     optimization, never a correctness dependency)."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _VERIFIED_PAIRS_CACHE.get(key)
-    if hit is None:
+    if key not in _VERIFIED_PAIRS_CACHE:
         src = dedup_minhash_verified(spark, sf_dir).localCheckpoint(eager=True)
-        # the checkpoint is already materialized, so this count reads
-        # block metadata — no row transfer happens before the decision
+        # the checkpoint is already materialized, so this count scans the
+        # cached blocks executor-side — no rows reach the driver
         if src.count() > VERIFIED_PAIRS_MEMO_MAX:
+            _evict_other_sf_dirs(key[0], sf_dir)
+            _VERIFIED_PAIRS_CACHE[key] = None  # memoized over-cap verdict
             return src
-        rows = [tuple(r) for r in src.collect()]
-        hit = (rows, src.schema)
-        _VERIFIED_PAIRS_CACHE[key] = hit
-    return spark.createDataFrame(hit[0], hit[1])
+        _evict_other_sf_dirs(key[0], sf_dir)
+        _VERIFIED_PAIRS_CACHE[key] = src.toArrow()
+    tbl = _VERIFIED_PAIRS_CACHE[key]
+    if tbl is None:
+        # over-cap: rebuild the distributed frame, skipping the count
+        return dedup_minhash_verified(spark, sf_dir).localCheckpoint(eager=True)
+    return spark.createDataFrame(tbl)
 
 
 # ---------------------------------------------------------------------------

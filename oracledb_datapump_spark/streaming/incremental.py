@@ -48,6 +48,80 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "30 m
     )
 
 
+def stage_events_arrivals(spark: SparkSession, sf_dir: str, src_dir: str):
+    """Plan the two-cycle arrival simulation for a streaming harness:
+    split the ``events`` fixture at its mid-timeline into an early and a
+    late half, entirely Spark-side (filter + single-file write — the
+    driver never reads event rows, it only renames the finished part
+    file). Returns a list of zero-arg callables; each call lands the
+    next arrival file (``events-N.parquet``) in ``src_dir``. Degenerate
+    timelines (all-equal ts → an empty half) collapse to a single
+    arrival of the whole fixture.
+
+    The split point only affects WHICH cycle processes a row, never the
+    converged result, so any consumer's final aggregate is
+    split-point-independent by construction."""
+    from ..events_source import load_events
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = lo + (hi - lo) // 2
+    # land the fixture's own schema, not the helper column
+    raw = ev.drop("ts_us")
+    early = ev.filter(F.col("ts_us") < F.lit(mid)).drop("ts_us")
+    late = ev.filter(F.col("ts_us") >= F.lit(mid)).drop("ts_us")
+    n_early = early.count()
+    n_late = late.count()
+    if n_early == 0 or n_late == 0:
+        return [
+            lambda: _land_single_parquet(
+                raw, os.path.join(src_dir, "events-0.parquet")
+            )
+        ]
+    return [
+        lambda: _land_single_parquet(
+            early, os.path.join(src_dir, "events-0.parquet")
+        ),
+        lambda: _land_single_parquet(
+            late, os.path.join(src_dir, "events-1.parquet")
+        ),
+    ]
+
+
+def _land_single_parquet(df: DataFrame, dest_file: str) -> None:
+    """Write ``df`` as ONE parquet file at ``dest_file`` (the arrival
+    contract of the watched source dir). Spark writes a single-part
+    directory next to the destination; the driver's only role is the
+    atomic rename of the finished part file — no row ever crosses the
+    driver."""
+    import shutil
+
+    stage = dest_file + ".__stage__"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        n for n in sorted(os.listdir(stage))
+        if n.startswith("part-") and n.endswith(".parquet")
+    )
+    os.replace(os.path.join(stage, part), dest_file)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _last_committed_batch(checkpoint_dir: str) -> int:
+    """Highest committed batchId in a streaming checkpoint's ``commits/``
+    log (−1 if none). The commit log is the source of truth for how far
+    a checkpointed query has progressed — unlike ``recentProgress``,
+    which is a ring buffer capped at
+    spark.sql.streaming.numRecentProgressUpdates (default 100) and
+    silently truncates a long drain's batch count."""
+    d = os.path.join(checkpoint_dir, "commits")
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return -1
+    ids = [int(n) for n in names if n.isdigit()]
+    return max(ids, default=-1)
+
+
 def run_incremental_export(
     spark: SparkSession,
     src_dir: str,
@@ -59,6 +133,7 @@ def run_incremental_export(
     Re-running after new files land continues from the checkpoint —
     exactly-once append (CDC-style incremental export)."""
     checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    before = _last_committed_batch(checkpoint_dir)
     events = stream_events(spark, src_dir)
     agg = windowed_counts(events)
     flat = agg.select(
@@ -77,17 +152,14 @@ def run_incremental_export(
         .start()
     )
     q.awaitTermination()
-    # recentProgress covers only THIS run's micro-batches; lastProgress's
-    # batchId is cumulative across the checkpoint's lifetime and would
-    # over-report every cycle after the first. Count via the batchId SPAN
-    # within this run, not len(): the recentProgress buffer is capped at
-    # spark.sql.streaming.numRecentProgressUpdates (default 100), so a
-    # single drain spanning >100 micro-batches would under-report by len().
-    progress = list(q.recentProgress)
-    if progress:
-        batches = int(progress[-1].batchId) - int(progress[0].batchId) + 1
-    else:
-        batches = 0
+    # Count this run's micro-batches from the checkpoint COMMIT LOG
+    # (after − before on the committed batchId): recentProgress is a ring
+    # buffer capped at numRecentProgressUpdates (default 100), so any
+    # span derived from it — len() or first/last batchId — caps at the
+    # buffer size for a long drain; lastProgress.batchId alone is
+    # cumulative across the checkpoint's lifetime and would over-report
+    # every cycle after the first.
+    batches = _last_committed_batch(checkpoint_dir) - before
     return {
         "batches": batches,
         "sink_path": os.path.join(out_dir, "windowed"),
@@ -117,31 +189,18 @@ def incremental_export_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Split point is mid-timeline, so every cycle-2 event is newer than
     cycle 1's watermark (no cross-cycle late drops) — the real
     streaming-ingestion contract: arrival ordered to within the
-    watermark tolerance. Runs against throwaway source/sink/checkpoint
-    dirs; result pinned with localCheckpoint before cleanup."""
+    watermark tolerance. The split itself is Spark-side
+    (stage_events_arrivals — no full-table driver read). Runs against
+    throwaway source/sink/checkpoint dirs; result pinned with
+    localCheckpoint before cleanup."""
     import shutil
     import tempfile
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     src = tempfile.mkdtemp(prefix="dp_increxp_src_")
     out = tempfile.mkdtemp(prefix="dp_increxp_out_")
     try:
-        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-        ts = tbl.column("ts")
-        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
-        mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
-        early = tbl.filter(pc.less(ts, mid))
-        late = tbl.filter(pc.greater_equal(ts, mid))
-        if early.num_rows == 0 or late.num_rows == 0:
-            # degenerate timeline (all-equal ts): single-cycle fallback
-            pq.write_table(tbl, os.path.join(src, "events-0.parquet"))
-            info = run_incremental_export(spark, src, out)
-        else:
-            pq.write_table(early, os.path.join(src, "events-0.parquet"))
-            run_incremental_export(spark, src, out)
-            pq.write_table(late, os.path.join(src, "events-1.parquet"))
+        for land in stage_events_arrivals(spark, sf_dir, src):
+            land()
             info = run_incremental_export(spark, src, out)
         return (
             spark.read.parquet(info["sink_path"])
@@ -234,6 +293,11 @@ def run_merge_apply_cycle(
     stream = stream_events(spark, src_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # probe the RAW batch: an empty input implies an empty reduction,
+        # and probing the reduced frame would run the row_number window
+        # twice (once for the probe, once for the write)
+        if batch_df.isEmpty():
+            return
         reduced = (
             batch_df.withColumn("ts_us", F.unix_micros("event_time"))
             .withColumn(
@@ -255,8 +319,6 @@ def run_merge_apply_cycle(
                 ),
             )
         )
-        if not reduced.take(1):
-            return
         stage = tempfile.mkdtemp(prefix="dp_apply_stage_")
         dump = tempfile.mkdtemp(prefix="dp_apply_dump_")
         try:
@@ -313,12 +375,10 @@ def streaming_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The time split guarantees every cycle-2 row is newer than any
     cycle-1 row for the same user, so engine.py's incoming-beats-
     existing precedence IS newest-wins across cycles; within a batch
-    the explicit (ts_us, event_id) reduction pins the survivor."""
+    the explicit (ts_us, event_id) reduction pins the survivor. The
+    arrival split is Spark-side (stage_events_arrivals)."""
     import shutil
     import tempfile
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..catalog import ParquetConnector
 
@@ -326,19 +386,8 @@ def streaming_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = tempfile.mkdtemp(prefix="dp_apply_wh_")
     cp = tempfile.mkdtemp(prefix="dp_apply_cp_")
     try:
-        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-        ts = tbl.column("ts")
-        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
-        mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
-        early = tbl.filter(pc.less(ts, mid))
-        late = tbl.filter(pc.greater_equal(ts, mid))
-        if early.num_rows == 0 or late.num_rows == 0:
-            pq.write_table(tbl, os.path.join(src, "events-0.parquet"))
-            run_merge_apply_cycle(spark, src, wh, cp)
-        else:
-            pq.write_table(early, os.path.join(src, "events-0.parquet"))
-            run_merge_apply_cycle(spark, src, wh, cp)
-            pq.write_table(late, os.path.join(src, "events-1.parquet"))
+        for land in stage_events_arrivals(spark, sf_dir, src):
+            land()
             run_merge_apply_cycle(spark, src, wh, cp)
         out = (
             ParquetConnector(wh)

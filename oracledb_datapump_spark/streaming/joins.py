@@ -239,33 +239,21 @@ def streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap, so each event matches ≤ 1 row) plus the value sum put the
     stream-static join AND the exactly-once file sink under the
     cross-engine hash. Sibling of streaming_merge_apply: that gates the
-    upsert path, this gates the enrichment path."""
+    upsert path, this gates the enrichment path. The arrival split is
+    Spark-side (incremental.stage_events_arrivals)."""
     import shutil
     import tempfile
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
     from ..operators.temporal import scd2_user_value
+    from .incremental import stage_events_arrivals
 
     src = tempfile.mkdtemp(prefix="dp_enrich_src_")
     sink = tempfile.mkdtemp(prefix="dp_enrich_sink_")
     cp = tempfile.mkdtemp(prefix="dp_enrich_cp_")
     try:
         dim = scd2_user_value(spark, sf_dir).localCheckpoint(eager=True)
-        tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-        ts = tbl.column("ts")
-        lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
-        mid = lo + (hi - lo) // 2 if isinstance(lo, int) else lo + (hi - lo) / 2
-        early = tbl.filter(pc.less(ts, mid))
-        late = tbl.filter(pc.greater_equal(ts, mid))
-        if early.num_rows == 0 or late.num_rows == 0:
-            pq.write_table(tbl, os.path.join(src, "events-0.parquet"))
-            run_scd2_enrich_cycle(spark, src, sink, cp, dim)
-        else:
-            pq.write_table(early, os.path.join(src, "events-0.parquet"))
-            run_scd2_enrich_cycle(spark, src, sink, cp, dim)
-            pq.write_table(late, os.path.join(src, "events-1.parquet"))
+        for land in stage_events_arrivals(spark, sf_dir, src):
+            land()
             run_scd2_enrich_cycle(spark, src, sink, cp, dim)
         out = (
             spark.read.parquet(sink)

@@ -80,23 +80,22 @@ def make_tracker(idle_flush_ms: int):
                     # KEEP the numbering memory: removing state here made
                     # the user's next session restart at seq 1, colliding
                     # with this emitted (user_id, seq) key. The keep-alive
-                    # placeholder persists (re-armed below on every
-                    # timeout), so (user_id, session_seq) stays unique for
-                    # the stream's lifetime — matching the batch
-                    # sessionizer's cumulative per-user numbering. State
-                    # cost: one (seq, last-ts) row per distinct user ever
-                    # seen — the same cardinality class as stream dedup
-                    # state, and the minimum any strictly-unique numbering
-                    # scheme must remember.
+                    # placeholder persists WITHOUT a timeout — under
+                    # ProcessingTimeTimeout a key whose handler sets no new
+                    # duration never fires again, so an idle user costs one
+                    # dormant (seq, None) row instead of a wakeup every
+                    # idle window for the stream's lifetime. The next real
+                    # event re-reads seq and re-arms. State cost: one row
+                    # per distinct user ever seen — the same cardinality
+                    # class as stream dedup state, and the minimum any
+                    # strictly-unique numbering scheme must remember.
                     state.update((seq + 1, None, 0, None))
-                    state.setTimeoutDuration(idle_flush_ms)
                 else:
-                    # n == 0: this IS the keep-alive placeholder timing
-                    # out. Re-arm instead of removing — dropping it after
-                    # one idle window only deferred the seq-1 collision
-                    # (a user idle for two windows restarted at 1).
+                    # n == 0 placeholder timing out: unreachable now that
+                    # placeholders are persisted un-armed, but if a legacy
+                    # checkpoint carries an armed one, persist it un-armed
+                    # (numbering survives, timer churn stops here).
                     state.update((seq, last, n, start))
-                    state.setTimeoutDuration(idle_flush_ms)
             else:
                 state.remove()
         else:
