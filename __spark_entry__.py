@@ -72,79 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gated prefix; queries proven green in an earlier round with unchanged
     code sit after the fold (r01-r03 rows are the standing evidence)."""
     return {
-        # --- gated prefix (round 6): 9 NEW operators, then every
-        # operator whose code changed this round, then oldest-green
-        # backfill to the 50-entry fold -----------------------------------
-        # new: CDC-style incremental export under the hash gate (two
-        # checkpointed availableNow cycles must equal the batch aggregate
-        # below the final watermark) — r5 verdict ask #6
-        "incremental_export_cycles": SI.incremental_export_cycles,
-        # new: pipeline.py — curation/QA dashboards over the existing
-        # dedup / quality / DSIR / events primitives
-        "dedup_keep_best": PL.dedup_keep_best,
-        "minhash_band_hitrates": PL.minhash_band_hitrates,
-        "host_cap_sample": PL.host_cap_sample,
-        "filter_ablation_report": PL.filter_ablation_report,
-        "hourly_heavy_hitters": PL.hourly_heavy_hitters,
-        "events_anomaly_hours": PL.events_anomaly_hours,
-        "dsir_resample_plan": PL.dsir_resample_plan,
-        "user_recency_weight": PL.user_recency_weight,
-        # --- dedup.py changed (verified-pair memo + candidate-restricted
-        # size broadcasts): the whole verified-pair consumer family
-        # re-proves under the hash ---------------------------------------
-        "dedup_minhash_pairs": D.dedup_minhash_pairs,
-        "dedup_minhash_verified": D.dedup_minhash_verified,
-        "dedup_groups": D.dedup_groups,
-        "dedup_group_size_histogram": EV.dedup_group_size_histogram,
-        "contrastive_pairs": D.contrastive_pairs,
-        "source_overlap_matrix": D.source_overlap_matrix,
-        "minhash_estimate_accuracy": D.minhash_estimate_accuracy,
-        "dedup_rate_by_source": EV.dedup_rate_by_source,
-        "curated_corpus": CU.curated_corpus,
-        "curated_corpus_v2": CU.curated_corpus_v2,
-        "curated_corpus_v3": CU.curated_corpus_v3,
-        # --- events_source.py changed (per-row-group epoch-unit guard):
-        # every batch + streaming events consumer re-proves ---------------
-        "events_hourly_rollup": A.events_hourly_rollup,
-        "events_sessionize": A.events_sessionize,
-        "funnel_conversion": A5.funnel_conversion,
-        "events_json_stats": A4.events_json_stats,
-        "asof_attribution": TM.asof_attribution,
-        "scd2_user_value": TM.scd2_user_value,
-        "range_join_nearby": TM.range_join_nearby,
-        "rolling_window_activity": TM.rolling_window_activity,
-        "cohort_retention": TM.cohort_retention,
-        "gapfill_hourly": TM.gapfill_hourly,
-        "streaming_rollup_closed": SD.streaming_rollup_closed,
-        # stateful.py also changed: keep-alive placeholder now persists
-        "streaming_sessions_closed": ST.streaming_sessions_closed,
-        "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
-        "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
-        "streaming_dedup_unique": SD.streaming_dedup_unique,
-        # new (second batch): vocabulary/novelty/contamination/embedding-
-        # health/attribution-latency/threshold-sweep/lang-matrix/length-
-        # band dashboards
-        "zipf_vocab_curve": PL.zipf_vocab_curve,
-        "ngram_novelty_by_source": PL.ngram_novelty_by_source,
-        "contamination_by_source": PL.contamination_by_source,
-        "embedding_norm_outliers": PL.embedding_norm_outliers,
-        "attribution_latency_histogram": PL.attribution_latency_histogram,
-        "dedup_threshold_curve": PL.dedup_threshold_curve,
-        "source_lang_matrix": PL.source_lang_matrix,
-        "length_decile_bands": PL.length_decile_bands,
-        # --- backfill to the fold: the OLDEST standing green rows (r03)
-        # refresh their evidence ------------------------------------------
-        "dedup_exact": D.dedup_exact,
-        "simhash_fingerprints": D.simhash_fingerprints,
-        "q1_pricing_summary": A.q1_pricing_summary,
-        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
-        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
-        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
-        "q8_market_share": A5.q8_market_share,
-        # ---------------- fold: entry 51+ below -------------------------
-        # NEW in round 6, past the fold (the prefix was full): first in
-        # line for the round-7 gated prefix; hash-verified at sf0.001 +
-        # sf0.01 by tests/test_queries_oracle.py until then
+        # --- gated prefix (round 7): the 46 round-6 queries that have
+        # never had a driver CORRECTNESS row (added past a full r6
+        # prefix), then this round's new + changed-code slots — exactly
+        # the r6 verdict's rotation prescription --------------------------
         "doc_embedding_coverage": PL2.doc_embedding_coverage,
         "session_length_histogram": PL2.session_length_histogram,
         "quality_vs_dup_matrix": PL2.quality_vs_dup_matrix,
@@ -191,7 +122,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interarrival_moments": PL9.events_interarrival_moments,
         "cold_start_users": PL9.cold_start_users,
         "revenue_pareto_bands": PL9.revenue_pareto_bands,
-        # r03-green backfill displaced by the second new-operator batch
+        # new this round: CDC merge-apply under schema evolution
+        # (DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION) on the streaming path)
+        "streaming_merge_evolve": SI.streaming_merge_evolve,
+        # round-7 changed-code slots: incremental.py (commit-log batch
+        # counting, Spark-side arrival split), stateful.py (un-armed
+        # keep-alive placeholder), dedup.py (Arrow-backed verified-pair
+        # memo — dedup_groups is the representative consumer; the rest
+        # of the memo family sits first past the fold, standing evidence
+        # tests/test_queries_oracle.py at sf0.001+0.01)
+        "incremental_export_cycles": SI.incremental_export_cycles,
+        "streaming_sessions_closed": ST.streaming_sessions_closed,
+        "dedup_groups": D.dedup_groups,
+        # ---------------- fold: entry 51+ below -------------------------
+        # dedup.py memo-family consumers (code changed r7) past the fold:
+        # green r06 rows + this round's local oracle re-verification at
+        # both scales are the documented standing evidence
+        "dedup_minhash_pairs": D.dedup_minhash_pairs,
+        "dedup_minhash_verified": D.dedup_minhash_verified,
+        "dedup_group_size_histogram": EV.dedup_group_size_histogram,
+        "contrastive_pairs": D.contrastive_pairs,
+        "source_overlap_matrix": D.source_overlap_matrix,
+        "minhash_estimate_accuracy": D.minhash_estimate_accuracy,
+        "dedup_rate_by_source": EV.dedup_rate_by_source,
+        "curated_corpus": CU.curated_corpus,
+        "curated_corpus_v2": CU.curated_corpus_v2,
+        "curated_corpus_v3": CU.curated_corpus_v3,
+        # green r06 rows, code unchanged this round
+        "dedup_keep_best": PL.dedup_keep_best,
+        "minhash_band_hitrates": PL.minhash_band_hitrates,
+        "host_cap_sample": PL.host_cap_sample,
+        "filter_ablation_report": PL.filter_ablation_report,
+        "hourly_heavy_hitters": PL.hourly_heavy_hitters,
+        "events_anomaly_hours": PL.events_anomaly_hours,
+        "dsir_resample_plan": PL.dsir_resample_plan,
+        "user_recency_weight": PL.user_recency_weight,
+        "zipf_vocab_curve": PL.zipf_vocab_curve,
+        "ngram_novelty_by_source": PL.ngram_novelty_by_source,
+        "contamination_by_source": PL.contamination_by_source,
+        "embedding_norm_outliers": PL.embedding_norm_outliers,
+        "attribution_latency_histogram": PL.attribution_latency_histogram,
+        "dedup_threshold_curve": PL.dedup_threshold_curve,
+        "source_lang_matrix": PL.source_lang_matrix,
+        "length_decile_bands": PL.length_decile_bands,
+        "events_hourly_rollup": A.events_hourly_rollup,
+        "events_sessionize": A.events_sessionize,
+        "funnel_conversion": A5.funnel_conversion,
+        "events_json_stats": A4.events_json_stats,
+        "asof_attribution": TM.asof_attribution,
+        "scd2_user_value": TM.scd2_user_value,
+        "range_join_nearby": TM.range_join_nearby,
+        "rolling_window_activity": TM.rolling_window_activity,
+        "cohort_retention": TM.cohort_retention,
+        "gapfill_hourly": TM.gapfill_hourly,
+        "streaming_rollup_closed": SD.streaming_rollup_closed,
+        "streaming_attribution_pairs": SJ.streaming_attribution_pairs,
+        "streaming_cms_cells": SK2.streaming_cms_cells_cycle,
+        "streaming_dedup_unique": SD.streaming_dedup_unique,
+        "dedup_exact": D.dedup_exact,
+        "simhash_fingerprints": D.simhash_fingerprints,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "datapump_roundtrip_nation": E.datapump_roundtrip_nation,
+        "datapump_roundtrip_supplier": E.datapump_roundtrip_supplier,
+        "q2_min_cost_supplier": A5.q2_min_cost_supplier,
+        "q8_market_share": A5.q8_market_share,
         "embedding_normalize": EM.embedding_normalize,
         "embedding_quantize": EM.embedding_quantize,
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
@@ -338,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_mix_by_month": PL5.ORDER_PRIORITY_MIX_SQL,
         "part_brand_price_spread": PL5.PART_BRAND_PRICE_SPREAD_SQL,
         "streaming_merge_apply": SI.STREAMING_MERGE_APPLY_SQL,
+        "streaming_merge_evolve": SI.STREAMING_MERGE_EVOLVE_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,
         "user_activity_hhi": PL6.USER_ACTIVITY_HHI_SQL,

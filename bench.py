@@ -47,6 +47,17 @@ EXCLUDED = {
     "streaming_dedup_unique": "streaming availableNow startup dominates",
     "streaming_pq_codes": "streaming availableNow startup dominates",
     "incremental_export_cycles": "two streaming export cycles + filesystem checkpointing",
+    "streaming_merge_evolve": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus one widened batch",
+    # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
+    # groupBy + one-row broadcast total repeated with different literals;
+    # benching both would double-count one code path while the headline
+    # suite's single-JVM wall time grows linearly with query count
+    "user_activity_hhi": "same HHI share-of-squares shape as nation_revenue_hhi (benched)",
+    "ship_lag_quartiles_by_priority": "same discrete-quartile shape as value_quartiles_by_type (benched)",
+    "order_width_histogram": "same count-of-counts histogram shape as session_length_histogram (benched)",
+    "cold_start_users": "same first-seen-cohort shape as weekly_new_vs_returning (benched)",
+    "revenue_pareto_bands": "same share-band-vs-total shape as nation_revenue_hhi (benched)",
+    "dau_wau_stickiness": "same distinct-active-day shape as rolling_retention_7d (benched)",
     # O(n^2) verification baselines: runtime-guarded pedagogical references
     # (refuse >100k rows); the scale path is the MinHash/LSH family (benched)
     "dedup_ngram_jaccard": "O(n^2) guarded baseline; scale path is minhash (benched)",
@@ -227,20 +238,14 @@ HEADLINE = [
     "streaming_merge_apply",
     "streaming_scd2_enrich",
     "nation_revenue_hhi",
-    "user_activity_hhi",
     "value_quartiles_by_type",
-    "order_width_histogram",
     "pii_hit_rates",
     "session_funnel_rates",
-    "dau_wau_stickiness",
     "simhash_pair_hamming",
     "rolling_retention_7d",
     "dedup_token_savings",
-    "ship_lag_quartiles_by_priority",
     "weekly_new_vs_returning",
     "events_interarrival_moments",
-    "cold_start_users",
-    "revenue_pareto_bands",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

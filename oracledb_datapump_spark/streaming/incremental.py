@@ -263,6 +263,8 @@ def run_merge_apply_cycle(
     src_dir: str,
     wh_dir: str,
     checkpoint_dir: str,
+    extra_cols: "dict[str, object] | None" = None,
+    allow_evolution: bool = False,
 ) -> None:
     """One availableNow cycle of the CDC *apply* path: tail the events
     source and, per micro-batch, upsert the newest state per user into a
@@ -279,7 +281,13 @@ def run_merge_apply_cycle(
     the warehouse already holds), so at-least-once replay converges to
     exactly-once state. At scale the per-batch dump hop is the
     standard staging-table pattern; the merge shuffles on the key like
-    any upsert."""
+    any upsert.
+
+    ``extra_cols`` ({name: Column}) widens the reduced batch — the
+    producer-evolved-its-schema scenario; pair it with
+    ``allow_evolution=True`` so the IMPORT carries
+    DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION) and the warehouse widens
+    by-name (existing rows null-fill) instead of erroring."""
     import shutil
     import tempfile
 
@@ -319,6 +327,8 @@ def run_merge_apply_cycle(
                 ),
             )
         )
+        for cname, cexpr in (extra_cols or {}).items():
+            reduced = reduced.withColumn(cname, cexpr)
         stage = tempfile.mkdtemp(prefix="dp_apply_stage_")
         dump = tempfile.mkdtemp(prefix="dp_apply_dump_")
         try:
@@ -336,15 +346,18 @@ def run_merge_apply_cycle(
             ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
             if st.job_state != "COMPLETED":
                 raise RuntimeError(f"apply export failed: {st.error}")
+            imp_directives = [
+                D.REMAP_SCHEMA("main", "tgt"),
+                D.TABLE_EXISTS_ACTION("MERGE"),
+                D.MERGE_KEY("user_id"),
+            ]
+            if allow_evolution:
+                imp_directives.append(D.DATA_OPTIONS("ALLOW_SCHEMA_EVOLUTION"))
             st = Job(
                 Operation.IMPORT,
                 JobMode.TABLE,
                 dumpfiles=dump,
-                directives=[
-                    D.REMAP_SCHEMA("main", "tgt"),
-                    D.TABLE_EXISTS_ACTION("MERGE"),
-                    D.MERGE_KEY("user_id"),
-                ],
+                directives=imp_directives,
             ).run(wait=True, connection=ParquetConnector(wh_dir), spark=spark)
             if st.job_state != "COMPLETED":
                 raise RuntimeError(f"apply merge failed: {st.error}")
@@ -414,6 +427,82 @@ r AS (
 )
 SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
        event_type AS last_event_type, value_cents AS last_value_cents
+FROM r WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def streaming_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_merge_apply's schema-evolution sibling: cycle 2's
+    producer has widened its payload with ``last_hour_idx`` (the
+    survivor's hour index), and the CDC apply path carries
+    DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION), so the warehouse table widens
+    by-name mid-stream — users whose newest event arrived in cycle 1
+    null-fill the new column, users updated in cycle 2 carry it. The
+    oracle derives the identical rule declaratively (hour of the
+    overall-latest event iff that event sits at or past the
+    mid-timeline split), putting the reference's DATA_OPTIONS surface
+    (reference directives.py:227-238) under the cross-engine hash on
+    the STREAMING path — tests/test_schema_evolution.py proves the
+    batch path.
+
+    The degenerate single-arrival fallback runs the evolved schema for
+    the whole fixture; the oracle's >= mid predicate is then uniformly
+    true, so both engines agree without a special case."""
+    import shutil
+    import tempfile
+
+    from ..catalog import ParquetConnector
+
+    src = tempfile.mkdtemp(prefix="dp_evolve_src_")
+    wh = tempfile.mkdtemp(prefix="dp_evolve_wh_")
+    cp = tempfile.mkdtemp(prefix="dp_evolve_cp_")
+    try:
+        arrivals = stage_events_arrivals(spark, sf_dir, src)
+        evolved = {
+            "last_hour_idx": F.expr(
+                "CAST(last_ts_us DIV 3600000000 AS LONG)"
+            )
+        }
+        for i, land in enumerate(arrivals):
+            land()
+            last = i == len(arrivals) - 1
+            run_merge_apply_cycle(
+                spark,
+                src,
+                wh,
+                cp,
+                extra_cols=evolved if last else None,
+                allow_evolution=last,
+            )
+        out = (
+            ParquetConnector(wh)
+            .read_table(spark, "tgt", "user_state")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+STREAMING_MERGE_EVOLVE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+m AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM e),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+       event_type AS last_event_type, value_cents AS last_value_cents,
+       CASE WHEN ts_us >= (SELECT mid FROM m)
+            THEN ts_us // 3600000000 END AS last_hour_idx
 FROM r WHERE rn = 1
 ORDER BY user_id
 """
