@@ -52,12 +52,16 @@ from oracledb_datapump_spark.operators import pipeline6 as PL6
 from oracledb_datapump_spark.operators import pipeline7 as PL7
 from oracledb_datapump_spark.operators import pipeline8 as PL8
 from oracledb_datapump_spark.operators import pipeline9 as PL9
+from oracledb_datapump_spark.operators import incremental_mv as MV
+from oracledb_datapump_spark.operators import lmscore as LM
+from oracledb_datapump_spark.operators import runtime_filters as RF
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
 from oracledb_datapump_spark.streaming import joins as SJ
 from oracledb_datapump_spark.streaming import sketch as SK2
 from oracledb_datapump_spark.streaming import vectors as SV
+from oracledb_datapump_spark.streaming import watermark as WM
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -135,6 +139,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions_closed": ST.streaming_sessions_closed,
         "dedup_groups": D.dedup_groups,
         # ---------------- fold: entry 51+ below -------------------------
+        # new in round 7 AFTER the 50-entry prefix filled (rotation debt
+        # for round 8); standing evidence = tests/test_queries_oracle.py
+        # at sf0.001 + sf0.01
+        "bloom_join_prune": RF.bloom_join_prune,
+        "zonemap_skip_report": RF.zonemap_skip_report,
+        "selfjoin_size_estimate": RF.selfjoin_size_estimate,
+        "mv_delta_maintain": MV.mv_delta_maintain,
+        "ngram_lm_crossentropy": LM.ngram_lm_crossentropy,
+        "markov_transition_matrix": LM.markov_transition_matrix,
+        "streaming_watermark_policy": WM.streaming_watermark_policy,
+        "bfs_reach_layers": G.bfs_reach_layers,
+        "hll_set_algebra": SK.hll_set_algebra,
+        "k_anonymity_report": PV.k_anonymity_report,
         # dedup.py memo-family consumers (code changed r7) past the fold:
         # green r06 rows + this round's local oracle re-verification at
         # both scales are the documented standing evidence
@@ -349,6 +366,16 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival_moments": PL9.EVENTS_INTERARRIVAL_MOMENTS_SQL,
         "cold_start_users": PL9.COLD_START_USERS_SQL,
         "revenue_pareto_bands": PL9.REVENUE_PARETO_BANDS_SQL,
+        "bloom_join_prune": RF.BLOOM_JOIN_PRUNE_SQL,
+        "zonemap_skip_report": RF.ZONEMAP_SKIP_REPORT_SQL,
+        "selfjoin_size_estimate": RF.SELFJOIN_SIZE_ESTIMATE_SQL,
+        "mv_delta_maintain": MV.MV_DELTA_MAINTAIN_SQL,
+        "ngram_lm_crossentropy": LM.NGRAM_LM_CROSSENTROPY_SQL,
+        "markov_transition_matrix": LM.MARKOV_TRANSITION_MATRIX_SQL,
+        "streaming_watermark_policy": WM.STREAMING_WATERMARK_POLICY_SQL,
+        "bfs_reach_layers": G.BFS_REACH_LAYERS_SQL,
+        "hll_set_algebra": SK.HLL_SET_ALGEBRA_SQL,
+        "k_anonymity_report": PV.K_ANONYMITY_REPORT_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

@@ -48,6 +48,13 @@ EXCLUDED = {
     "streaming_pq_codes": "streaming availableNow startup dominates",
     "incremental_export_cycles": "two streaming export cycles + filesystem checkpointing",
     "streaming_merge_evolve": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus one widened batch",
+    "streaming_watermark_policy": "four streaming availableNow cycles (2 policies x 2 arrival files); startup dominates",
+    # r7 shape-dedup of the new batch
+    "selfjoin_size_estimate": "same groupBy(key)->global-agg shape as join_key_skew_profile (benched)",
+    "ngram_lm_crossentropy": "same tokenize+bigram-count dominant shape as bigram_surprise (benched); adds only broadcast scoring joins",
+    "markov_transition_matrix": "same user-keyed lag-window dominant shape as event_transition_gaps (benched); matmul stage is over a <=|types|^2 matrix",
+    "hll_set_algebra": "same register-table HLL shape as hll_distinct (benched); merge arms are <=2*512 rows",
+    "k_anonymity_report": "same count-of-counts histogram shape as order_width_histogram (excluded for session_length_histogram, benched)",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
     # benching both would double-count one code path while the headline
@@ -246,6 +253,12 @@ HEADLINE = [
     "dedup_token_savings",
     "weekly_new_vs_returning",
     "events_interarrival_moments",
+    # new in r7: genuinely new plan shapes (runtime filter probe,
+    # zone-map layout simulation, partial-state MV merge)
+    "bloom_join_prune",
+    "zonemap_skip_report",
+    "mv_delta_maintain",
+    "bfs_reach_layers",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

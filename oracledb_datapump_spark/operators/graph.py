@@ -363,3 +363,90 @@ CROSS JOIN n_orders n
 ORDER BY lift_q DESC, supp_a ASC, supp_b ASC
 LIMIT {LIFT_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS reachability layers (iterative frontier expansion)
+# ---------------------------------------------------------------------------
+
+BFS_SEED = 1  # customer node (custkey space; suppliers live at +SUPP_BASE)
+BFS_DEPTH = 3
+
+
+def bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(layer, n_nodes): breadth-first reachability from customer
+    {BFS_SEED} over the customer–supplier co-order graph — how many new
+    nodes each hop reaches (layer 0 = the seed). The supply-chain
+    blast-radius question ("how far does a bad supplier propagate?") as
+    an iterative frontier expansion.
+
+    Plan: per hop, frontier ⋈ edges → distinct → anti-join visited,
+    localCheckpointed so the lineage stays one-join deep regardless of
+    depth (same device as pagerank's power iterations). The frontier
+    and visited sets are node-id frames — at 100 TB the joins shuffle
+    by node id and the DISTINCT is the standard BFS dedup; no
+    path enumeration ever happens (the naive recursive-CTE formulation
+    enumerates paths and explodes combinatorially — the oracle
+    deliberately unrolls per-layer instead, computing the same layer
+    sets)."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    seed = spark.createDataFrame(
+        [(BFS_SEED,)], "node long"
+    ).select(F.col("node"), F.lit(0).alias("layer"))
+    visited = seed.localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for k in range(1, BFS_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(k).alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("layer")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("layer")
+    )
+
+
+def _bfs_sql() -> str:
+    ctes = [
+        f"""pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
+         CAST(l.l_suppkey AS BIGINT) + {SUPP_BASE} AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)""",
+        """edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+)""",
+        f"l0 AS (SELECT CAST({BFS_SEED} AS BIGINT) AS node)",
+    ]
+    seen = ["l0"]
+    for k in range(1, BFS_DEPTH + 1):
+        prev = f"l{k - 1}"
+        not_in = " AND ".join(
+            f"e.dst NOT IN (SELECT node FROM {s})" for s in seen
+        )
+        ctes.append(
+            f"""l{k} AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  WHERE e.src IN (SELECT node FROM {prev}) AND {not_in}
+)"""
+        )
+        seen.append(f"l{k}")
+    counts = "\nUNION ALL\n".join(
+        f"SELECT {k} AS layer, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l{k}"
+        for k in range(BFS_DEPTH + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT layer, n_nodes FROM ({counts})\nORDER BY layer"
+    )
+
+
+BFS_REACH_LAYERS_SQL = _bfs_sql()

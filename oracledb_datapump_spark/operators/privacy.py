@@ -83,3 +83,67 @@ SELECT doc_id,
 FROM d
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+KANON_BAND_CENTS = 100_000  # $1000 account-balance bands
+KANON_K = 5  # the k in "k-anonymous"
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(group_size, n_groups, n_rows, at_risk): the k-anonymity audit of
+    the customer table under the quasi-identifier (nation, market
+    segment, $1000 account-balance band) — for each equivalence-class
+    size, how many classes and rows have it, flagged ``at_risk`` when
+    the size is below k={KANON_K}. min(group_size) IS the table's
+    k-anonymity; the at_risk row mass is what a generalization ladder
+    (coarser bands, merged segments) must eliminate before release.
+
+    Plan: one groupBy over the QI tuple (banded via exact integer cents
+    arithmetic so both engines agree on band edges), then a
+    count-of-counts reduce — the same two-agg shape as any histogram,
+    corpus-scan-bound at 100 TB."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    band = F.expr(
+        f"CAST(floor(c_acctbal * 100) AS LONG) div {KANON_BAND_CENTS}"
+    )
+    qi = c.groupBy(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        "c_mktsegment",
+        band.alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        qi.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_rows"),
+        )
+        .select(
+            "group_size",
+            "n_groups",
+            "n_rows",
+            (F.col("group_size") < KANON_K).alias("at_risk"),
+        )
+        .orderBy("group_size")
+    )
+
+
+K_ANONYMITY_REPORT_SQL = f"""
+WITH qi AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+         CAST(floor(c_acctbal * 100) AS BIGINT) // {KANON_BAND_CENTS}
+           AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(group_size) AS BIGINT) AS n_rows,
+       group_size < {KANON_K} AS at_risk
+FROM qi
+GROUP BY group_size
+ORDER BY group_size
+"""

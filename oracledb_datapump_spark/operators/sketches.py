@@ -330,3 +330,178 @@ JOIN cum ON cum.cum >= (pct * n + 99) // 100
 GROUP BY pct
 ORDER BY pct
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra (mergeable-sketch union / intersection)
+# ---------------------------------------------------------------------------
+
+HLL_SET_A = "click"
+HLL_SET_B = "purchase"
+
+
+def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(set_tag, exact_distinct, hll_estimate): distinct users who
+    {HLL_SET_A}ed, who {HLL_SET_B}d, their UNION — estimated by merging
+    the two register tables with a register-wise max, never rescanning
+    the data — and their INTERSECTION via inclusion-exclusion
+    (|A|+|B|−|A∪B|, clamped at 0). Each row carries the exact answer
+    beside the estimate so the gate verifies the sketch algebra itself.
+
+    This is the property that makes HLL the 100 TB distinct-count tool:
+    per-partition (or per-day, per-source) sketches are |m|-row tables
+    that MERGE by max — union cardinality across any grouping
+    re-aggregates register tables, not data. The merge here is a
+    groupBy(bucket).max over 2·{HLL_M} rows."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin(HLL_SET_A, HLL_SET_B)
+    )
+    h = hash64(F.col("user_id").cast("string"))
+    rest = h % F.lit(_TWO_REST)
+    rank = F.when(rest == 0, F.lit(_MAX_RANK)).otherwise(
+        F.lit(_MAX_RANK) - F.length(F.bin(rest))
+    )
+    regs = (
+        ev.select(
+            F.col("event_type").alias("set_tag"),
+            F.shiftright(h, _REST_BITS).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("set_tag", "bucket")
+        .agg(F.max("rank").alias("m_rank"))
+        .localCheckpoint(eager=True)  # reused by the merge AND per-set arms
+    )
+    union_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_rank").alias("m_rank"))
+        .select(F.lit("union").alias("set_tag"), "bucket", "m_rank")
+    )
+    stacked = regs.unionByName(union_regs)
+    agg = stacked.groupBy("set_tag").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 52 - m_rank)")).alias("s"),
+        F.count(F.lit(1)).alias("nonzero"),
+    )
+    v = F.lit(HLL_M) - F.col("nonzero")
+    s_full = F.col("s") + v.cast("long") * F.lit(1 << 52).cast("long")
+    raw = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) * F.lit(_TWO52) / s_full.cast(
+        "double"
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    ests = agg.select(
+        "set_tag", F.floor(est).cast("long").alias("hll_estimate")
+    )
+    exact_ab = (
+        ev.groupBy(F.col("event_type").alias("set_tag"))
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    exact_union = ev.agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    ).select(F.lit("union").alias("set_tag"), "exact_distinct")
+    per_set = (
+        exact_ab.unionByName(exact_union).join(ests, "set_tag")
+    )
+    # intersection: exact via per-user both-types test; estimate via
+    # inclusion-exclusion over the three sketch rows (all driver-free)
+    exact_inter = (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    e = ests.groupBy().pivot("set_tag").sum("hll_estimate")
+    inter = (
+        exact_inter.crossJoin(F.broadcast(e))
+        .select(
+            F.lit("intersection").alias("set_tag"),
+            "exact_distinct",
+            F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    F.col(HLL_SET_A) + F.col(HLL_SET_B) - F.col("union")
+                ).cast("long"),
+            ).alias("hll_estimate"),
+        )
+    )
+    return (
+        per_set.select("set_tag", "exact_distinct", "hll_estimate")
+        .unionByName(inter)
+        .orderBy("set_tag")
+    )
+
+
+HLL_SET_ALGEBRA_SQL = f"""
+WITH ev AS (
+  SELECT event_type, user_id FROM events
+  WHERE event_type IN ('{HLL_SET_A}', '{HLL_SET_B}')
+),
+ranks AS (
+  SELECT event_type AS set_tag,
+         ({sql_hash64("CAST(user_id AS VARCHAR)")} >> {_REST_BITS}) AS bucket,
+         CASE WHEN {sql_hash64("CAST(user_id AS VARCHAR)")} % {_TWO_REST} = 0
+              THEN {_MAX_RANK}
+              ELSE {_MAX_RANK}
+                   - length(bin({sql_hash64("CAST(user_id AS VARCHAR)")} % {_TWO_REST}))
+         END AS rank
+  FROM ev
+),
+regs AS (
+  SELECT set_tag, bucket, MAX(rank) AS m_rank FROM ranks GROUP BY 1, 2
+),
+stacked AS (
+  SELECT set_tag, bucket, m_rank FROM regs
+  UNION ALL
+  SELECT 'union', bucket, MAX(m_rank) FROM regs GROUP BY 2
+),
+agg AS (
+  SELECT set_tag,
+         SUM((1::BIGINT << (52 - m_rank))) AS s,
+         COUNT(*) AS nonzero
+  FROM stacked GROUP BY set_tag
+),
+sfull AS (
+  SELECT set_tag, nonzero,
+         s + ({HLL_M} - nonzero) * (1::BIGINT << 52) AS s_full
+  FROM agg
+),
+ests AS (
+  SELECT set_tag,
+         CAST(FLOOR(
+           CASE WHEN ({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                      * {_TWO52!r}::DOUBLE / CAST(s_full AS DOUBLE)) <= {2.5 * HLL_M!r}::DOUBLE
+                     AND ({HLL_M} - nonzero) > 0
+                THEN {float(HLL_M)!r}::DOUBLE
+                     * ln({float(HLL_M)!r}::DOUBLE / CAST({HLL_M} - nonzero AS DOUBLE))
+                ELSE ({HLL_ALPHA!r}::DOUBLE * {float(HLL_M * HLL_M)!r}::DOUBLE
+                      * {_TWO52!r}::DOUBLE / CAST(s_full AS DOUBLE)) END
+         ) AS BIGINT) AS hll_estimate
+  FROM sfull
+),
+exacts AS (
+  SELECT event_type AS set_tag, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM ev GROUP BY 1
+  UNION ALL
+  SELECT 'union', COUNT(DISTINCT user_id) FROM ev
+),
+per_set AS (
+  SELECT x.set_tag, x.exact_distinct, e.hll_estimate
+  FROM exacts x JOIN ests e USING (set_tag)
+),
+inter AS (
+  SELECT 'intersection' AS set_tag,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT user_id FROM ev GROUP BY user_id
+            HAVING COUNT(DISTINCT event_type) = 2)) AS exact_distinct,
+         GREATEST(0::BIGINT,
+           (SELECT hll_estimate FROM ests WHERE set_tag = '{HLL_SET_A}')
+           + (SELECT hll_estimate FROM ests WHERE set_tag = '{HLL_SET_B}')
+           - (SELECT hll_estimate FROM ests WHERE set_tag = 'union'))
+           AS hll_estimate
+)
+SELECT set_tag, CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       hll_estimate
+FROM (SELECT * FROM per_set UNION ALL SELECT * FROM inter)
+ORDER BY set_tag
+"""
