@@ -55,6 +55,7 @@ from oracledb_datapump_spark.operators import pipeline9 as PL9
 from oracledb_datapump_spark.operators import incremental_mv as MV
 from oracledb_datapump_spark.operators import lmscore as LM
 from oracledb_datapump_spark.operators import runtime_filters as RF
+from oracledb_datapump_spark.operators import quality_audit as QA
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -152,6 +153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reach_layers": G.bfs_reach_layers,
         "hll_set_algebra": SK.hll_set_algebra,
         "k_anonymity_report": PV.k_anonymity_report,
+        "data_quality_audit": QA.data_quality_audit,
+        "snapshot_diff": QA.snapshot_diff,
+        "join_order_estimate": QA.join_order_estimate,
+        "embedding_dim_ablation": S.embedding_dim_ablation,
         # dedup.py memo-family consumers (code changed r7) past the fold:
         # green r06 rows + this round's local oracle re-verification at
         # both scales are the documented standing evidence
@@ -376,6 +381,10 @@ def oracle_sql() -> dict[str, str]:
         "bfs_reach_layers": G.BFS_REACH_LAYERS_SQL,
         "hll_set_algebra": SK.HLL_SET_ALGEBRA_SQL,
         "k_anonymity_report": PV.K_ANONYMITY_REPORT_SQL,
+        "data_quality_audit": QA.DATA_QUALITY_AUDIT_SQL,
+        "snapshot_diff": QA.SNAPSHOT_DIFF_SQL,
+        "join_order_estimate": QA.JOIN_ORDER_ESTIMATE_SQL,
+        "embedding_dim_ablation": S.EMBEDDING_DIM_ABLATION_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

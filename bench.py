@@ -55,6 +55,8 @@ EXCLUDED = {
     "markov_transition_matrix": "same user-keyed lag-window dominant shape as event_transition_gaps (benched); matmul stage is over a <=|types|^2 matrix",
     "hll_set_algebra": "same register-table HLL shape as hll_distinct (benched); merge arms are <=2*512 rows",
     "k_anonymity_report": "same count-of-counts histogram shape as order_width_histogram (excluded for session_length_histogram, benched)",
+    "join_order_estimate": "exact arms are the same FK-join-count shape as the TPC-H joins (benched); estimate arms are per-table stats",
+    "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
     # benching both would double-count one code path while the headline
@@ -259,6 +261,8 @@ HEADLINE = [
     "zonemap_skip_report",
     "mv_delta_maintain",
     "bfs_reach_layers",
+    "data_quality_audit",
+    "snapshot_diff",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

@@ -447,3 +447,141 @@ def ann_lsh_topk_from_index(
     return ann_lsh_topk(
         spark, sf_dir, sig=load_ann_index(spark, index_dir, expected_source=sf_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-dimension ablation (matryoshka-style truncation eval)
+# ---------------------------------------------------------------------------
+
+ABLATION_DIMS = (64, 32, 16, 8)
+
+
+def _topk_sliced(e: DataFrame, d: int) -> DataFrame:
+    """Exact cosine top-{TOP_K} per query using only the first d dims."""
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.slice("embedding", 1, d).alias("q_emb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.slice("embedding", 1, d).alias("c_emb"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dims, n_queries, top1_agree, top5_overlap): retrieval quality of
+    TRUNCATED embeddings (first d of {ABLATION_DIMS[0]} dims) against
+    the full-dimension exact top-{TOP_K} — how many queries keep their
+    top-1 neighbor, and how many of the {TOP_K}·{N_QUERIES} neighbor
+    slots survive, per truncation width. The matryoshka question: how
+    many dims can serving afford to drop before recall pays.
+
+    The d={ABLATION_DIMS[0]} row is the self-check (perfect agreement
+    by construction). Plan: the full-dim top-k is computed once and
+    localCheckpointed; each ablation arm is one broadcast-scored pass
+    over the corpus + a {TOP_K}·{N_QUERIES}-row join against it. At
+    100 TB each arm reads the SAME cached candidate geometry a real
+    ablation would sample, so cost scales with arms × corpus scan."""
+    e = _emb(spark, sf_dir)
+    full = _topk_sliced(e, ABLATION_DIMS[0]).localCheckpoint(eager=True)
+    full1 = full.filter(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("full_top1")
+    )
+    out = None
+    for d in ABLATION_DIMS:
+        t = _topk_sliced(e, d) if d != ABLATION_DIMS[0] else full
+        overlap = (
+            t.join(
+                full.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .agg(F.count(F.lit(1)).alias("top5_overlap"))
+        )
+        agree = (
+            t.filter(F.col("rank") == 1)
+            .join(F.broadcast(full1), "query_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("neighbor_id") == F.col("full_top1"), 1)
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("top1_agree"),
+                F.count(F.lit(1)).alias("n_queries"),
+            )
+        )
+        row = agree.crossJoin(F.broadcast(overlap)).select(
+            F.lit(d).cast("long").alias("dims"),
+            "n_queries",
+            "top1_agree",
+            "top5_overlap",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("dims"))
+
+
+def _ablation_sql() -> str:
+    full_d = ABLATION_DIMS[0]
+
+    def topk_cte(tag: str, d: int) -> str:
+        return f"""t{tag} AS (
+  SELECT query_id, neighbor_id, rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY
+               list_sum(list_transform(list_zip(q.embedding[1:{d}], c.embedding[1:{d}]),
+                                       p -> p[1]::DOUBLE * p[2]::DOUBLE))
+               / (sqrt(list_sum(list_transform(q.embedding[1:{d}], x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(c.embedding[1:{d}], x -> x::DOUBLE * x::DOUBLE))))
+               DESC, c.vec_id ASC) AS rank
+    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < {N_QUERIES}) q
+    WHERE c.vec_id != q.vec_id
+  ) WHERE rank <= {TOP_K}
+)"""
+
+    ctes = [topk_cte("full", full_d)] + [
+        topk_cte(str(d), d) for d in ABLATION_DIMS if d != full_d
+    ]
+    arms = []
+    for d in ABLATION_DIMS:
+        tag = "full" if d == full_d else str(d)
+        arms.append(
+            f"""
+  SELECT {d} AS dims,
+         (SELECT COUNT(*) FROM t{tag} a JOIN tfull f
+            ON a.query_id = f.query_id AND a.rank = 1 AND f.rank = 1)
+           AS n_queries,
+         (SELECT COUNT(*) FROM t{tag} a JOIN tfull f
+            ON a.query_id = f.query_id AND a.rank = 1 AND f.rank = 1
+               AND a.neighbor_id = f.neighbor_id) AS top1_agree,
+         (SELECT COUNT(*) FROM t{tag} a JOIN tfull f
+            ON a.query_id = f.query_id AND a.neighbor_id = f.neighbor_id)
+           AS top5_overlap"""
+        )
+    body = " UNION ALL ".join(arms)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT CAST(dims AS BIGINT) AS dims, CAST(n_queries AS BIGINT) AS n_queries, "
+        "CAST(top1_agree AS BIGINT) AS top1_agree, "
+        "CAST(top5_overlap AS BIGINT) AS top5_overlap "
+        f"FROM ({body}) ORDER BY dims DESC"
+    )
+
+
+EMBEDDING_DIM_ABLATION_SQL = _ablation_sql()

@@ -172,22 +172,26 @@ def test_quartiles_monotone(spark):
 
 
 def test_verified_pairs_memo_cap_falls_back_to_distributed(spark, monkeypatch):
-    """Past VERIFIED_PAIRS_MEMO_MAX the memo must be skipped (no driver
-    collect) while returning the same rows."""
+    """Past VERIFIED_PAIRS_MEMO_MAX no row list may be pinned on the
+    driver — the cache holds only the over-cap VERDICT (None), so repeat
+    consumers skip the redundant count without a driver collect — while
+    returning the same rows as the memoized path."""
     from oracledb_datapump_spark.operators import dedup as D
 
-    D._VERIFIED_PAIRS_CACHE.pop(
-        (spark.sparkContext.applicationId, SF), None
-    )
+    key = (spark.sparkContext.applicationId, SF)
+    D._VERIFIED_PAIRS_CACHE.pop(key, None)
     monkeypatch.setattr(D, "VERIFIED_PAIRS_MEMO_MAX", 0)
     big = sorted(tuple(r) for r in D.verified_pairs_cached(spark, SF).collect())
-    assert (
-        spark.sparkContext.applicationId,
-        SF,
-    ) not in D._VERIFIED_PAIRS_CACHE  # cap respected: nothing memoized
+    # over-cap: the verdict is memoized, the rows are NOT
+    assert D._VERIFIED_PAIRS_CACHE.get(key, "missing") is None
+    # ...and a repeat call honors the verdict (still no driver rows)
+    again = sorted(tuple(r) for r in D.verified_pairs_cached(spark, SF).collect())
+    assert D._VERIFIED_PAIRS_CACHE.get(key, "missing") is None
     monkeypatch.setattr(D, "VERIFIED_PAIRS_MEMO_MAX", 2_000_000)
+    D._VERIFIED_PAIRS_CACHE.pop(key, None)  # fresh decision under new cap
     small = sorted(tuple(r) for r in D.verified_pairs_cached(spark, SF).collect())
-    assert big == small and len(small) > 0
+    assert D._VERIFIED_PAIRS_CACHE.get(key) is not None  # Arrow memo pinned
+    assert big == again == small and len(small) > 0
 
 
 def test_new_returning_conserves_weekly_actives(spark):

@@ -178,3 +178,77 @@ def test_k_anonymity_histogram_accounts_every_row(spark, sf_dir):
     for r in rows:
         assert r.at_risk == (r.group_size < KANON_K)
         assert r.n_rows == r.group_size * r.n_groups
+
+
+def test_data_quality_audit_clean_fixture(spark, sf_dir):
+    """The driver fixture is referentially clean: every arm reports 0
+    violations, and n_checked matches the table sizes."""
+    from oracledb_datapump_spark.operators.quality_audit import (
+        data_quality_audit,
+    )
+
+    rows = {r.check_name: r for r in data_quality_audit(spark, sf_dir).collect()}
+    assert len(rows) == 11
+    assert all(r.n_violations == 0 for r in rows.values())
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert rows["pk_unique_orders"].n_checked == n_orders
+    assert rows["fk_orders_customer"].n_checked == n_orders
+
+
+def test_snapshot_diff_partitions_and_mutation_count(spark, sf_dir):
+    """Every order lands in exactly one class (classes partition the key
+    union), and 'changed' counts exactly the simulated %97 mutations in
+    the overlap window."""
+    from oracledb_datapump_spark.operators.quality_audit import (
+        DIFF_HI,
+        DIFF_LO,
+        DIFF_MUT_MOD,
+        snapshot_diff,
+    )
+    from pyspark.sql import functions as F2
+
+    rows = {r.change_type: r.n_rows for r in snapshot_diff(spark, sf_dir).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert sum(rows.values()) == o.count()
+    expect_changed = o.filter(
+        (F2.col("o_orderdate") >= F2.lit(DIFF_LO))
+        & (F2.col("o_orderdate") < F2.lit(DIFF_HI))
+        & (F2.col("o_orderkey") % DIFF_MUT_MOD == 0)
+    ).count()
+    assert rows["changed"] == expect_changed
+
+
+def test_join_order_estimate_fk_joins_are_exact(spark, sf_dir):
+    """On a clean FK join the System-R formula is EXACT (|A ⋈ B| =
+    |child| when every child key exists in the parent and max ndv =
+    parent count): err must be 0 ppm for all three star joins."""
+    from oracledb_datapump_spark.operators.quality_audit import (
+        join_order_estimate,
+    )
+
+    for r in join_order_estimate(spark, sf_dir).collect():
+        assert r.abs_err_ppm == 0, (r.join_name, r.abs_err_ppm)
+        assert r.est_rows == r.exact_rows
+
+
+def test_embedding_ablation_monotone_degradation(spark, sf_dir):
+    """The full-dim row is a perfect self-check; agreement/overlap can
+    only degrade (weakly) as dims shrink."""
+    from oracledb_datapump_spark.operators.similarity import (
+        ABLATION_DIMS,
+        N_QUERIES,
+        TOP_K,
+        embedding_dim_ablation,
+    )
+
+    rows = {r.dims: r for r in embedding_dim_ablation(spark, sf_dir).collect()}
+    full = rows[ABLATION_DIMS[0]]
+    assert full.top1_agree == full.n_queries == min(
+        N_QUERIES,
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+    )
+    assert full.top5_overlap == full.n_queries * TOP_K
+    for d in ABLATION_DIMS[1:]:
+        assert rows[d].top1_agree <= full.top1_agree
+        assert rows[d].top5_overlap <= full.top5_overlap
