@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": QA.snapshot_diff,
         "join_order_estimate": QA.join_order_estimate,
         "embedding_dim_ablation": S.embedding_dim_ablation,
+        "datapump_roundtrip_query_columns": E.datapump_roundtrip_query_columns,
+        "datapump_roundtrip_departition": E.datapump_roundtrip_departition,
+        "datapump_roundtrip_zorder": E.datapump_roundtrip_zorder,
+        "datapump_roundtrip_csv": E.datapump_roundtrip_csv,
         # dedup.py memo-family consumers (code changed r7) past the fold:
         # green r06 rows + this round's local oracle re-verification at
         # both scales are the documented standing evidence
@@ -385,6 +389,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": QA.SNAPSHOT_DIFF_SQL,
         "join_order_estimate": QA.JOIN_ORDER_ESTIMATE_SQL,
         "embedding_dim_ablation": S.EMBEDDING_DIM_ABLATION_SQL,
+        "datapump_roundtrip_query_columns": E.ROUNDTRIP_QUERY_COLUMNS_SQL,
+        "datapump_roundtrip_departition": E.ROUNDTRIP_DEPARTITION_SQL,
+        "datapump_roundtrip_zorder": E.ROUNDTRIP_ZORDER_SQL,
+        "datapump_roundtrip_csv": E.ROUNDTRIP_CSV_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,

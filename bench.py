@@ -56,6 +56,8 @@ EXCLUDED = {
     "hll_set_algebra": "same register-table HLL shape as hll_distinct (benched); merge arms are <=2*512 rows",
     "k_anonymity_report": "same count-of-counts histogram shape as order_width_histogram (excluded for session_length_histogram, benched)",
     "join_order_estimate": "exact arms are the same FK-join-count shape as the TPC-H joins (benched); estimate arms are per-table stats",
+    "datapump_roundtrip_query_columns": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched); QUERY/COLUMNS add a filter+project to the same plan",
+    "datapump_roundtrip_csv": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched) through the CSV interchange format over 25-row nation",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
@@ -263,6 +265,8 @@ HEADLINE = [
     "bfs_reach_layers",
     "data_quality_audit",
     "snapshot_diff",
+    "datapump_roundtrip_departition",
+    "datapump_roundtrip_zorder",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

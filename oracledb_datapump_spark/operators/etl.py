@@ -149,3 +149,176 @@ def datapump_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROUNDTRIP_ORC_SQL = "SELECT * FROM supplier ORDER BY s_suppkey"
 ROUNDTRIP_MERGE_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
+
+
+def datapump_roundtrip_query_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export ``orders`` through QUERY (row predicate) + COLUMNS (column
+    projection) directives, import into a DuckDB stand-in, read back.
+    Hash equality against the equivalent SELECT proves the predicate and
+    the projection both executed at export plan time — the directive pair
+    the round-6 audit had only under pytest (SURVEY.md §2.2 F4). At scale
+    both push into the parquet scan (planner.py applies them on the
+    source read), so a 100 TB export of a 3-column slice reads 3 columns."""
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix="dp_rt_qc_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.QUERY("o_totalprice < 100000.0", object_path="orders"),
+                D.COLUMNS(
+                    "o_orderkey,o_orderstatus,o_totalprice",
+                    object_path="orders",
+                ),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        return target.read_table(spark, "imported", "orders").orderBy("o_orderkey")
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_QUERY_COLUMNS_SQL = (
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_totalprice < 100000.0 ORDER BY o_orderkey"
+)
+
+
+def datapump_roundtrip_departition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT_PARTITION_BY + PARTITION_OPTIONS(DEPARTITION) lifecycle
+    under the driver hash: ``nation`` is dumped hive-partitioned by
+    n_regionkey, the DEPARTITION import promotes each partition leaf to
+    a standalone table WITH the partition column restored (reference
+    directives.py:346-349 semantics), and the returned frame is the
+    union of every promoted table. Hash equality against plain
+    ``nation`` proves no leaf lost/duplicated rows and the promoted
+    column round-tripped its values. At 100 TB each leaf import reads
+    exactly one hive directory (basePath pruning, engine.py:330-336)."""
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix="dp_rt_dep_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("nation"),
+                D.EXPORT_PARTITION_BY("n_regionkey", object_path="nation"),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "split"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.PARTITION_OPTIONS("DEPARTITION"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        from pyspark.sql import functions as F
+
+        out = None
+        for t in sorted(target.list_tables("split")):
+            part = target.read_table(spark, "split", t).select(
+                "n_nationkey",
+                "n_name",
+                # hive partition inference types the promoted column;
+                # pin it back to the source's int32 for the schema hash
+                F.col("n_regionkey").cast("int").alias("n_regionkey"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out.orderBy("n_nationkey")
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_DEPARTITION_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
+
+
+def datapump_roundtrip_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT_ZORDER_BY lifecycle under the driver hash: ``orders`` is
+    dumped along the Morton curve of (o_custkey, o_totalprice) — range
+    shuffle + local sort on the interleaved quantized bits
+    (functions/zorder.py, pure codegen'd expressions) — imported into a
+    parquet warehouse, read back. Hash equality against plain ``orders``
+    proves the re-layout is a pure permutation: every value (including
+    the timestamp column) survives the quantize/interleave pass.
+    Parquet→parquet keeps TIMESTAMP_NTZ exact end to end."""
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix="dp_rt_zo_")
+    wh = tempfile.mkdtemp(prefix="dp_rt_zo_wh_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.EXPORT_ZORDER_BY(
+                    "o_custkey,o_totalprice", object_path="orders"
+                ),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = ParquetConnector(wh)
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.REMAP_SCHEMA("main", "zo")],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        # warehouse dir is deleted below — pin rows first
+        return (
+            target.read_table(spark, "zo", "orders")
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ROUNDTRIP_ZORDER_SQL = "SELECT * FROM orders ORDER BY o_orderkey"
+
+
+def datapump_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUMP_FORMAT(CSV) lifecycle under the driver hash: ``nation``
+    through a headerless CSV dump set whose column types exist ONLY in
+    the manifest's recorded Spark schema (engine.py import restores it —
+    a CSV read without it fails loudly). Hash equality against plain
+    ``nation`` proves the interchange format + manifest schema path
+    preserves every value and dtype (int32 stays int32, not string)."""
+    return _roundtrip(spark, sf_dir, "nation", dump_format="CSV").orderBy(
+        "n_nationkey"
+    )
+
+
+ROUNDTRIP_CSV_SQL = "SELECT * FROM nation ORDER BY n_nationkey"

@@ -228,3 +228,55 @@ def test_export_zorder_by_clusters_rows(spark, tmp_path):
         ):
             narrower += 1
     assert narrower >= len(files) // 2, (narrower, len(files))
+
+
+def test_query_columns_prune_at_export_time(spark, tmp_path):
+    """QUERY + COLUMNS must execute at EXPORT plan time: the dump's own
+    parquet files carry ONLY the projected columns and ONLY the
+    predicate-matching rows (the driver hash on the round-tripped table
+    cannot distinguish export-side from import-side pruning; this can).
+    At 100 TB this is the difference between dumping a 3-column slice
+    and dumping everything."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.catalog import ParquetConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+
+    src = ParquetConnector("/root/testdata/sf0.001")
+    dump = f"{tmp_path}/dump"
+    st = Job(
+        "EXPORT",
+        "TABLE",
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("main"),
+            D.INCLUDE_TABLE("orders"),
+            D.QUERY("o_totalprice < 100000.0", object_path="orders"),
+            D.COLUMNS(
+                "o_orderkey,o_orderstatus,o_totalprice", object_path="orders"
+            ),
+        ],
+    ).run(connection=src, spark=spark)
+    assert st.job_state == "COMPLETED"
+    files = sorted(glob.glob(f"{dump}/**/*.parquet", recursive=True))
+    assert files
+    n_rows = 0
+    for f in files:
+        t = pq.read_table(f)
+        assert t.column_names == [
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+        ], t.column_names
+        prices = t.column("o_totalprice").to_pylist()
+        assert all(p < 100000.0 for p in prices), f
+        n_rows += t.num_rows
+    expected = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter("o_totalprice < 100000.0")
+        .count()
+    )
+    assert n_rows == expected and n_rows > 0
