@@ -56,6 +56,7 @@ from oracledb_datapump_spark.operators import incremental_mv as MV
 from oracledb_datapump_spark.operators import lmscore as LM
 from oracledb_datapump_spark.operators import runtime_filters as RF
 from oracledb_datapump_spark.operators import quality_audit as QA
+from oracledb_datapump_spark.operators import pipeline10 as PL10
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -161,6 +162,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datapump_roundtrip_departition": E.datapump_roundtrip_departition,
         "datapump_roundtrip_zorder": E.datapump_roundtrip_zorder,
         "datapump_roundtrip_csv": E.datapump_roundtrip_csv,
+        "dedup_containment_pairs": PL10.dedup_containment_pairs,
+        "hard_negative_mining": PL10.hard_negative_mining,
+        "lm_filter_report": PL10.lm_filter_report,
+        "oov_rate_curve": PL10.oov_rate_curve,
         # dedup.py memo-family consumers (code changed r7) past the fold:
         # green r06 rows + this round's local oracle re-verification at
         # both scales are the documented standing evidence
@@ -393,6 +398,10 @@ def oracle_sql() -> dict[str, str]:
         "datapump_roundtrip_departition": E.ROUNDTRIP_DEPARTITION_SQL,
         "datapump_roundtrip_zorder": E.ROUNDTRIP_ZORDER_SQL,
         "datapump_roundtrip_csv": E.ROUNDTRIP_CSV_SQL,
+        "dedup_containment_pairs": PL10.DEDUP_CONTAINMENT_PAIRS_SQL,
+        "hard_negative_mining": PL10.HARD_NEGATIVE_MINING_SQL,
+        "lm_filter_report": PL10.LM_FILTER_REPORT_SQL,
+        "oov_rate_curve": PL10.OOV_RATE_CURVE_SQL,
         "q1_pricing_summary": A.Q1_SQL,
         "q3_shipping_priority": A.Q3_SQL,
         "q4_order_priority": A.Q4_SQL,
