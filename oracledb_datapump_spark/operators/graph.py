@@ -406,9 +406,16 @@ def bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         visited = visited.unionByName(nxt)
         frontier = nxt.select("node")
+    counts = visited.groupBy("layer").agg(F.count(F.lit(1)).alias("n_nodes"))
+    # emit every layer 0..BFS_DEPTH even when BFS saturates early (an empty
+    # layer-k frontier would otherwise drop the row while the oracle's
+    # per-layer UNION ALL of COUNT(*) always emits (k, 0))
+    all_layers = spark.range(BFS_DEPTH + 1).select(
+        F.col("id").cast("int").alias("layer")
+    )
     return (
-        visited.groupBy("layer")
-        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        all_layers.join(counts, "layer", "left")
+        .select("layer", F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"))
         .orderBy("layer")
     )
 

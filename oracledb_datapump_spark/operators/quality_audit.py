@@ -120,21 +120,28 @@ FROM (
   SELECT 'pk_unique_supplier', COUNT(*),
          COUNT(s_suppkey) - COUNT(DISTINCT s_suppkey) FROM supplier
   UNION ALL
+  -- NOT EXISTS (not NOT IN): a NULL child key must COUNT as a violation,
+  -- matching Spark's left-anti join; NOT IN would yield NULL and silently
+  -- skip it — the engines would disagree exactly when the data is dirty
   SELECT 'fk_orders_customer', (SELECT COUNT(*) FROM orders),
          (SELECT COUNT(*) FROM orders o
-          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
   UNION ALL
   SELECT 'fk_lineitem_orders', (SELECT COUNT(*) FROM lineitem),
          (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
   UNION ALL
   SELECT 'fk_lineitem_part', (SELECT COUNT(*) FROM lineitem),
          (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
   UNION ALL
   SELECT 'fk_lineitem_supplier', (SELECT COUNT(*) FROM lineitem),
          (SELECT COUNT(*) FROM lineitem l
-          WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+          WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
   UNION ALL
   SELECT 'notnull_orders_date', COUNT(*),
          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) FROM orders

@@ -411,7 +411,13 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nt") == 2)
         .agg(F.count(F.lit(1)).alias("exact_distinct"))
     )
-    e = ests.groupBy().pivot("set_tag").sum("hll_estimate")
+    # explicit pivot values: if either event type is absent from the data,
+    # a data-derived pivot would drop the column and F.col() would fail to
+    # resolve — degrade to a 0 estimate instead (matching the oracle's
+    # COALESCEd scalar subqueries)
+    e = ests.groupBy().pivot("set_tag", [HLL_SET_A, HLL_SET_B, "union"]).sum(
+        "hll_estimate"
+    )
     inter = (
         exact_inter.crossJoin(F.broadcast(e))
         .select(
@@ -420,7 +426,9 @@ def hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(
                 F.lit(0).cast("long"),
                 (
-                    F.col(HLL_SET_A) + F.col(HLL_SET_B) - F.col("union")
+                    F.coalesce(F.col(HLL_SET_A), F.lit(0))
+                    + F.coalesce(F.col(HLL_SET_B), F.lit(0))
+                    - F.coalesce(F.col("union"), F.lit(0))
                 ).cast("long"),
             ).alias("hll_estimate"),
         )
@@ -495,9 +503,9 @@ inter AS (
             SELECT user_id FROM ev GROUP BY user_id
             HAVING COUNT(DISTINCT event_type) = 2)) AS exact_distinct,
          GREATEST(0::BIGINT,
-           (SELECT hll_estimate FROM ests WHERE set_tag = '{HLL_SET_A}')
-           + (SELECT hll_estimate FROM ests WHERE set_tag = '{HLL_SET_B}')
-           - (SELECT hll_estimate FROM ests WHERE set_tag = 'union'))
+           COALESCE((SELECT hll_estimate FROM ests WHERE set_tag = '{HLL_SET_A}'), 0)
+           + COALESCE((SELECT hll_estimate FROM ests WHERE set_tag = '{HLL_SET_B}'), 0)
+           - COALESCE((SELECT hll_estimate FROM ests WHERE set_tag = 'union'), 0))
            AS hll_estimate
 )
 SELECT set_tag, CAST(exact_distinct AS BIGINT) AS exact_distinct,
