@@ -80,6 +80,7 @@ class PlanConfig:
     table_sort_by: dict[str, str] = field(default_factory=dict)
     table_zorder_by: dict[str, str] = field(default_factory=dict)
     table_merge_key: dict[str, str] = field(default_factory=dict)
+    table_merge_order: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
@@ -339,6 +340,22 @@ class MergeKey(Filter, name="MERGE_KEY"):
 
     def apply(self, config: PlanConfig) -> None:
         config.table_merge_key[self.object_path or "*"] = str(self.value)
+
+
+class MergeOrder(Filter, name="MERGE_ORDER"):
+    """Comma-separated version columns for TABLE_EXISTS_ACTION(MERGE):
+    the survivor per MERGE_KEY is the row with the HIGHEST value of
+    these columns (compared in order), regardless of which side it came
+    from — last-writer-by-version semantics for out-of-order CDC
+    arrivals, where the default incoming-beats-existing precedence
+    would let a late-delivered stale row overwrite newer state. Ties
+    (equal version on both sides) still resolve incoming-first, then
+    the deterministic row hash. A side missing an order column (schema
+    evolution) null-fills and sorts last — a versionless row never
+    beats a versioned one."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_merge_order[self.object_path or "*"] = str(self.value)
 
 
 # -- Parameters (reference directives.py:186-409) ---------------------------

@@ -460,8 +460,29 @@ def import_table(
                     for f in merged.schema.fields
                     if f.name != "__src" and not _has_map(f.dataType)
                 ]
+                # MERGE_ORDER(<cols>): last-writer-by-version — the highest
+                # (col1, col2, ...) tuple wins across existing ∪ incoming,
+                # so a late-arriving batch carrying an OLDER version can
+                # never clobber newer warehouse state (out-of-order CDC).
+                # Without it, incoming beats existing (arrival order).
+                # nulls_last: a side null-filled by schema evolution never
+                # beats a row that actually carries the version column.
+                order_cols = []
+                if plan.merge_order:
+                    from .exceptions import UsageError
+
+                    for c in plan.merge_order.split(","):
+                        c = c.strip()
+                        if not c:
+                            continue
+                        if c not in merged.columns:
+                            raise UsageError(
+                                f"MERGE_ORDER column {c!r} missing from both "
+                                "the target and the dump"
+                            )
+                        order_cols.append(F.desc_nulls_last(c))
                 w = Window.partitionBy(*keys).orderBy(
-                    F.desc("__src"), F.xxhash64(*hashable)
+                    *order_cols, F.desc("__src"), F.xxhash64(*hashable)
                 )
                 df = (
                     merged.withColumn("__rn", F.row_number().over(w))

@@ -35,6 +35,7 @@ class TablePlan:
     sort_by: str | None = None
     zorder_by: str | None = None
     merge_key: str | None = None
+    merge_order: str | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -163,6 +164,9 @@ def plan_import(
                 truncate=truncate,
                 merge_key=config.table_merge_key.get(
                     table, config.table_merge_key.get("*")
+                ),
+                merge_order=config.table_merge_order.get(
+                    table, config.table_merge_order.get("*")
                 ),
                 extra={"topo_level": levels.get(f"{schema}.{table}", 0)},
             )

@@ -48,7 +48,9 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", late: str = "30 m
     )
 
 
-def stage_events_arrivals(spark: SparkSession, sf_dir: str, src_dir: str):
+def stage_events_arrivals(
+    spark: SparkSession, sf_dir: str, src_dir: str, reverse: bool = False
+):
     """Plan the two-cycle arrival simulation for a streaming harness:
     split the ``events`` fixture at its mid-timeline into an early and a
     late half, entirely Spark-side (filter + single-file write — the
@@ -78,6 +80,11 @@ def stage_events_arrivals(spark: SparkSession, sf_dir: str, src_dir: str):
                 raw, os.path.join(src_dir, "events-0.parquet")
             )
         ]
+    if reverse:
+        # out-of-order delivery: the LATE half arrives first, then the
+        # early half — cycle 2's rows are OLDER than applied state, the
+        # scenario MERGE_ORDER exists for
+        early, late = late, early
     return [
         lambda: _land_single_parquet(
             early, os.path.join(src_dir, "events-0.parquet")
@@ -99,9 +106,21 @@ def _land_single_parquet(df: DataFrame, dest_file: str) -> None:
     stage = dest_file + ".__stage__"
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     part = next(
-        n for n in sorted(os.listdir(stage))
-        if n.startswith("part-") and n.endswith(".parquet")
+        (
+            n for n in sorted(os.listdir(stage))
+            if n.startswith("part-") and n.endswith(".parquet")
+        ),
+        None,
     )
+    if part is None:
+        # zero-partition input (e.g. an empty arrival slice on a degenerate
+        # timeline) writes only _SUCCESS; land an explicit empty file with
+        # the same schema so the watched-dir contract still holds
+        df.limit(0).repartition(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            n for n in sorted(os.listdir(stage))
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
     os.replace(os.path.join(stage, part), dest_file)
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -265,6 +284,7 @@ def run_merge_apply_cycle(
     checkpoint_dir: str,
     extra_cols: "dict[str, object] | None" = None,
     allow_evolution: bool = False,
+    merge_order: "str | None" = None,
 ) -> None:
     """One availableNow cycle of the CDC *apply* path: tail the events
     source and, per micro-batch, upsert the newest state per user into a
@@ -351,6 +371,8 @@ def run_merge_apply_cycle(
                 D.TABLE_EXISTS_ACTION("MERGE"),
                 D.MERGE_KEY("user_id"),
             ]
+            if merge_order:
+                imp_directives.append(D.MERGE_ORDER(merge_order))
             if allow_evolution:
                 imp_directives.append(D.DATA_OPTIONS("ALLOW_SCHEMA_EVOLUTION"))
             st = Job(
@@ -430,6 +452,51 @@ SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
 FROM r WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def streaming_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_merge_apply's out-of-order sibling: the arrival order is
+    REVERSED (late half lands in cycle 1, early half in cycle 2), so
+    cycle 2 delivers per-user versions OLDER than state already merged —
+    the late-upsert hazard every CDC apply path has. The import carries
+    MERGE_ORDER(last_ts_us,last_event_id), so the survivor is the
+    last writer BY EVENT TIME, not by arrival: the converged warehouse
+    must still equal the batch "latest event per user" query (the same
+    oracle as streaming_merge_apply), which the default
+    incoming-beats-existing precedence would get WRONG here — cycle 2's
+    stale rows would clobber newer state. That asymmetry is the test:
+    arrival-order-independence under the cross-engine hash.
+
+    At scale this is the standard CDC version-column contract (Kafka
+    compaction's offset ordering, Debezium's source.ts_ms): the merge
+    stays one key-shuffled window; the version compare is row-local."""
+    import shutil
+    import tempfile
+
+    from ..catalog import ParquetConnector
+
+    src = tempfile.mkdtemp(prefix="dp_late_src_")
+    wh = tempfile.mkdtemp(prefix="dp_late_wh_")
+    cp = tempfile.mkdtemp(prefix="dp_late_cp_")
+    try:
+        for land in stage_events_arrivals(spark, sf_dir, src, reverse=True):
+            land()
+            run_merge_apply_cycle(
+                spark, src, wh, cp, merge_order="last_ts_us,last_event_id"
+            )
+        out = (
+            ParquetConnector(wh)
+            .read_table(spark, "tgt", "user_state")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+STREAMING_MERGE_LATE_SQL = STREAMING_MERGE_APPLY_SQL
 
 
 def streaming_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
