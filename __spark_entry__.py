@@ -57,6 +57,9 @@ from oracledb_datapump_spark.operators import lmscore as LM
 from oracledb_datapump_spark.operators import runtime_filters as RF
 from oracledb_datapump_spark.operators import quality_audit as QA
 from oracledb_datapump_spark.operators import pipeline10 as PL10
+from oracledb_datapump_spark.operators import pipeline11 as PL11
+from oracledb_datapump_spark.operators import pipeline12 as PL12
+from oracledb_datapump_spark.operators import pipeline13 as PL13
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -75,9 +78,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is the driver's gating order (it stops at the 50th
     entry). Rotation policy: operators without a prior green CORRECTNESS
     row, plus any operator whose code changed this round, occupy the
-    gated prefix; queries proven green in an earlier round with unchanged
-    code sit after the fold (r01-r03 rows are the standing evidence)."""
-    return {
+    gated prefix (GATED_PREFIX below — the literal dict keeps its
+    historical order; the reorder at the end of this function is the
+    one place rotation happens); queries proven green in an earlier
+    round with unchanged code sit after the fold (their CORRECTNESS
+    rows + tests/test_queries_oracle.py are the standing evidence)."""
+    base = {
         # --- gated prefix (round 7): the 46 round-6 queries that have
         # never had a driver CORRECTNESS row (added past a full r6
         # prefix), then this round's new + changed-code slots — exactly
@@ -311,7 +317,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": EV.lang_id_confusion,
         "ann_lsh_recall": EV.ann_lsh_recall,
         "doc_chunks": EV.doc_chunks,
+        # new in round 8
+        "streaming_merge_late": SI.streaming_merge_late,
+        "connected_components_sizes": PL11.connected_components_sizes,
+        "l_diversity_report": PL11.l_diversity_report,
+        "epoch_mix_plan": PL11.epoch_mix_plan,
+        "layout_skip_compare": PL12.layout_skip_compare,
+        "dedup_method_agreement": PL12.dedup_method_agreement,
+        "t_closeness_report": PL12.t_closeness_report,
+        "fd_violation_report": PL13.fd_violation_report,
+        "benford_price_audit": PL13.benford_price_audit,
+        "srm_bucket_audit": PL13.srm_bucket_audit,
     }
+    ordered = {n: base[n] for n in GATED_PREFIX}
+    ordered.update({n: f for n, f in base.items() if n not in ordered})
+    return ordered
+
+
+# Round-8 gated prefix (exactly 50): the 22 queries that have never had
+# a driver CORRECTNESS row, this round's 4 new operators, the consumers
+# of round-8-changed code (graph.py/sketches.py/quality_audit.py ADVICE
+# fixes, streaming/incremental.py zero-partition guard + MERGE_ORDER,
+# engine.py merge window), then backfill oldest-green-first (r03 rows).
+GATED_PREFIX = [
+    # never gated (round-7 additions past a full prefix)
+    "bloom_join_prune",
+    "zonemap_skip_report",
+    "selfjoin_size_estimate",
+    "mv_delta_maintain",
+    "ngram_lm_crossentropy",
+    "markov_transition_matrix",
+    "streaming_watermark_policy",
+    "bfs_reach_layers",
+    "hll_set_algebra",
+    "k_anonymity_report",
+    "data_quality_audit",
+    "snapshot_diff",
+    "join_order_estimate",
+    "embedding_dim_ablation",
+    "datapump_roundtrip_query_columns",
+    "datapump_roundtrip_departition",
+    "datapump_roundtrip_zorder",
+    "datapump_roundtrip_csv",
+    "dedup_containment_pairs",
+    "hard_negative_mining",
+    "lm_filter_report",
+    "oov_rate_curve",
+    # new in round 8
+    "streaming_merge_late",
+    "connected_components_sizes",
+    "l_diversity_report",
+    "epoch_mix_plan",
+    "layout_skip_compare",
+    "dedup_method_agreement",
+    "t_closeness_report",
+    "fd_violation_report",
+    "benford_price_audit",
+    "srm_bucket_audit",
+    # consumers of round-8-changed files
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "histogram_quantiles",
+    "pagerank_topk",
+    "triangle_participation",
+    "basket_lift_topk",
+    "incremental_export_cycles",
+    "streaming_merge_apply",
+    "streaming_merge_evolve",
+    "datapump_roundtrip_merge",
+    "datapump_roundtrip_supplier",
+    # backfill, oldest green rows first (r03)
+    "price_quantiles",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "revenue_by_nation",
+    "q10_returned_items",
+    "q18_large_orders",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -364,6 +447,16 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_price_spread": PL5.PART_BRAND_PRICE_SPREAD_SQL,
         "streaming_merge_apply": SI.STREAMING_MERGE_APPLY_SQL,
         "streaming_merge_evolve": SI.STREAMING_MERGE_EVOLVE_SQL,
+        "streaming_merge_late": SI.STREAMING_MERGE_LATE_SQL,
+        "connected_components_sizes": PL11.CONNECTED_COMPONENTS_SIZES_SQL,
+        "l_diversity_report": PL11.L_DIVERSITY_REPORT_SQL,
+        "epoch_mix_plan": PL11.EPOCH_MIX_PLAN_SQL,
+        "layout_skip_compare": PL12.LAYOUT_SKIP_COMPARE_SQL,
+        "dedup_method_agreement": PL12.DEDUP_METHOD_AGREEMENT_SQL,
+        "t_closeness_report": PL12.T_CLOSENESS_REPORT_SQL,
+        "fd_violation_report": PL13.FD_VIOLATION_REPORT_SQL,
+        "benford_price_audit": PL13.BENFORD_PRICE_AUDIT_SQL,
+        "srm_bucket_audit": PL13.SRM_BUCKET_AUDIT_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,
         "user_activity_hhi": PL6.USER_ACTIVITY_HHI_SQL,

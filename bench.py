@@ -57,6 +57,14 @@ EXCLUDED = {
     "k_anonymity_report": "same count-of-counts histogram shape as order_width_histogram (excluded for session_length_histogram, benched)",
     "join_order_estimate": "exact arms are the same FK-join-count shape as the TPC-H joins (benched); estimate arms are per-table stats",
     "datapump_roundtrip_query_columns": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched); QUERY/COLUMNS add a filter+project to the same plan",
+    # r8 additions riding benched shapes
+    "t_closeness_report": "same QI-grid + count-of-counts shape as k_anonymity_report / l_diversity_report (family excluded; session_length_histogram benched)",
+    "fd_violation_report": "per-rule groupBy+countDistinct profiling sweep; same distinct-agg-per-table shape as table_profile (benched)",
+    "benford_price_audit": "row-local digit extract + <=9-row agg over the orders scan; same scan-bound micro-agg family as distinct_counts (excluded, subsumed by hll_distinct benched)",
+    "srm_bucket_audit": "distinct-users + 2-row agg; subsumed by hll_distinct (benched) scan shape",
+    "streaming_merge_late": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrival order",
+    "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
+    "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",
     # pipeline10 (r7 buzzer-beater batch, classified r8)
     "hard_negative_mining": "rides the verified-pair memo + same tokenize/BM25-score shape as bm25_search_topk (benched)",
     "lm_filter_report": "same tokenize+bigram-count dominant shape as bigram_surprise (benched); adds only a broadcast per-doc perplexity band",
@@ -272,8 +280,17 @@ HEADLINE = [
     "datapump_roundtrip_departition",
     "datapump_roundtrip_zorder",
     # new in r8: containment scoring is a genuinely new shape (asymmetric
-    # |A∩B|/|A| over the LSH candidate set, not plain Jaccard)
+    # |A∩B|/|A| over the LSH candidate set, not plain Jaccard); connected
+    # components is the repo's first iterate-to-fixpoint graph operator
+    # (per-round join + groupBy-min, data-dependent round count)
     "dedup_containment_pairs",
+    "connected_components_sizes",
+    # layout A/B: two distributed global ranks + zone-map reduce —
+    # no benched sibling has the double-rank shape
+    "layout_skip_compare",
+    # simhash band self-join (hamming-space LSH) is a new candidate path;
+    # the minhash side rides the memo
+    "dedup_method_agreement",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
