@@ -158,6 +158,8 @@ def _within_tol(rows_a: list[tuple], rows_b: list[tuple], tol: float) -> bool:
 
 
 def check_all(spark, sf_dir: str, float_tol: float = 0.0) -> list[dict]:
+    import time
+
     import __spark_entry__ as entry_mod
 
     con = duckdb_con(sf_dir)
@@ -165,6 +167,7 @@ def check_all(spark, sf_dir: str, float_tol: float = 0.0) -> list[dict]:
     sqls = entry_mod.oracle_sql()
     out = []
     for name, fn in qs.items():
+        t0 = time.perf_counter()
         if name not in sqls:
             df = fn(spark, sf_dir)
             out.append(
@@ -176,9 +179,16 @@ def check_all(spark, sf_dir: str, float_tol: float = 0.0) -> list[dict]:
                     "note": "no oracle (rows-only check)",
                 }
             )
-            continue
-        try:
-            out.append(compare(fn(spark, sf_dir), con, sqls[name], name, float_tol))
-        except Exception as e:
-            out.append({"name": name, "error": str(e)[:500]})
+        else:
+            try:
+                out.append(
+                    compare(fn(spark, sf_dir), con, sqls[name], name, float_tol)
+                )
+            except Exception as e:
+                out.append({"name": name, "error": str(e)[:500]})
+        # wall-time witness: a query suddenly 3x its committed trailing
+        # time means environment drag (co-running load) or a real plan
+        # regression — either way a diagnosable signal, recorded here so
+        # the correctness suite doubles as a contamination canary
+        out[-1]["secs"] = round(time.perf_counter() - t0, 3)
     return out

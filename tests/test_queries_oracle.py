@@ -35,3 +35,39 @@ def test_all_queries_match_oracle(spark, scale_dir):
     rows_only = [r for r in results if r.get("values_match") is None]
     for r in rows_only:
         assert r["rows_spark"] >= 0, r
+    _timing_guard(results, scale_dir)
+
+
+def _timing_guard(results, scale_dir):
+    """Soft contamination canary (round-7 verdict ask): compare each
+    query's wall time against the committed trailing capture
+    (ORACLE_TIMINGS.json, sf0.01 only). >3x trailing = a warning naming
+    the drag, so environment contamination shows up in the test log
+    instead of surfacing rounds later as a phantom bench regression.
+    Warnings not failures by default — pytest itself co-runs queries and
+    honest contention would otherwise flake the correctness gate; set
+    SPARK_GRAFT_STRICT_TIMING=1 to enforce. Fresh timings are dumped to
+    /tmp/oracle_timings.json; commit via tools/record_oracle_timings.py."""
+    import json
+    import warnings
+
+    timings = {r["name"]: r.get("secs") for r in results if "secs" in r}
+    if not scale_dir.endswith("sf0.01"):
+        return
+    with open("/tmp/oracle_timings.json", "w") as f:
+        json.dump(timings, f, indent=1, sort_keys=True)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = os.path.join(repo, "ORACLE_TIMINGS.json")
+    if not os.path.exists(committed):
+        return
+    trailing = json.load(open(committed))
+    slow = {
+        q: (t, trailing[q])
+        for q, t in timings.items()
+        if q in trailing and trailing[q] >= 0.2 and t > 3 * trailing[q]
+    }
+    if slow:
+        msg = f"oracle-suite timing drag (>3x trailing committed): {slow}"
+        if os.environ.get("SPARK_GRAFT_STRICT_TIMING"):
+            raise AssertionError(msg)
+        warnings.warn(msg)

@@ -3,7 +3,12 @@
 query → the round of its latest green CORRECTNESS_r{N}.json row, with
 `*` marking the CURRENT gated prefix (first 50 entries of queries(),
 whose fresh rows land in the next CORRECTNESS file). Three columns to
-keep the table compact, filled column-major in queries() order."""
+keep the table compact, filled column-major in queries() order.
+
+``--write`` splices the table into README.md in place (everything from
+the ``| query | green |`` header to the last ``|`` row after it);
+tests/test_ledger_fresh.py fails whenever the README copy drifts from
+this script's output, so the ledger can no longer ship stale."""
 
 from __future__ import annotations
 
@@ -15,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
+def render() -> str:
     import __spark_entry__ as entry
 
     names = list(entry.queries().keys())
@@ -35,14 +40,37 @@ def main() -> None:
         star = "*" if i < 50 else ""
         cells.append((q + star, latest.get(q, "none yet")))
     rows = (len(cells) + 2) // 3
-    print("| query | green | query | green | query | green |")
-    print("|---|---|---|---|---|---|")
+    lines = ["| query | green | query | green | query | green |"]
+    lines.append("|---|---|---|---|---|---|")
     for r in range(rows):
         parts = []
         for c in range(3):
             i = c * rows + r
             parts.extend(cells[i] if i < len(cells) else ("", ""))
-        print("| " + " | ".join(parts) + " |")
+        lines.append("| " + " | ".join(parts) + " |")
+    return "\n".join(lines)
+
+
+def write_readme(table: str) -> None:
+    path = os.path.join(REPO, "README.md")
+    text = open(path).read()
+    start = text.index("| query | green |")
+    end = start
+    for line in text[start:].splitlines(keepends=True):
+        if line.startswith("|"):
+            end += len(line)
+        else:
+            break
+    open(path, "w").write(text[:start] + table + "\n" + text[end:])
+
+
+def main() -> None:
+    table = render()
+    if "--write" in sys.argv:
+        write_readme(table)
+        print("README.md ledger updated")
+    else:
+        print(table)
 
 
 if __name__ == "__main__":
