@@ -328,6 +328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violation_report": PL13.fd_violation_report,
         "benford_price_audit": PL13.benford_price_audit,
         "srm_bucket_audit": PL13.srm_bucket_audit,
+        "split_leakage_pairs": PL13.split_leakage_pairs,
+        "streaming_merge_delete": SI.streaming_merge_delete,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -374,6 +376,8 @@ GATED_PREFIX = [
     "fd_violation_report",
     "benford_price_audit",
     "srm_bucket_audit",
+    "split_leakage_pairs",
+    "streaming_merge_delete",
     # consumers of round-8-changed files
     "hll_distinct",
     "cms_heavy_hitters",
@@ -392,8 +396,6 @@ GATED_PREFIX = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "revenue_by_nation",
-    "q10_returned_items",
-    "q18_large_orders",
 ]
 
 
@@ -457,6 +459,8 @@ def oracle_sql() -> dict[str, str]:
         "fd_violation_report": PL13.FD_VIOLATION_REPORT_SQL,
         "benford_price_audit": PL13.BENFORD_PRICE_AUDIT_SQL,
         "srm_bucket_audit": PL13.SRM_BUCKET_AUDIT_SQL,
+        "split_leakage_pairs": PL13.SPLIT_LEAKAGE_PAIRS_SQL,
+        "streaming_merge_delete": SI.STREAMING_MERGE_DELETE_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,
         "user_activity_hhi": PL6.USER_ACTIVITY_HHI_SQL,

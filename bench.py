@@ -62,6 +62,8 @@ EXCLUDED = {
     "fd_violation_report": "per-rule groupBy+countDistinct profiling sweep; same distinct-agg-per-table shape as table_profile (benched)",
     "benford_price_audit": "row-local digit extract + <=9-row agg over the orders scan; same scan-bound micro-agg family as distinct_counts (excluded, subsumed by hll_distinct benched)",
     "srm_bucket_audit": "distinct-users + 2-row agg; subsumed by hll_distinct (benched) scan shape",
+    "split_leakage_pairs": "rides the verified-pair memo + row-local split hash; same broadcast-pair-join shape as simhash_pair_hamming (benched)",
+    "streaming_merge_delete": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus a tombstone filter",
     "streaming_merge_late": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrival order",
     "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
     "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",

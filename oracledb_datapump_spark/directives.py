@@ -81,6 +81,7 @@ class PlanConfig:
     table_zorder_by: dict[str, str] = field(default_factory=dict)
     table_merge_key: dict[str, str] = field(default_factory=dict)
     table_merge_order: dict[str, str] = field(default_factory=dict)
+    table_merge_delete_col: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
@@ -356,6 +357,21 @@ class MergeOrder(Filter, name="MERGE_ORDER"):
 
     def apply(self, config: PlanConfig) -> None:
         config.table_merge_order[self.object_path or "*"] = str(self.value)
+
+
+class MergeDeleteCol(Filter, name="MERGE_DELETE_COL"):
+    """Boolean tombstone column for TABLE_EXISTS_ACTION(MERGE): an
+    incoming row with this column true DELETES its key from the target
+    instead of upserting — the Debezium/CDC delete contract. Deletes
+    obey the same survivor rule as upserts (a tombstone only applies if
+    it IS the newest version under MERGE_ORDER / arrival precedence, so
+    a stale late delete cannot resurrect-by-omission or kill newer
+    state). The tombstone column is transport metadata: it is dropped
+    from the stored table. Must exist on the incoming side; the target
+    side null-fills (never-deleted)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_merge_delete_col[self.object_path or "*"] = str(self.value)
 
 
 # -- Parameters (reference directives.py:186-409) ---------------------------

@@ -400,6 +400,26 @@ def import_table(
                     "TABLE_EXISTS_ACTION(MERGE) requires MERGE_KEY(<cols>)"
                 )
             keys = [c.strip() for c in plan.merge_key.split(",") if c.strip()]
+            # MERGE_DELETE_COL(<col>): boolean tombstone on the INCOMING
+            # side — a row with it true deletes its key instead of
+            # upserting. Applied AFTER survivor selection, so a tombstone
+            # only takes effect when it is the winning version (a stale
+            # late delete under MERGE_ORDER loses to newer state, exactly
+            # like a stale late upsert). The column is transport
+            # metadata and never lands in the stored table.
+            del_col = plan.merge_delete_col
+            if del_col:
+                from .exceptions import UsageError
+
+                if del_col not in df.columns:
+                    raise UsageError(
+                        f"MERGE_DELETE_COL column {del_col!r} missing from "
+                        "the incoming dump"
+                    )
+                if del_col in keys:
+                    raise UsageError(
+                        "MERGE_DELETE_COL cannot be a MERGE_KEY column"
+                    )
             if connector.table_exists(plan.target_schema, plan.target_table):
                 from pyspark.sql import Window
                 from pyspark.sql import functions as F
@@ -430,6 +450,12 @@ def import_table(
                                 f"the {side} side; schema evolution cannot "
                                 "null-fill a merge key"
                             )
+                if del_col and del_col not in existing.columns:
+                    # target rows are never-deleted; null-fill the
+                    # transport column so the union lines up by name
+                    existing = existing.withColumn(
+                        del_col, F.lit(None).cast(df.schema[del_col].dataType)
+                    )
                 merged = existing.withColumn("__src", F.lit(0)).unionByName(
                     df.withColumn("__src", F.lit(1)),
                     allowMissingColumns=config.allow_schema_evolution,
@@ -489,6 +515,14 @@ def import_table(
                     .filter(F.col("__rn") == 1)
                     .drop("__rn", "__src")
                 )
+                if del_col:
+                    # drop keys whose WINNING version is a tombstone;
+                    # shed the transport column from the stored table
+                    df = df.filter(
+                        ~F.coalesce(
+                            F.col(del_col).cast("boolean"), F.lit(False)
+                        )
+                    ).drop(del_col)
                 # materialize BEFORE the overwrite: with a lazy connector
                 # (parquet/JDBC) the plan still reads the target being
                 # replaced — evaluating it after the truncate silently
@@ -496,6 +530,14 @@ def import_table(
                 # to overwrite a path it is reading). localCheckpoint
                 # severs the lineage to the target's files.
                 df = df.localCheckpoint(eager=True)
+            elif del_col:
+                # first merge into a fresh table: a tombstone for a key
+                # that never existed is a no-op row, not an error
+                from pyspark.sql import functions as F
+
+                df = df.filter(
+                    ~F.coalesce(F.col(del_col).cast("boolean"), F.lit(False))
+                ).drop(del_col)
             mode = "overwrite"
         elif (
             mode == "append"

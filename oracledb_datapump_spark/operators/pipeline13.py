@@ -221,6 +221,77 @@ def srm_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split_a, split_b, n_pairs, leak): verified near-dup pairs
+    bucketed by the two documents' train/val/test assignment (the SAME
+    deterministic hash split corpus_split ships). A near-dup pair that
+    straddles train and an eval split is CONTAMINATION the n-gram
+    decontamination pass can miss (near-dups share most but not all
+    n-grams) — this is the dedup-aware leakage audit run before any
+    eval number is trusted. ``leak`` marks cross-split pairs touching
+    val/test; the split pair is canonicalized (a ≤ b alphabetically) so
+    the report is orientation-free.
+
+    Plan: the memoized verified-pair list joins the row-local split
+    assignment twice (broadcast pair side, corpus side streams), then a
+    ≤9-row groupBy. Rides dedup's LSH + memo — no new corpus pass."""
+    from .dedup import verified_pairs_cached
+    from .textprep import corpus_split
+
+    splits = corpus_split(spark, sf_dir).select("doc_id", "split")
+    p = verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    half = splits.join(F.broadcast(p), splits.doc_id == p.doc_a).select(
+        F.col("split").alias("sa"), "doc_b"
+    )
+    both = splits.join(F.broadcast(half), splits.doc_id == half.doc_b).select(
+        F.least("sa", "split").alias("split_a"),
+        F.greatest("sa", "split").alias("split_b"),
+    )
+    return (
+        both.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (
+                (F.col("split_a") != F.col("split_b"))
+                & (
+                    F.col("split_a").isin("test", "val")
+                    | F.col("split_b").isin("test", "val")
+                )
+            ).alias("leak"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+def _split_leakage_sql() -> str:
+    from .dedup import DEDUP_MINHASH_VERIFIED_SQL
+    from .textprep import CORPUS_SPLIT_SQL
+
+    verified = DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    splits = CORPUS_SPLIT_SQL.replace("ORDER BY doc_id", "")
+    return f"""
+WITH v AS ({verified}),
+s AS ({splits}),
+both_sides AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+         GREATEST(sa.split, sb.split) AS split_b
+  FROM v JOIN s sa ON sa.doc_id = v.doc_a
+         JOIN s sb ON sb.doc_id = v.doc_b
+)
+SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AND (split_a IN ('test','val') OR split_b IN ('test','val')) AS leak
+FROM both_sides
+GROUP BY split_a, split_b
+ORDER BY split_a, split_b
+"""
+
+
+SPLIT_LEAKAGE_PAIRS_SQL = _split_leakage_sql()
+
+
 SRM_BUCKET_AUDIT_SQL = f"""
 WITH u AS (
   SELECT DISTINCT user_id FROM events

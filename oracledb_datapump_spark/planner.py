@@ -36,6 +36,7 @@ class TablePlan:
     zorder_by: str | None = None
     merge_key: str | None = None
     merge_order: str | None = None
+    merge_delete_col: str | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -167,6 +168,9 @@ def plan_import(
                 ),
                 merge_order=config.table_merge_order.get(
                     table, config.table_merge_order.get("*")
+                ),
+                merge_delete_col=config.table_merge_delete_col.get(
+                    table, config.table_merge_delete_col.get("*")
                 ),
                 extra={"topo_level": levels.get(f"{schema}.{table}", 0)},
             )

@@ -285,6 +285,7 @@ def run_merge_apply_cycle(
     extra_cols: "dict[str, object] | None" = None,
     allow_evolution: bool = False,
     merge_order: "str | None" = None,
+    merge_delete_col: "str | None" = None,
 ) -> None:
     """One availableNow cycle of the CDC *apply* path: tail the events
     source and, per micro-batch, upsert the newest state per user into a
@@ -373,6 +374,8 @@ def run_merge_apply_cycle(
             ]
             if merge_order:
                 imp_directives.append(D.MERGE_ORDER(merge_order))
+            if merge_delete_col:
+                imp_directives.append(D.MERGE_DELETE_COL(merge_delete_col))
             if allow_evolution:
                 imp_directives.append(D.DATA_OPTIONS("ALLOW_SCHEMA_EVOLUTION"))
             st = Job(
@@ -497,6 +500,78 @@ def streaming_merge_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_MERGE_LATE_SQL = STREAMING_MERGE_APPLY_SQL
+
+
+def streaming_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_merge_apply's tombstone sibling: cycle 2's CDC batch
+    carries MERGE_DELETE_COL(is_deleted) — the producer retracts every
+    user whose newest state has last_value_cents divisible by 10 (the
+    deterministic stand-in for a GDPR erasure feed). The converged
+    warehouse must equal latest-per-user MINUS exactly the users whose
+    overall-latest event is in the late half and matches the retract
+    rule — the oracle states that set declaratively, so both the delete
+    semantics AND their interaction with the survivor window (a
+    tombstone deletes only when it IS the winning version) sit under the
+    cross-engine value hash.
+
+    At scale this is the Debezium op='d' contract: deletes ride the
+    same key-shuffled merge window as upserts — no second codepath, no
+    read-modify-write on the driver."""
+    import shutil
+    import tempfile
+
+    from ..catalog import ParquetConnector
+
+    src = tempfile.mkdtemp(prefix="dp_del_src_")
+    wh = tempfile.mkdtemp(prefix="dp_del_wh_")
+    cp = tempfile.mkdtemp(prefix="dp_del_cp_")
+    try:
+        arrivals = stage_events_arrivals(spark, sf_dir, src)
+        tombstone = {
+            "is_deleted": F.expr("last_value_cents % 10 = 0")
+        }
+        for i, land in enumerate(arrivals):
+            land()
+            last = i == len(arrivals) - 1
+            run_merge_apply_cycle(
+                spark,
+                src,
+                wh,
+                cp,
+                extra_cols=tombstone if last else None,
+                merge_delete_col="is_deleted" if last else None,
+            )
+        out = (
+            ParquetConnector(wh)
+            .read_table(spark, "tgt", "user_state")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+STREAMING_MERGE_DELETE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+m AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM e),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+       event_type AS last_event_type, value_cents AS last_value_cents
+FROM r
+WHERE rn = 1
+  AND NOT (ts_us >= (SELECT mid FROM m) AND value_cents % 10 = 0)
+ORDER BY user_id
+"""
 
 
 def streaming_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -126,6 +126,76 @@ def test_merge_order_missing_column_raises(spark, dirs):
     assert "MERGE_ORDER" in str(st.error)
 
 
+DSCHEMA = "k long, ver long, v string, is_del boolean"
+
+
+def test_merge_delete_tombstone_removes_key(spark, dirs):
+    """A winning tombstone deletes its key; other keys upsert normally;
+    the transport column never lands in the stored table."""
+    stage, wh = dirs
+    _seed(spark, stage, wh)
+    st = _export_import(
+        spark,
+        [(1, 300, "x", True), (2, 300, "newest", False)],
+        DSCHEMA,
+        stage,
+        wh,
+        [
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("k"),
+            D.MERGE_ORDER("ver"),
+            D.MERGE_DELETE_COL("is_del"),
+        ],
+    )
+    assert st.job_state == "COMPLETED", st.error
+    rows = _rows(spark, wh)
+    assert rows == {2: (300, "newest")}
+    cols = ParquetConnector(wh).read_table(spark, "main", "t").columns
+    assert "is_del" not in cols
+
+
+def test_merge_delete_stale_tombstone_loses(spark, dirs):
+    """A tombstone carrying an OLDER version than the warehouse state is
+    a late retraction of an already-superseded row — under MERGE_ORDER
+    it loses the survivor window and the key stays."""
+    stage, wh = dirs
+    _seed(spark, stage, wh)
+    st = _export_import(
+        spark,
+        [(1, 50, "stale", True)],
+        DSCHEMA,
+        stage,
+        wh,
+        [
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("k"),
+            D.MERGE_ORDER("ver"),
+            D.MERGE_DELETE_COL("is_del"),
+        ],
+    )
+    assert st.job_state == "COMPLETED", st.error
+    assert _rows(spark, wh)[1] == (100, "new")
+
+
+def test_merge_delete_missing_column_raises(spark, dirs):
+    stage, wh = dirs
+    _seed(spark, stage, wh)
+    st = _export_import(
+        spark,
+        [(1, 50, "stale")],
+        SCHEMA,
+        stage,
+        wh,
+        [
+            D.TABLE_EXISTS_ACTION("MERGE"),
+            D.MERGE_KEY("k"),
+            D.MERGE_DELETE_COL("nope"),
+        ],
+    )
+    assert st.job_state != "COMPLETED"
+    assert "MERGE_DELETE_COL" in str(st.error)
+
+
 def test_merge_order_tie_resolves_incoming_first(spark, dirs):
     """Equal versions on both sides: the incoming row wins (the
     documented tiebreak), keeping re-applied batches idempotent."""
