@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_bucket_audit": PL13.srm_bucket_audit,
         "split_leakage_pairs": PL13.split_leakage_pairs,
         "streaming_merge_delete": SI.streaming_merge_delete,
+        "mv_delta_retract": MV.mv_delta_retract,
+        "datapump_roundtrip_timetravel": E.datapump_roundtrip_timetravel,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -378,6 +380,8 @@ GATED_PREFIX = [
     "srm_bucket_audit",
     "split_leakage_pairs",
     "streaming_merge_delete",
+    "mv_delta_retract",
+    "datapump_roundtrip_timetravel",
     # consumers of round-8-changed files
     "hll_distinct",
     "cms_heavy_hitters",
@@ -394,8 +398,6 @@ GATED_PREFIX = [
     "price_quantiles",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "revenue_by_nation",
 ]
 
 
@@ -461,6 +463,8 @@ def oracle_sql() -> dict[str, str]:
         "srm_bucket_audit": PL13.SRM_BUCKET_AUDIT_SQL,
         "split_leakage_pairs": PL13.SPLIT_LEAKAGE_PAIRS_SQL,
         "streaming_merge_delete": SI.STREAMING_MERGE_DELETE_SQL,
+        "mv_delta_retract": MV.MV_DELTA_RETRACT_SQL,
+        "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,
         "user_activity_hhi": PL6.USER_ACTIVITY_HHI_SQL,

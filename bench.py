@@ -64,6 +64,8 @@ EXCLUDED = {
     "srm_bucket_audit": "distinct-users + 2-row agg; subsumed by hll_distinct (benched) scan shape",
     "split_leakage_pairs": "rides the verified-pair memo + row-local split hash; same broadcast-pair-join shape as simhash_pair_hamming (benched)",
     "streaming_merge_delete": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus a tombstone filter",
+    "mv_delta_retract": "same partial-state union+re-agg shape as mv_delta_maintain (benched), with negated delta states",
+    "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
     "streaming_merge_late": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrival order",
     "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
     "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",

@@ -102,6 +102,7 @@ class PlanConfig:
     flashback_time: datetime | None = None
 
     # import behavior
+    as_of_version: int | None = None  # time-travel read of a snapshot-tracked dump
     table_exists_action: str = "SKIP"  # Oracle default for import w/o CONTENT
     partition_options: str = "NONE"
     data_options: set[str] = field(default_factory=set)
@@ -372,6 +373,30 @@ class MergeDeleteCol(Filter, name="MERGE_DELETE_COL"):
 
     def apply(self, config: PlanConfig) -> None:
         config.table_merge_delete_col[self.object_path or "*"] = str(self.value)
+
+
+class AsOfVersion(Filter, name="AS_OF_VERSION"):
+    """Time-travel import: read the dump set AS OF export run N. Every
+    export records which data files that run added (manifest
+    ``snapshots``); AS_OF_VERSION(n) restricts the import scan to the
+    files of runs 1..n — the Delta/Iceberg snapshot-isolation idea with
+    the manifest as the only metadata. Pairs with INCREMENTAL_COLUMN
+    appends: each CDC cycle is a new readable version. Flashback
+    (FLASHBACK_SCN/TIME) travels the SOURCE database; AS_OF_VERSION
+    travels the DUMP."""
+
+    def apply(self, config: PlanConfig) -> None:
+        from .exceptions import UsageError
+
+        try:
+            config.as_of_version = int(str(self.value))
+        except (TypeError, ValueError):
+            raise UsageError(
+                f"AS_OF_VERSION expects an integer run number, got "
+                f"{self.value!r}"
+            ) from None
+        if config.as_of_version < 1:
+            raise UsageError("AS_OF_VERSION is 1-based (first export run = 1)")
 
 
 # -- Parameters (reference directives.py:186-409) ---------------------------

@@ -200,6 +200,20 @@ def export_table(
         if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
             df = df.repartition(plan.parallel)
         fmt = plan.extra.get("dump_format", "parquet")
+
+        # snapshot tracking (time travel): remember which data files each
+        # export run added, so IMPORT ... AS_OF_VERSION(n) can read the
+        # dump as of any earlier run by file list alone — the
+        # Delta/Iceberg snapshot idea expressed with nothing but the
+        # manifest. Flat layouts only (a hive-partitioned dump nests its
+        # files per leaf; version it by partition instead).
+        def _data_files(d: str) -> set:
+            if not os.path.isdir(d):
+                return set()
+            return {n for n in os.listdir(d) if n.startswith("part-")}
+
+        track_snapshots = not plan.partition_by
+        pre_file_set = _data_files(out_dir) if track_snapshots else set()
         # Snapshot footer counts before an append so TABLE_EXPORT_DONE
         # reports THIS run's delta, not the cumulative dump (CDC runs).
         prev_rows = prev_size = prev_files = 0
@@ -242,6 +256,16 @@ def export_table(
             "codec": plan.codec,
             "dump_format": fmt,
         }
+        if track_snapshots:
+            prev_snaps = (
+                list(plan.extra.get("snapshots") or [])
+                if write_mode == "append"
+                else []  # overwrite replaces every file: history resets
+            )
+            added = sorted(_data_files(out_dir) - pre_file_set)
+            detail["snapshots"] = prev_snaps + [
+                {"version": len(prev_snaps) + 1, "files": added}
+            ]
         if write_mode == "append":
             detail["rows_this_run"] = run_rows
         if inc_col is not None:
@@ -380,7 +404,44 @@ def import_table(
                 reader = reader.option("header", "false").option(
                     "multiLine", "true"
                 )
-        df = reader.format(fmt).load(src_dir)
+        load_target: "str | list[str]" = src_dir
+        if config.as_of_version is not None:
+            # AS_OF_VERSION(n): restrict the scan to the files of export
+            # runs 1..n using the manifest's snapshot history — a pure
+            # file-list narrowing, so every downstream pushdown/prune
+            # behaves exactly as on a full read
+            from .exceptions import UsageError
+
+            tmeta = (
+                dumpset.read_manifest().tables.get(plan.source_key, {})
+                if dumpset.exists()
+                else {}
+            )
+            snaps = tmeta.get("snapshots")
+            if not snaps:
+                raise UsageError(
+                    f"AS_OF_VERSION: dump for {plan.source_key} has no "
+                    "snapshot history in the manifest (hive-partitioned "
+                    "dumps and pre-snapshot dumps are not versioned)"
+                )
+            latest = max(s["version"] for s in snaps)
+            if config.as_of_version > latest:
+                raise UsageError(
+                    f"AS_OF_VERSION({config.as_of_version}) beyond the "
+                    f"dump's latest version {latest}"
+                )
+            load_target = [
+                os.path.join(src_dir, f)
+                for s in snaps
+                if s["version"] <= config.as_of_version
+                for f in s["files"]
+            ]
+            if not load_target:
+                raise UsageError(
+                    f"AS_OF_VERSION({config.as_of_version}): no data files "
+                    f"recorded for {plan.source_key} at that version"
+                )
+        df = reader.format(fmt).load(load_target)
         if plan.predicate:
             df = df.filter(plan.predicate)
         if plan.columns:

@@ -199,6 +199,12 @@ class Job:
                     p.extra["watermark"] = prior.get(p.source_key, {}).get(
                         "watermark"
                     )
+                    # carry the snapshot history forward so the append
+                    # run's manifest keeps every prior version readable
+                    # via AS_OF_VERSION
+                    p.extra["snapshots"] = prior.get(p.source_key, {}).get(
+                        "snapshots"
+                    )
         if not plans:
             # Oracle raises ORA-39165 for a schema that matches nothing; a
             # vacuous job completing silently would hide typos.

@@ -322,3 +322,89 @@ def datapump_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ROUNDTRIP_CSV_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
+
+
+def datapump_roundtrip_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS_OF_VERSION time-travel lifecycle under the driver hash: the
+    events table is exported in TWO incremental runs (INCREMENTAL_COLUMN
+    on the epoch-µs timestamp — run 1 dumps the pre-mid-timeline half,
+    run 2 appends the rest past the recorded watermark), then imported
+    with AS_OF_VERSION(1): the manifest's per-run snapshot file lists
+    restrict the scan to run 1's files, so the read-back must hash-equal
+    the early half exactly — proving the dump is a versioned store, not
+    just an append log. Flashback (reference job.py:261-269) travels the
+    SOURCE; this travels the DUMP — the lakehouse half of the snapshot
+    story. At 100 TB the version read is a file-list narrowing, so
+    pushdown/pruning behave exactly as on a full scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..events_source import load_events
+
+    stage = tempfile.mkdtemp(prefix="dp_tt_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_tt_dump_")
+    try:
+        ev = load_events(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS LONG)").alias("value_cents"),
+        )
+        lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+        mid = lo + (hi - lo) // 2
+        path = os.path.join(stage, "events_tt.parquet")
+        ev.filter(F.col("ts_us") < F.lit(mid)).write.mode("overwrite").parquet(
+            path
+        )
+
+        def export_run() -> None:
+            st = Job(
+                Operation.EXPORT,
+                JobMode.TABLE,
+                dumpfiles=dump,
+                directives=[
+                    D.INCLUDE_SCHEMA("main"),
+                    D.INCLUDE_TABLE("events_tt"),
+                    D.INCREMENTAL_COLUMN("ts_us", object_path="events_tt"),
+                ],
+            ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+            if st.job_state != "COMPLETED":
+                raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+
+        export_run()  # version 1: early half
+        ev.write.mode("overwrite").parquet(path)  # source grows to full
+        export_run()  # version 2: appends rows past the watermark
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.AS_OF_VERSION(1),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        return target.read_table(spark, "imported", "events_tt").orderBy(
+            "event_id"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_TIMETRAVEL_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+m AS (SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) // 2 AS mid FROM e)
+SELECT event_id, user_id, ts_us, event_type, value_cents
+FROM e WHERE ts_us < (SELECT mid FROM m)
+ORDER BY event_id
+"""

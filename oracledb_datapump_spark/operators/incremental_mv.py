@@ -103,3 +103,78 @@ FROM unioned
 GROUP BY ym, priority
 ORDER BY ym, priority
 """
+
+
+# every RETRACT_MOD-th order is withdrawn (the simulated late
+# correction/erasure feed applied to an already-materialized view)
+RETRACT_MOD = 7
+
+
+def mv_delta_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ym, priority, n_orders, rev_cents, n_parts): the MV after a
+    RETRACTION delta — every {RETRACT_MOD}th order is withdrawn (a late
+    correction / GDPR erasure feed), and the refresh merges the stored
+    base states with NEGATIVE-multiplicity partial states (−count,
+    −sum) instead of rescanning history: the classic incremental
+    view-maintenance algebra, the retract half that mv_delta_maintain's
+    insert half leaves out. Groups whose count reaches zero drop out of
+    the view (standard IVM zero-multiplicity elimination).
+
+    The ORACLE is a from-scratch recompute over the surviving orders
+    (with n_parts derived declaratively as 1 + has-retractions), so the
+    hash proves the retraction algebra equals ground truth — not merely
+    that both engines ran the same merge.
+
+    Scale: identical profile to the insert path — the retract feed
+    aggregates to |MV|-sized negative states and the merge shuffles
+    only MV rows; the fact history is never rescanned."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    base = _partial(o).withColumn("part", F.lit(1))
+    retracted = o.filter(F.col("o_orderkey") % RETRACT_MOD == 0)
+    retr = _partial(retracted).select(
+        "ym",
+        "priority",
+        (-F.col("n_orders")).alias("n_orders"),
+        (-F.col("rev_cents")).alias("rev_cents"),
+        F.lit(1).alias("part"),
+    )
+    merged = (
+        base.unionByName(retr)
+        .groupBy("ym", "priority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.sum("part").cast("long").alias("n_parts"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.orderBy("ym", "priority")
+
+
+MV_DELTA_RETRACT_SQL = f"""
+WITH survivors AS (
+  SELECT * FROM orders WHERE o_orderkey % {RETRACT_MOD} <> 0
+),
+recomputed AS (
+  SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         o_orderpriority AS priority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM survivors GROUP BY 1, 2
+),
+retr_cells AS (
+  SELECT DISTINCT
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderkey % {RETRACT_MOD} = 0
+)
+SELECT r.ym, r.priority, r.n_orders, r.rev_cents,
+       CAST(1 + CASE WHEN rc.ym IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS n_parts
+FROM recomputed r
+LEFT JOIN retr_cells rc ON rc.ym = r.ym AND rc.priority = r.priority
+ORDER BY r.ym, r.priority
+"""
