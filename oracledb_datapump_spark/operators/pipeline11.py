@@ -7,7 +7,7 @@ inventory) — these are the data-management queries a 100 TB training-
 data pipeline runs between ingest and tokenization:
 
 - ``connected_components_sizes``: exact connected components of the
-  high-urgency co-order graph by min-label propagation — the general
+  sparse customer-part co-purchase graph by min-label propagation — the general
   form of dedup-group discovery (dedup.dedup_groups is the same
   algorithm specialized to near-dup edges). Iterative-until-fixpoint
   under the hard value hash: the DuckDB oracle derives the identical
@@ -31,61 +31,75 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .graph import SUPP_BASE
-
 # -- connected components ----------------------------------------------------
 
-CC_PRIORITY = "1-URGENT"  # sparsify: only urgent orders since CC_SINCE
-CC_SINCE = "1997-01-01"  # (dense graphs collapse to one giant component)
-CC_MAX_ITERS = 40  # safety valve far above any co-order graph diameter
+CC_QTY = 50  # only max-quantity lines: ~2% of lineitem, scale-invariant
+CC_PART_BASE = 1 << 40  # part node ids, disjoint from custkeys at any SF
+CC_MAX_ITERS = 40  # safety valve far above the sparse graph's diameter
 
 
 def _cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected (src, dst) edges of the sparsified co-order graph:
-    customer—supplier pairs that transacted on an urgent recent order.
-    Suppliers offset by SUPP_BASE into the shared node-id space (same
-    convention as graph.pagerank_topk)."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        (F.col("o_orderpriority") == CC_PRIORITY)
-        & (F.col("o_orderdate") >= F.lit(CC_SINCE))
+    """Undirected (src, dst) edges of the sparse customer—part
+    co-purchase graph: an edge connects a customer to every part they
+    ordered at the maximum line quantity ({CC_QTY}). The quantity filter
+    keeps ~2% of lineitem at every scale while the part side stays
+    larger than the edge count, so the graph has REAL component
+    structure (hundreds of non-trivial components) instead of one
+    supplier-hub giant — the regime where component discovery is the
+    interesting question. Part ids offset by CC_PART_BASE into the
+    shared node space."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
     )
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", "l_suppkey"
-    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_quantity") == CC_QTY
+    ).select("l_orderkey", "l_partkey")
     pairs = (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .select(
             F.col("o_custkey").cast("long").alias("c"),
-            (F.col("l_suppkey").cast("long") + SUPP_BASE).alias("s"),
+            (F.col("l_partkey").cast("long") + CC_PART_BASE).alias("p"),
         )
         .distinct()
     )
-    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return pairs.select(F.col("c").alias("src"), F.col("p").alias("dst")).unionAll(
+        pairs.select(F.col("p").alias("src"), F.col("c").alias("dst"))
     )
 
 
 def connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(component_size, n_components): exact connected components of the
-    urgent co-order graph, reported as a size histogram. Min-label
+    sparse customer-part co-purchase graph (max-quantity lines only),
+    reported as a size histogram. Min-label
     propagation to fixpoint: every node starts labeled with its own id;
     each round a node takes the minimum of its label and its neighbors'
     labels; at convergence a component's shared label is its minimum
     node id — exactly the "min reachable node" the oracle's recursive
     CTE computes, so an unconverged loop hash-mismatches.
 
-    Plan: per round ONE hash join (labels onto edges, keyed on src) +
-    ONE groupBy(dst) min + a least() merge, localCheckpointed so
-    lineage stays flat; convergence is a single scalar count of changed
-    labels per round (the k-means/pagerank convention — a bounded
-    driver scalar, never rows). Rounds ≈ graph diameter (co-order
-    graphs: single digits). At 100 TB this is the standard
-    large-star/small-star regime: each round shuffles |E| keyed rows,
-    and hub skew is absorbed by groupBy's map-side partial min."""
+    Plan: per round a neighbor-min step (labels onto edges, keyed on
+    src; groupBy(dst) partial min) PLUS a pointer-doubling shortcut
+    (label ← label's label), localCheckpointed so lineage stays flat;
+    convergence is a single scalar count of changed labels per round
+    (the k-means/pagerank convention — a bounded driver scalar, never
+    rows). The shortcut is what makes the loop O(log diameter) instead
+    of O(diameter) — a chain component of length 2^k converges in ~k
+    rounds — the same short-cutting idea as large-star/small-star. At
+    100 TB each round shuffles |E| + |V| keyed rows and hub skew is
+    absorbed by map-side partial min."""
     edges = _cc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # size the iteration's partitioning to the GRAPH, not the session
+    # default: the loop pays per-task scheduling overhead every round,
+    # so a 20k-edge graph on 32 shuffle partitions spends its wall time
+    # on empty tasks while a 100 TB graph needs the full width. ~500k
+    # edges per partition keeps tasks meaningful at every scale.
+    n_edges = edges.count()
+    n_parts = max(2, min(int(n_edges // 500_000) + 1, 2048))
+    edges = edges.repartition(n_parts, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
+        .repartition(n_parts, "node")
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
@@ -95,12 +109,25 @@ def connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        cand = labels.join(nbr, labels.node == nbr.node2, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: follow the label chain one hop (label of
+        # label); labels only ever decrease toward the component min,
+        # so the fixpoint is unchanged while chain components collapse
+        # exponentially faster
+        hop = cand.select(
+            F.col("node").alias("ln"), F.col("label").alias("ll")
+        )
         new_labels = (
-            labels.join(nbr, labels.node == nbr.node2, "left")
+            cand.join(hop, cand.label == hop.ln, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                    F.col("label"), F.coalesce("ll", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
@@ -126,14 +153,14 @@ def connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONNECTED_COMPONENTS_SIZES_SQL = f"""
 WITH RECURSIVE pairs AS (
   SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS c,
-         CAST(l.l_suppkey AS BIGINT) + {SUPP_BASE} AS s
+         CAST(l.l_partkey AS BIGINT) + {CC_PART_BASE} AS p
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-  WHERE o.o_orderpriority = '{CC_PRIORITY}' AND o.o_orderdate >= DATE '{CC_SINCE}'
+  WHERE l.l_quantity = {CC_QTY}
 ),
 edges AS (
-  SELECT c AS src, s AS dst FROM pairs
+  SELECT c AS src, p AS dst FROM pairs
   UNION ALL
-  SELECT s AS src, c AS dst FROM pairs
+  SELECT p AS src, c AS dst FROM pairs
 ),
 nodes AS (SELECT DISTINCT src AS node FROM edges),
 reach(start, node) AS (
