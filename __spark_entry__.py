@@ -332,6 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_merge_delete": SI.streaming_merge_delete,
         "mv_delta_retract": MV.mv_delta_retract,
         "datapump_roundtrip_timetravel": E.datapump_roundtrip_timetravel,
+        "mv_join_delta": MV.mv_join_delta,
+        "streaming_merge_replay": SI.streaming_merge_replay,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -382,6 +384,8 @@ GATED_PREFIX = [
     "streaming_merge_delete",
     "mv_delta_retract",
     "datapump_roundtrip_timetravel",
+    "mv_join_delta",
+    "streaming_merge_replay",
     # consumers of round-8-changed files
     "hll_distinct",
     "cms_heavy_hitters",
@@ -396,8 +400,6 @@ GATED_PREFIX = [
     "datapump_roundtrip_supplier",
     # backfill, oldest green rows first (r03)
     "price_quantiles",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 
@@ -464,6 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage_pairs": PL13.SPLIT_LEAKAGE_PAIRS_SQL,
         "streaming_merge_delete": SI.STREAMING_MERGE_DELETE_SQL,
         "mv_delta_retract": MV.MV_DELTA_RETRACT_SQL,
+        "mv_join_delta": MV.MV_JOIN_DELTA_SQL,
+        "streaming_merge_replay": SI.STREAMING_MERGE_REPLAY_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -67,6 +67,7 @@ EXCLUDED = {
     "mv_delta_retract": "same partial-state union+re-agg shape as mv_delta_maintain (benched), with negated delta states",
     "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
     "streaming_merge_late": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrival order",
+    "streaming_merge_replay": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus one checkpoint-loss replay cycle",
     "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
     "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",
     # pipeline10 (r7 buzzer-beater batch, classified r8)
@@ -295,6 +296,9 @@ HEADLINE = [
     # simhash band self-join (hamming-space LSH) is a new candidate path;
     # the minhash side rides the memo
     "dedup_method_agreement",
+    # join-MV delta algebra: four quadrant joins + partial-state merge —
+    # no benched sibling runs multiple date-pruned joins of one fact pair
+    "mv_join_delta",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

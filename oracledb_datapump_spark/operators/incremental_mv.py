@@ -178,3 +178,117 @@ FROM recomputed r
 LEFT JOIN retr_cells rc ON rc.ym = r.ym AND rc.priority = r.priority
 ORDER BY r.ym, r.priority
 """
+
+
+# join-MV cutovers: orders are "new" past JMV_CUT_O, lineitems past
+# JMV_CUT_L; staggered so all four quadrants (old x old ... new x new)
+# are populated at every fixture scale
+JMV_CUT_O = "1996-06-01"
+JMV_CUT_L = "1996-08-01"
+
+
+def mv_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ym, n_lines, rev_e4, n_arms): incremental maintenance of a JOIN
+    materialized view — monthly revenue over orders ⋈ lineitem — by the
+    classic join-delta algebra: with ΔA = new orders and ΔB = newly
+    shipped lineitems,
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so the refresh merges the STORED base states (A_old ⋈ B_old,
+    aggregated once) with three delta arms, none of which rejoins the
+    old-x-old bulk — the piece mv_delta_maintain's single-table algebra
+    cannot express. ``n_arms`` counts how many of the four arms fed each
+    month's cell, so the three-arm structure itself sits under the
+    cross-engine hash: a from-scratch rejoin could not produce it.
+
+    The ORACLE recomputes from scratch — one join with each row
+    classified into its (order-new? x line-new?) quadrant — proving the
+    delta algebra equals ground truth, not merely that both engines ran
+    the same merge.
+
+    Determinism: revenue is quantized at the ROW to int64 ten-thousandths
+    (extendedprice·(1−discount) is exact at scale 4 in DECIMAL), so every
+    aggregate is integer arithmetic in both engines.
+
+    Scale: the base arm is a stored |MV|-sized table in production (here
+    recomputed once to stay self-contained); each delta arm joins a
+    date-pruned delta scan against one pruned side — at 100 TB the delta
+    sides are small enough to broadcast or runtime-filter the big scan
+    (bloom_join_prune is that machinery), and no arm ever touches
+    old ⋈ old. The merge shuffles only |MV| x 4 partial-state rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    a_old = o.filter(F.col("o_orderdate") < F.lit(JMV_CUT_O))
+    a_new = o.filter(F.col("o_orderdate") >= F.lit(JMV_CUT_O))
+    b_old = l.filter(F.col("l_shipdate") < F.lit(JMV_CUT_L))
+    b_new = l.filter(F.col("l_shipdate") >= F.lit(JMV_CUT_L))
+
+    def _dec(c: str):
+        return F.col(c).cast("decimal(25,2)")
+
+    rev_e4 = (
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(25,2)") - _dec("l_discount")))
+        * 10000
+    ).cast("long")
+
+    def _arm(orders: DataFrame, lines: DataFrame) -> DataFrame:
+        """Partial state per month for one quadrant's join."""
+        return (
+            orders.join(lines, orders.o_orderkey == lines.l_orderkey)
+            .groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("long")
+                .alias("ym")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(rev_e4).alias("rev_e4"),
+            )
+        )
+
+    arms = [
+        _arm(a_old, b_old),  # stored base MV states
+        _arm(a_new, b_old),  # ΔA ⋈ B_old
+        _arm(a_old, b_new),  # A_old ⋈ ΔB
+        _arm(a_new, b_new),  # ΔA ⋈ ΔB
+    ]
+    unioned = arms[0]
+    for arm in arms[1:]:
+        unioned = unioned.unionByName(arm)
+    return (
+        unioned.groupBy("ym")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("rev_e4").cast("long").alias("rev_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_arms"),
+        )
+        .orderBy("ym")
+    )
+
+
+MV_JOIN_DELTA_SQL = f"""
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) * 100 + month(o.o_orderdate) AS BIGINT) AS ym,
+         (CASE WHEN o.o_orderdate >= TIMESTAMP '{JMV_CUT_O} 00:00:00' THEN 2 ELSE 0 END
+          + CASE WHEN l.l_shipdate >= TIMESTAMP '{JMV_CUT_L} 00:00:00' THEN 1 ELSE 0 END)
+           AS arm,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(25,2))
+              * (CAST(1 AS DECIMAL(25,2)) - CAST(l.l_discount AS DECIMAL(25,2)))
+              * 10000 AS BIGINT) AS rev_e4
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+states AS (
+  SELECT ym, arm, COUNT(*) AS n_lines, SUM(rev_e4) AS rev_e4
+  FROM j GROUP BY ym, arm
+)
+SELECT ym, CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(rev_e4) AS BIGINT) AS rev_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_arms
+FROM states GROUP BY ym
+ORDER BY ym
+"""

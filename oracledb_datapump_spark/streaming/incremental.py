@@ -648,3 +648,57 @@ SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
 FROM r WHERE rn = 1
 ORDER BY user_id
 """
+
+
+def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_merge_apply's at-least-once sibling: after cycle 1 the
+    source CHECKPOINT IS LOST (rmtree — the operator simulates a failed
+    driver whose checkpoint volume didn't survive), so the next cycle
+    REDELIVERS the already-merged arrival file in full before the late
+    half lands and merges in a third cycle. The converged warehouse must
+    still equal the batch "latest event per user" query (the same oracle
+    as streaming_merge_apply) — which holds only if the EXPORT →
+    IMPORT(MERGE) apply is IDEMPOTENT: re-merging a batch whose reduced
+    rows equal state already applied must pick the same survivors.
+    run_merge_apply_cycle's docstring claims exactly that convergence;
+    this query puts the claim under the cross-engine value hash instead
+    of leaving it prose.
+
+    At scale this is the recovery contract every checkpointed CDC
+    pipeline leans on: sources redeliver on checkpoint loss
+    (Kafka offsets rewound, file sources re-listed), and exactly-once
+    STATE comes from idempotent application, not from exactly-once
+    delivery. The replay cycle costs one extra |batch|-keyed merge; no
+    new codepath."""
+    import shutil
+    import tempfile
+
+    from ..catalog import ParquetConnector
+
+    src = tempfile.mkdtemp(prefix="dp_replay_src_")
+    wh = tempfile.mkdtemp(prefix="dp_replay_wh_")
+    cp = tempfile.mkdtemp(prefix="dp_replay_cp_")
+    try:
+        arrivals = stage_events_arrivals(spark, sf_dir, src)
+        for i, land in enumerate(arrivals):
+            land()
+            run_merge_apply_cycle(spark, src, wh, cp)
+            if i == 0:
+                # checkpoint loss: the file source forgets what it has
+                # consumed; the next cycle replays every landed file
+                shutil.rmtree(cp, ignore_errors=True)
+                os.makedirs(cp, exist_ok=True)
+                run_merge_apply_cycle(spark, src, wh, cp)
+        out = (
+            ParquetConnector(wh)
+            .read_table(spark, "tgt", "user_state")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+
+
+STREAMING_MERGE_REPLAY_SQL = STREAMING_MERGE_APPLY_SQL
