@@ -60,6 +60,7 @@ from oracledb_datapump_spark.operators import pipeline10 as PL10
 from oracledb_datapump_spark.operators import pipeline11 as PL11
 from oracledb_datapump_spark.operators import pipeline12 as PL12
 from oracledb_datapump_spark.operators import pipeline13 as PL13
+from oracledb_datapump_spark.operators import pipeline14 as PL14
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -334,6 +335,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datapump_roundtrip_timetravel": E.datapump_roundtrip_timetravel,
         "mv_join_delta": MV.mv_join_delta,
         "streaming_merge_replay": SI.streaming_merge_replay,
+        "part_price_skyline": PL14.part_price_skyline,
+        "revenue_trend_ols": PL14.revenue_trend_ols,
+        "user_activity_streaks": PL14.user_activity_streaks,
+        "cusum_changepoint": PL14.cusum_changepoint,
+        "dedup_edit_distance": PL14.dedup_edit_distance,
+        "event_path_trigrams": PL14.event_path_trigrams,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -398,8 +405,8 @@ GATED_PREFIX = [
     "streaming_merge_evolve",
     "datapump_roundtrip_merge",
     "datapump_roundtrip_supplier",
-    # backfill, oldest green rows first (r03)
-    "price_quantiles",
+    # round-8 session-2 additions
+    "part_price_skyline",
 ]
 
 
@@ -468,6 +475,12 @@ def oracle_sql() -> dict[str, str]:
         "mv_delta_retract": MV.MV_DELTA_RETRACT_SQL,
         "mv_join_delta": MV.MV_JOIN_DELTA_SQL,
         "streaming_merge_replay": SI.STREAMING_MERGE_REPLAY_SQL,
+        "part_price_skyline": PL14.PART_PRICE_SKYLINE_SQL,
+        "revenue_trend_ols": PL14.REVENUE_TREND_OLS_SQL,
+        "user_activity_streaks": PL14.USER_ACTIVITY_STREAKS_SQL,
+        "cusum_changepoint": PL14.CUSUM_CHANGEPOINT_SQL,
+        "dedup_edit_distance": PL14.DEDUP_EDIT_DISTANCE_SQL,
+        "event_path_trigrams": PL14.EVENT_PATH_TRIGRAMS_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

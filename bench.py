@@ -68,6 +68,10 @@ EXCLUDED = {
     "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
     "streaming_merge_late": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrival order",
     "streaming_merge_replay": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus one checkpoint-loss replay cycle",
+    "revenue_trend_ols": "same broadcast-dim join + month groupBy shape as mktsegment_yoy / order_priority_mix_by_month (benched); the OLS moment algebra runs over <=|nation x month| aggregated rows",
+    "user_activity_streaks": "same user-keyed ordered-window shuffle as events_sessionize (benched); the islands arithmetic and streak histogram are over per-user day counts",
+    "cusum_changepoint": "same per-key cumulative-window shape as orders_backlog_timeline (benched); the argmax rank runs over <=|nation x day| aggregated rows",
+    "event_path_trigrams": "same sessionizer shuffle + lead windows as session_funnel_rates / event_transition_gaps (benched); trigram agg collapses to <=|event_types|^3 rows",
     "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
     "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",
     # pipeline10 (r7 buzzer-beater batch, classified r8)
@@ -299,6 +303,12 @@ HEADLINE = [
     # join-MV delta algebra: four quadrant joins + partial-state merge —
     # no benched sibling runs multiple date-pruned joins of one fact pair
     "mv_join_delta",
+    # skyline: range-partitioned strict-prefix max + domination filter —
+    # no benched sibling computes a distributed prefix aggregate on part
+    "part_price_skyline",
+    # per-pair Levenshtein DP over the LSH candidate set: a quadratic-
+    # per-row JVM hot loop no other benched dedup query exercises
+    "dedup_edit_distance",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
