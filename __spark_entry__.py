@@ -61,6 +61,7 @@ from oracledb_datapump_spark.operators import pipeline11 as PL11
 from oracledb_datapump_spark.operators import pipeline12 as PL12
 from oracledb_datapump_spark.operators import pipeline13 as PL13
 from oracledb_datapump_spark.operators import pipeline14 as PL14
+from oracledb_datapump_spark.operators import pipeline15 as PL15
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -341,6 +342,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": PL14.cusum_changepoint,
         "dedup_edit_distance": PL14.dedup_edit_distance,
         "event_path_trigrams": PL14.event_path_trigrams,
+        "dedup_prefix_filter_pairs": PL15.dedup_prefix_filter_pairs,
+        "category_drift_report": PL15.category_drift_report,
+        "clamped_backlog_stats": PL15.clamped_backlog_stats,
+        "orderkey_gap_audit": PL15.orderkey_gap_audit,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -481,6 +486,10 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": PL14.CUSUM_CHANGEPOINT_SQL,
         "dedup_edit_distance": PL14.DEDUP_EDIT_DISTANCE_SQL,
         "event_path_trigrams": PL14.EVENT_PATH_TRIGRAMS_SQL,
+        "dedup_prefix_filter_pairs": PL15.DEDUP_PREFIX_FILTER_SQL,
+        "category_drift_report": PL15.CATEGORY_DRIFT_REPORT_SQL,
+        "clamped_backlog_stats": PL15.CLAMPED_BACKLOG_STATS_SQL,
+        "orderkey_gap_audit": PL15.ORDERKEY_GAP_AUDIT_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

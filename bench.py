@@ -72,6 +72,9 @@ EXCLUDED = {
     "user_activity_streaks": "same user-keyed ordered-window shuffle as events_sessionize (benched); the islands arithmetic and streak histogram are over per-user day counts",
     "cusum_changepoint": "same per-key cumulative-window shape as orders_backlog_timeline (benched); the argmax rank runs over <=|nation x day| aggregated rows",
     "event_path_trigrams": "same sessionizer shuffle + lead windows as session_funnel_rates / event_transition_gaps (benched); trigram agg collapses to <=|event_types|^3 rows",
+    "category_drift_report": "one events scan + <=|event_types|x2 groupBy + broadcast totals; subsumed by conversion_by_hour (benched) scan shape",
+    "clamped_backlog_stats": "same per-key cumulative-window shape as orders_backlog_timeline (benched) with one extra running-min window over the same aggregated rows",
+    "orderkey_gap_audit": "same range-partition global-rank machinery as corpus_shard_plan (benched); the gap arithmetic is one narrow rank-keyed self-join",
     "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
     "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",
     # pipeline10 (r7 buzzer-beater batch, classified r8)
@@ -309,6 +312,9 @@ HEADLINE = [
     # per-pair Levenshtein DP over the LSH candidate set: a quadratic-
     # per-row JVM hot loop no other benched dedup query exercises
     "dedup_edit_distance",
+    # prefix filtering is a THIRD candidate-generation path (df-ordered
+    # prefix self-join + exact-Jaccard verify) with its own join profile
+    "dedup_prefix_filter_pairs",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
