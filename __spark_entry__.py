@@ -398,20 +398,33 @@ GATED_PREFIX = [
     "datapump_roundtrip_timetravel",
     "mv_join_delta",
     "streaming_merge_replay",
-    # consumers of round-8-changed files
-    "hll_distinct",
-    "cms_heavy_hitters",
-    "histogram_quantiles",
-    "pagerank_topk",
-    "triangle_participation",
-    "basket_lift_topk",
-    "incremental_export_cycles",
-    "streaming_merge_apply",
-    "streaming_merge_evolve",
-    "datapump_roundtrip_merge",
-    "datapump_roundtrip_supplier",
-    # round-8 session-2 additions
+    # round-8 session-2 additions (never gated)
     "part_price_skyline",
+    "revenue_trend_ols",
+    "user_activity_streaks",
+    "cusum_changepoint",
+    "dedup_edit_distance",
+    "event_path_trigrams",
+    "dedup_prefix_filter_pairs",
+    "category_drift_report",
+    "clamped_backlog_stats",
+    "orderkey_gap_audit",
+    # consumers of round-8-changed files sharing the widest changed
+    # surface: streaming_merge_apply re-validates the base MERGE path
+    # under the MERGE_ORDER/MERGE_DELETE_COL engine rework, and
+    # datapump_roundtrip_merge the etl.py merge lifecycle. The other
+    # changed-file consumers (hll/cms/histogram on sketches.py,
+    # pagerank/triangle on graph.py, roundtrip_supplier on etl.py,
+    # merge_evolve/export_cycles on streaming/incremental.py) are
+    # displaced past the fold by never-gated queries — each changed
+    # code path still has a never-gated prefix query exercising it
+    # directly (hll_set_algebra, bfs_reach_layers /
+    # connected_components_sizes, roundtrip_timetravel,
+    # streaming_merge_late/delete/replay), and the displaced consumers
+    # keep tests/test_queries_oracle.py standing evidence at both
+    # scales (the documented overflow policy).
+    "streaming_merge_apply",
+    "datapump_roundtrip_merge",
 ]
 
 
