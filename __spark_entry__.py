@@ -62,6 +62,7 @@ from oracledb_datapump_spark.operators import pipeline12 as PL12
 from oracledb_datapump_spark.operators import pipeline13 as PL13
 from oracledb_datapump_spark.operators import pipeline14 as PL14
 from oracledb_datapump_spark.operators import pipeline15 as PL15
+from oracledb_datapump_spark.operators import pipeline16 as PL16
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -346,6 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_drift_report": PL15.category_drift_report,
         "clamped_backlog_stats": PL15.clamped_backlog_stats,
         "orderkey_gap_audit": PL15.orderkey_gap_audit,
+        "interval_coverage_report": PL16.interval_coverage_report,
+        "fifo_lot_attribution": PL16.fifo_lot_attribution,
+        "source_unigram_l1_matrix": PL16.source_unigram_l1_matrix,
+        "card_est_error_report": PL16.card_est_error_report,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -503,6 +508,10 @@ def oracle_sql() -> dict[str, str]:
         "category_drift_report": PL15.CATEGORY_DRIFT_REPORT_SQL,
         "clamped_backlog_stats": PL15.CLAMPED_BACKLOG_STATS_SQL,
         "orderkey_gap_audit": PL15.ORDERKEY_GAP_AUDIT_SQL,
+        "interval_coverage_report": PL16.INTERVAL_COVERAGE_REPORT_SQL,
+        "fifo_lot_attribution": PL16.FIFO_LOT_ATTRIBUTION_SQL,
+        "source_unigram_l1_matrix": PL16.SOURCE_UNIGRAM_L1_SQL,
+        "card_est_error_report": PL16.CARD_EST_ERROR_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -75,6 +75,9 @@ EXCLUDED = {
     "category_drift_report": "one events scan + <=|event_types|x2 groupBy + broadcast totals; subsumed by conversion_by_hour (benched) scan shape",
     "clamped_backlog_stats": "same per-key cumulative-window shape as orders_backlog_timeline (benched) with one extra running-min window over the same aggregated rows",
     "orderkey_gap_audit": "same range-partition global-rank machinery as corpus_shard_plan (benched); the gap arithmetic is one narrow rank-keyed self-join",
+    "interval_coverage_report": "same per-key boundary-event cumsum windows as orders_backlog_timeline (benched) after the lineitem groupBy+join that fifo_lot_attribution (benched) also pays",
+    "source_unigram_l1_matrix": "same token-explode + groupBy(source, tok) shuffle as ngram_novelty_by_source / source_lang_matrix (benched); the V x S share grid and pair matrix are broadcast-sized",
+    "card_est_error_report": "one conditional-aggregation scan of orders; strictly cheaper than table_profile's distinct-agg sweep (benched)",
     "l_diversity_report": "same QI-groupBy + count-of-counts shape as k_anonymity_report (excluded for order_width_histogram's family; session_length_histogram benched)",
     "epoch_mix_plan": "same per-source token-sum + broadcast-total shape as source_token_budget (benched); mixture arithmetic is over <=|sources| rows",
     # pipeline10 (r7 buzzer-beater batch, classified r8)
@@ -315,6 +318,10 @@ HEADLINE = [
     # prefix filtering is a THIRD candidate-generation path (df-ordered
     # prefix self-join + exact-Jaccard verify) with its own join profile
     "dedup_prefix_filter_pairs",
+    # banded coordinate-block interval join (the equi-join rewrite of an
+    # inequality interval intersection) — no other benched query has an
+    # explode-to-blocks join profile
+    "fifo_lot_attribution",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
