@@ -85,6 +85,7 @@ EXCLUDED = {
     "lm_filter_report": "same tokenize+bigram-count dominant shape as bigram_surprise (benched); adds only a broadcast per-doc perplexity band",
     "oov_rate_curve": "one token-frequency table, same vocab-count shape as zipf_vocab_curve (benched); size arms are cheap re-aggregations",
     "datapump_roundtrip_csv": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched) through the CSV interchange format over 25-row nation",
+    "datapump_roundtrip_remap_data": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched); the REMAP_DATA rewrites are two row-local projections in the same export plan",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;

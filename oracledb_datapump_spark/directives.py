@@ -80,6 +80,9 @@ class PlanConfig:
     table_sort_by: dict[str, str] = field(default_factory=dict)
     table_zorder_by: dict[str, str] = field(default_factory=dict)
     table_merge_key: dict[str, str] = field(default_factory=dict)
+    table_remap_data: dict[str, list[tuple[str, str]]] = field(
+        default_factory=dict
+    )
     table_merge_order: dict[str, str] = field(default_factory=dict)
     table_merge_delete_col: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
@@ -280,6 +283,27 @@ class Columns(Filter, name="COLUMNS"):
     def apply(self, config: PlanConfig) -> None:
         cols = self.value if isinstance(self.value, list) else str(self.value).split(",")
         config.table_columns[self.object_path or "*"] = [c.strip() for c in cols]
+
+
+class RemapData(Filter, name="REMAP_DATA"):
+    """Rewrite a column's values through a registered deterministic
+    transform during export — Oracle Data Pump's REMAP_DATA parameter
+    (unwrapped by the reference; its remap registry stops at
+    REMAP_DATAFILE, reference directives.py:440-470), re-expressed
+    Spark-first: the "function" is a named row-local Column expression
+    from ``functions/remap_data.REMAP_FUNCTIONS`` (hash_mask = joinable
+    'anon_<hash64>' pseudonymization, null_out = typed redaction), each
+    with a DuckDB SQL twin so the lifecycle is provable under the
+    cross-engine hash. value = '<column>:<function>'; object_path = the
+    table ('*' = all tables); repeat the directive for multiple
+    columns. Unknown functions fail at submit time."""
+
+    def apply(self, config: PlanConfig) -> None:
+        from .functions.remap_data import parse_remap
+
+        config.table_remap_data.setdefault(
+            self.object_path or "*", []
+        ).append(parse_remap(str(self.value)))
 
 
 class IncrementalColumn(Filter, name="INCREMENTAL_COLUMN"):

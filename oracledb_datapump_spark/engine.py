@@ -197,6 +197,14 @@ def export_table(
 
             df = df.filter(F.col(inc_col) > F.lit(prev_watermark))
             write_mode = "append"
+        if plan.remap_data:
+            # REMAP_DATA rewrites are row-local projections applied after
+            # the pushed-down read and before any layout shuffle — the
+            # dump never contains the raw values
+            from .functions.remap_data import apply_remaps
+
+            df = apply_remaps(df, plan.remap_data)
+            schema_json = df.schema.json()
         if plan.parallel > 1 and df.rdd.getNumPartitions() < plan.parallel:
             df = df.repartition(plan.parallel)
         fmt = plan.extra.get("dump_format", "parquet")

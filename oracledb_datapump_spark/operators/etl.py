@@ -408,3 +408,65 @@ SELECT event_id, user_id, ts_us, event_type, value_cents
 FROM e WHERE ts_us < (SELECT mid FROM m)
 ORDER BY event_id
 """
+
+
+def datapump_roundtrip_remap_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMAP_DATA lifecycle under the driver hash: export ``customer``
+    with ``c_name`` pseudonymized (hash_mask → joinable 'anon_<hash64>'
+    tokens) and ``c_acctbal`` redacted (null_out, type kept), import
+    into a DuckDB stand-in, read back. Hash equality against the
+    DuckDB-side twin expressions proves the masking ran inside the
+    export plan — the dump on disk never held a raw name or balance —
+    and that the transform is bit-identical cross-engine (md5-derived
+    hash64, no engine-native hash). Oracle Data Pump's REMAP_DATA
+    parameter, unwrapped by the reference client (its remap registry
+    stops at REMAP_DATAFILE, reference directives.py:440-470),
+    re-expressed as a registered row-local Column transform: no UDF, no
+    shuffle, applied after the pushed-down read."""
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix="dp_rt_rd_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("customer"),
+                D.REMAP_DATA("c_name:hash_mask", object_path="customer"),
+                D.REMAP_DATA("c_acctbal:null_out", object_path="customer"),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        return target.read_table(spark, "imported", "customer").orderBy(
+            "c_custkey"
+        )
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+def _roundtrip_remap_data_sql() -> str:
+    from ..functions.remap_data import REMAP_FUNCTIONS
+
+    masked_name = REMAP_FUNCTIONS["hash_mask"][1]("c_name")
+    return (
+        f"SELECT c_custkey, {masked_name} AS c_name, c_nationkey, "
+        "CAST(NULL AS DOUBLE) AS c_acctbal, c_mktsegment "
+        "FROM customer ORDER BY c_custkey"
+    )
+
+
+ROUNDTRIP_REMAP_DATA_SQL = _roundtrip_remap_data_sql()

@@ -37,6 +37,7 @@ class TablePlan:
     merge_key: str | None = None
     merge_order: str | None = None
     merge_delete_col: str | None = None
+    remap_data: list[tuple[str, str]] | None = None
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -121,6 +122,9 @@ def plan_export(
                     ),
                     merge_key=config.table_merge_key.get(
                         table, config.table_merge_key.get("*")
+                    ),
+                    remap_data=config.table_remap_data.get(
+                        table, config.table_remap_data.get("*")
                     ),
                     extra={"dump_format": config.dump_format.lower()},
                 )
