@@ -63,6 +63,7 @@ from oracledb_datapump_spark.operators import pipeline13 as PL13
 from oracledb_datapump_spark.operators import pipeline14 as PL14
 from oracledb_datapump_spark.operators import pipeline15 as PL15
 from oracledb_datapump_spark.operators import pipeline16 as PL16
+from oracledb_datapump_spark.operators import pipeline17 as PL17
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -352,6 +353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fifo_lot_attribution": PL16.fifo_lot_attribution,
         "source_unigram_l1_matrix": PL16.source_unigram_l1_matrix,
         "card_est_error_report": PL16.card_est_error_report,
+        "join_skew_report": PL17.join_skew_report,
+        "hist_est_error_report": PL17.hist_est_error_report,
+        "trimmed_price_stats": PL17.trimmed_price_stats,
+        "user_state_transitions": PL17.user_state_transitions,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -513,6 +518,10 @@ def oracle_sql() -> dict[str, str]:
         "fifo_lot_attribution": PL16.FIFO_LOT_ATTRIBUTION_SQL,
         "source_unigram_l1_matrix": PL16.SOURCE_UNIGRAM_L1_SQL,
         "card_est_error_report": PL16.CARD_EST_ERROR_SQL,
+        "join_skew_report": PL17.JOIN_SKEW_REPORT_SQL,
+        "hist_est_error_report": PL17.HIST_EST_ERROR_SQL,
+        "trimmed_price_stats": PL17.TRIMMED_PRICE_STATS_SQL,
+        "user_state_transitions": PL17.USER_STATE_TRANSITIONS_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -86,6 +86,9 @@ EXCLUDED = {
     "oov_rate_curve": "one token-frequency table, same vocab-count shape as zipf_vocab_curve (benched); size arms are cheap re-aggregations",
     "datapump_roundtrip_csv": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched) through the CSV interchange format over 25-row nation",
     "datapump_roundtrip_remap_data": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched); the REMAP_DATA rewrites are two row-local projections in the same export plan",
+    "join_skew_report": "two |keys|-sized groupBy counts + one-row reduces; same key-count shape as hourly_heavy_hitters / distinct_counts (benched)",
+    "hist_est_error_report": "two narrow scans of orders.o_totalprice + broadcast bucket arithmetic; same single-column orders scan family as price_quantiles (benched)",
+    "user_state_transitions": "distinct (user, week) + user-keyed self-join; same first-seen-cohort shuffle family as weekly_new_vs_returning (benched)",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
@@ -323,6 +326,10 @@ HEADLINE = [
     # inequality interval intersection) — no other benched query has an
     # explode-to-blocks join profile
     "fifo_lot_attribution",
+    # the heaviest global_order user: range-partition order statistics
+    # over the full lineitem x part join (corpus_shard_plan ranks the
+    # much smaller documents table)
+    "trimmed_price_stats",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
