@@ -64,6 +64,7 @@ from oracledb_datapump_spark.operators import pipeline14 as PL14
 from oracledb_datapump_spark.operators import pipeline15 as PL15
 from oracledb_datapump_spark.operators import pipeline16 as PL16
 from oracledb_datapump_spark.operators import pipeline17 as PL17
+from oracledb_datapump_spark.operators import pipeline18 as PL18
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -357,6 +358,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_est_error_report": PL17.hist_est_error_report,
         "trimmed_price_stats": PL17.trimmed_price_stats,
         "user_state_transitions": PL17.user_state_transitions,
+        "k_anon_generalization_ladder": PL18.k_anon_generalization_ladder,
+        "session_window_builtin": PL18.session_window_builtin,
+        "process_conformance_report": PL18.process_conformance_report,
+        "vocab_growth_curve": PL18.vocab_growth_curve,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -522,6 +527,10 @@ def oracle_sql() -> dict[str, str]:
         "hist_est_error_report": PL17.HIST_EST_ERROR_SQL,
         "trimmed_price_stats": PL17.TRIMMED_PRICE_STATS_SQL,
         "user_state_transitions": PL17.USER_STATE_TRANSITIONS_SQL,
+        "k_anon_generalization_ladder": PL18.K_ANON_LADDER_SQL,
+        "session_window_builtin": PL18.SESSION_WINDOW_BUILTIN_SQL,
+        "process_conformance_report": PL18.PROCESS_CONFORMANCE_SQL,
+        "vocab_growth_curve": PL18.VOCAB_GROWTH_CURVE_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -89,6 +89,9 @@ EXCLUDED = {
     "join_skew_report": "two |keys|-sized groupBy counts + one-row reduces; same key-count shape as hourly_heavy_hitters / distinct_counts (benched)",
     "hist_est_error_report": "two narrow scans of orders.o_totalprice + broadcast bucket arithmetic; same single-column orders scan family as price_quantiles (benched)",
     "user_state_transitions": "distinct (user, week) + user-keyed self-join; same first-seen-cohort shuffle family as weekly_new_vs_returning (benched)",
+    "k_anon_generalization_ladder": "ONE rollup aggregate over 3 customer QI columns + a <=|groups| reduce; strictly lighter than fd_violation_report's per-rule sweep (its anchor table_profile is benched)",
+    "process_conformance_report": "same user-keyed sessionizer shuffle + per-session windows as session_funnel_rates (benched); the three rule arms are conditional sums over the sessionized frame",
+    "vocab_growth_curve": "same token-explode + groupBy(tok) shuffle as zipf_vocab_curve (benched); the rank join and doubling-step curve run over vocabulary-sized frames",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
@@ -330,6 +333,10 @@ HEADLINE = [
     # over the full lineitem x part join (corpus_shard_plan ranks the
     # much smaller documents table)
     "trimmed_price_stats",
+    # Spark's NATIVE session_window aggregate (SessionWindowExec) — a
+    # physical operator no other benched query exercises; the manual
+    # lag/cumsum twin events_sessionize stays benched for comparison
+    "session_window_builtin",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
