@@ -65,6 +65,7 @@ from oracledb_datapump_spark.operators import pipeline15 as PL15
 from oracledb_datapump_spark.operators import pipeline16 as PL16
 from oracledb_datapump_spark.operators import pipeline17 as PL17
 from oracledb_datapump_spark.operators import pipeline18 as PL18
+from oracledb_datapump_spark.operators import pipeline19 as PL19
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -362,6 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_builtin": PL18.session_window_builtin,
         "process_conformance_report": PL18.process_conformance_report,
         "vocab_growth_curve": PL18.vocab_growth_curve,
+        "table_checksum_report": PL19.table_checksum_report,
+        "business_days_lag_by_priority": PL19.business_days_lag_by_priority,
+        "degree_assortativity": PL19.degree_assortativity,
+        "hash_partition_balance": PL19.hash_partition_balance,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -531,6 +536,10 @@ def oracle_sql() -> dict[str, str]:
         "session_window_builtin": PL18.SESSION_WINDOW_BUILTIN_SQL,
         "process_conformance_report": PL18.PROCESS_CONFORMANCE_SQL,
         "vocab_growth_curve": PL18.VOCAB_GROWTH_CURVE_SQL,
+        "table_checksum_report": PL19.TABLE_CHECKSUM_SQL,
+        "business_days_lag_by_priority": PL19.BUSINESS_DAYS_LAG_SQL,
+        "degree_assortativity": PL19.DEGREE_ASSORTATIVITY_SQL,
+        "hash_partition_balance": PL19.HASH_PARTITION_BALANCE_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -92,6 +92,9 @@ EXCLUDED = {
     "k_anon_generalization_ladder": "ONE rollup aggregate over 3 customer QI columns + a <=|groups| reduce; strictly lighter than fd_violation_report's per-rule sweep (its anchor table_profile is benched)",
     "process_conformance_report": "same user-keyed sessionizer shuffle + per-session windows as session_funnel_rates (benched); the three rule arms are conditional sums over the sessionized frame",
     "vocab_growth_curve": "same token-explode + groupBy(tok) shuffle as zipf_vocab_curve (benched); the rank join and doubling-step curve run over vocabulary-sized frames",
+    "business_days_lag_by_priority": "same orders x lineitem join + <=|priorities| groupBy as ship_lag_quartiles_by_priority (benched); the weekday arithmetic is row-local",
+    "degree_assortativity": "same distinct-edge groupBy + degree-join shape as basket_lift_topk / connected_components (benched/gated); the moment reduce is one row",
+    "hash_partition_balance": "two distinct-key groupBys + md5 bucketing, strictly lighter than table_checksum_report (benched) which hashes FULL rows of three tables",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
@@ -337,6 +340,9 @@ HEADLINE = [
     # physical operator no other benched query exercises; the manual
     # lag/cumsum twin events_sessionize stays benched for comparison
     "session_window_builtin",
+    # full-row md5 fold over three tables — the reconciliation
+    # primitive's hashing throughput has no other benched proxy
+    "table_checksum_report",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
