@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_ablation": S.embedding_dim_ablation,
         "datapump_roundtrip_query_columns": E.datapump_roundtrip_query_columns,
         "datapump_roundtrip_remap_data": E.datapump_roundtrip_remap_data,
+        "datapump_roundtrip_compact": E.datapump_roundtrip_compact,
         "datapump_roundtrip_departition": E.datapump_roundtrip_departition,
         "datapump_roundtrip_zorder": E.datapump_roundtrip_zorder,
         "datapump_roundtrip_csv": E.datapump_roundtrip_csv,
@@ -573,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_ablation": S.EMBEDDING_DIM_ABLATION_SQL,
         "datapump_roundtrip_query_columns": E.ROUNDTRIP_QUERY_COLUMNS_SQL,
         "datapump_roundtrip_remap_data": E.ROUNDTRIP_REMAP_DATA_SQL,
+        "datapump_roundtrip_compact": E.ROUNDTRIP_COMPACT_SQL,
         "datapump_roundtrip_departition": E.ROUNDTRIP_DEPARTITION_SQL,
         "datapump_roundtrip_zorder": E.ROUNDTRIP_ZORDER_SQL,
         "datapump_roundtrip_csv": E.ROUNDTRIP_CSV_SQL,

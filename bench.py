@@ -95,6 +95,7 @@ EXCLUDED = {
     "business_days_lag_by_priority": "same orders x lineitem join + <=|priorities| groupBy as ship_lag_quartiles_by_priority (benched); the weekday arithmetic is row-local",
     "degree_assortativity": "same distinct-edge groupBy + degree-join shape as basket_lift_topk / connected_components (benched/gated); the moment reduce is one row",
     "hash_partition_balance": "two distinct-key groupBys + md5 bucketing, strictly lighter than table_checksum_report (benched) which hashes FULL rows of three tables",
+    "datapump_roundtrip_compact": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched) plus one coalesce rewrite of a 4-file supplier dump",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;

@@ -470,3 +470,75 @@ def _roundtrip_remap_data_sql() -> str:
 
 
 ROUNDTRIP_REMAP_DATA_SQL = _roundtrip_remap_data_sql()
+
+
+def datapump_roundtrip_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dump-set compaction (S6 maintenance) under the driver hash:
+    export ``supplier`` with PARALLEL(4) (a fragmented multi-part
+    layout), run ``DumpSet.compact`` toward one large file, import the
+    compacted dump and read it back. Two sentinel columns ride every
+    row — ``was_fragmented`` (the pre-compaction layout really had ≥2
+    part files) and ``n_files_after`` (the compacted layout) — so the
+    oracle pins BOTH that compaction consolidated the layout AND that
+    it moved no rows and altered no values (compaction is coalesce +
+    atomic swap, never a shuffle; see dumpset.py:206-224). pytest
+    covers idempotence and crash recovery; this puts the data-fidelity
+    contract under the cross-engine value hash."""
+    import os as _os
+
+    from ..dumpset import DumpSet
+
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix="dp_rt_cp_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("supplier"),
+                D.PARALLEL(4),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        ds = DumpSet(dump)
+        tdir = ds.table_dir("main", "supplier")
+
+        def _parts() -> int:
+            return sum(
+                1 for n in _os.listdir(tdir) if n.startswith("part-")
+            )
+
+        before = _parts()
+        ds.compact(spark, target_file_bytes=1 << 30, min_files=2)
+        after = _parts()
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        from pyspark.sql import functions as F
+
+        return (
+            target.read_table(spark, "imported", "supplier")
+            .withColumn("was_fragmented", F.lit(before >= 2))
+            .withColumn("n_files_after", F.lit(after).cast("long"))
+            .orderBy("s_suppkey")
+        )
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_COMPACT_SQL = (
+    "SELECT *, TRUE AS was_fragmented, CAST(1 AS BIGINT) AS n_files_after "
+    "FROM supplier ORDER BY s_suppkey"
+)
