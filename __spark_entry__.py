@@ -66,6 +66,7 @@ from oracledb_datapump_spark.operators import pipeline16 as PL16
 from oracledb_datapump_spark.operators import pipeline17 as PL17
 from oracledb_datapump_spark.operators import pipeline18 as PL18
 from oracledb_datapump_spark.operators import pipeline19 as PL19
+from oracledb_datapump_spark.operators import pipeline20 as PL20
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -368,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "business_days_lag_by_priority": PL19.business_days_lag_by_priority,
         "degree_assortativity": PL19.degree_assortativity,
         "hash_partition_balance": PL19.hash_partition_balance,
+        "daily_volume_mad_outliers": PL20.daily_volume_mad_outliers,
+        "weighted_lag_median_by_priority": PL20.weighted_lag_median_by_priority,
+        "cohort_ltv_curve": PL20.cohort_ltv_curve,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -541,6 +545,9 @@ def oracle_sql() -> dict[str, str]:
         "business_days_lag_by_priority": PL19.BUSINESS_DAYS_LAG_SQL,
         "degree_assortativity": PL19.DEGREE_ASSORTATIVITY_SQL,
         "hash_partition_balance": PL19.HASH_PARTITION_BALANCE_SQL,
+        "daily_volume_mad_outliers": PL20.DAILY_MAD_OUTLIERS_SQL,
+        "weighted_lag_median_by_priority": PL20.WEIGHTED_LAG_MEDIAN_SQL,
+        "cohort_ltv_curve": PL20.COHORT_LTV_CURVE_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -96,6 +96,9 @@ EXCLUDED = {
     "degree_assortativity": "same distinct-edge groupBy + degree-join shape as basket_lift_topk / connected_components (benched/gated); the moment reduce is one row",
     "hash_partition_balance": "two distinct-key groupBys + md5 bucketing, strictly lighter than table_checksum_report (benched) which hashes FULL rows of three tables",
     "datapump_roundtrip_compact": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched) plus one coalesce rewrite of a 4-file supplier dump",
+    "daily_volume_mad_outliers": "one events scan to a <=|types x days| groupBy; the median/MAD rank windows run over those aggregated rows (same family as value_quartiles_by_type, benched)",
+    "weighted_lag_median_by_priority": "same orders x lineitem join + <=|priority x lag| aggregation as ship_lag_quartiles_by_priority (benched); the weighted-median windows run over aggregated rows",
+    "cohort_ltv_curve": "same first-seen cohort shuffle as cohort_retention / weekly_new_vs_returning (benched); the curve windows run over <=|cohorts x ages| rows",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
