@@ -67,6 +67,7 @@ from oracledb_datapump_spark.operators import pipeline17 as PL17
 from oracledb_datapump_spark.operators import pipeline18 as PL18
 from oracledb_datapump_spark.operators import pipeline19 as PL19
 from oracledb_datapump_spark.operators import pipeline20 as PL20
+from oracledb_datapump_spark.operators import pipeline21 as PL21
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -372,6 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_volume_mad_outliers": PL20.daily_volume_mad_outliers,
         "weighted_lag_median_by_priority": PL20.weighted_lag_median_by_priority,
         "cohort_ltv_curve": PL20.cohort_ltv_curve,
+        "orders_autocorrelation": PL21.orders_autocorrelation,
+        "fk_candidate_scan": PL21.fk_candidate_scan,
+        "median_stability_check": PL21.median_stability_check,
+        "event_type_venn": PL21.event_type_venn,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -548,6 +553,10 @@ def oracle_sql() -> dict[str, str]:
         "daily_volume_mad_outliers": PL20.DAILY_MAD_OUTLIERS_SQL,
         "weighted_lag_median_by_priority": PL20.WEIGHTED_LAG_MEDIAN_SQL,
         "cohort_ltv_curve": PL20.COHORT_LTV_CURVE_SQL,
+        "orders_autocorrelation": PL21.ORDERS_AUTOCORRELATION_SQL,
+        "fk_candidate_scan": PL21.FK_CANDIDATE_SCAN_SQL,
+        "median_stability_check": PL21.MEDIAN_STABILITY_SQL,
+        "event_type_venn": PL21.EVENT_TYPE_VENN_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -99,6 +99,10 @@ EXCLUDED = {
     "daily_volume_mad_outliers": "one events scan to a <=|types x days| groupBy; the median/MAD rank windows run over those aggregated rows (same family as value_quartiles_by_type, benched)",
     "weighted_lag_median_by_priority": "same orders x lineitem join + <=|priority x lag| aggregation as ship_lag_quartiles_by_priority (benched); the weighted-median windows run over aggregated rows",
     "cohort_ltv_curve": "same first-seen cohort shuffle as cohort_retention / weekly_new_vs_returning (benched); the curve windows run over <=|cohorts x ages| rows",
+    "orders_autocorrelation": "one orders scan to a <=|days| groupBy; the dense-axis explode, lag windows and moment reduces run over calendar-sized frames (same scan family as orders_backlog_timeline, benched)",
+    "fk_candidate_scan": "four distinct-key groupBys + |keys|-sized left joins; same distinct-agg sweep family as table_profile / fd_violation_report (table_profile benched)",
+    "median_stability_check": "one orders scan unioned into three parity arms; the cumulative-count median windows run over (arm, distinct-price) aggregated rows (same family as price_quantiles, benched)",
+    "event_type_venn": "one events scan -> per-user bool_or groupBy -> 8-row mask groupBy; strictly lighter than dau_wau_stickiness (benched) on the same user-keyed shuffle",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
