@@ -68,6 +68,7 @@ from oracledb_datapump_spark.operators import pipeline18 as PL18
 from oracledb_datapump_spark.operators import pipeline19 as PL19
 from oracledb_datapump_spark.operators import pipeline20 as PL20
 from oracledb_datapump_spark.operators import pipeline21 as PL21
+from oracledb_datapump_spark.operators import pipeline22 as PL22
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -377,6 +378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_candidate_scan": PL21.fk_candidate_scan,
         "median_stability_check": PL21.median_stability_check,
         "event_type_venn": PL21.event_type_venn,
+        "bucketed_join_rollup": PL22.bucketed_join_rollup,
+        "bucket_pruned_lookup": PL22.bucket_pruned_lookup,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -557,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
         "fk_candidate_scan": PL21.FK_CANDIDATE_SCAN_SQL,
         "median_stability_check": PL21.MEDIAN_STABILITY_SQL,
         "event_type_venn": PL21.EVENT_TYPE_VENN_SQL,
+        "bucketed_join_rollup": PL22.BUCKETED_JOIN_ROLLUP_SQL,
+        "bucket_pruned_lookup": PL22.BUCKET_PRUNED_LOOKUP_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -103,6 +103,7 @@ EXCLUDED = {
     "fk_candidate_scan": "four distinct-key groupBys + |keys|-sized left joins; same distinct-agg sweep family as table_profile / fd_violation_report (table_profile benched)",
     "median_stability_check": "one orders scan unioned into three parity arms; the cumulative-count median windows run over (arm, distinct-price) aggregated rows (same family as price_quantiles, benched)",
     "event_type_venn": "one events scan -> per-user bool_or groupBy -> 8-row mask groupBy; strictly lighter than dau_wau_stickiness (benched) on the same user-keyed shuffle",
+    "bucket_pruned_lookup": "one bucketed catalog write + a 1-of-8-buckets pruned point read; the write rides bucketed_join_rollup's (benched) identical bucketBy path",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
@@ -351,6 +352,10 @@ HEADLINE = [
     # full-row md5 fold over three tables — the reconciliation
     # primitive's hashing throughput has no other benched proxy
     "table_checksum_report",
+    # the bucketed-write + co-located-join lifecycle: bucketBy catalog
+    # writes and a zero-Exchange fact-fact join — a physical path
+    # (bucketed scan join) nothing else benches
+    "bucketed_join_rollup",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
