@@ -69,6 +69,7 @@ from oracledb_datapump_spark.operators import pipeline19 as PL19
 from oracledb_datapump_spark.operators import pipeline20 as PL20
 from oracledb_datapump_spark.operators import pipeline21 as PL21
 from oracledb_datapump_spark.operators import pipeline22 as PL22
+from oracledb_datapump_spark.operators import pipeline23 as PL23
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -380,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_venn": PL21.event_type_venn,
         "bucketed_join_rollup": PL22.bucketed_join_rollup,
         "bucket_pruned_lookup": PL22.bucket_pruned_lookup,
+        "quantization_error_curve": PL23.quantization_error_curve,
+        "truncation_loss_curve": PL23.truncation_loss_curve,
+        "dedup_transitivity_audit": PL23.dedup_transitivity_audit,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -562,6 +566,9 @@ def oracle_sql() -> dict[str, str]:
         "event_type_venn": PL21.EVENT_TYPE_VENN_SQL,
         "bucketed_join_rollup": PL22.BUCKETED_JOIN_ROLLUP_SQL,
         "bucket_pruned_lookup": PL22.BUCKET_PRUNED_LOOKUP_SQL,
+        "quantization_error_curve": PL23.QUANTIZATION_ERROR_CURVE_SQL,
+        "truncation_loss_curve": PL23.TRUNCATION_LOSS_CURVE_SQL,
+        "dedup_transitivity_audit": PL23.DEDUP_TRANSITIVITY_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

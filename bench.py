@@ -104,6 +104,9 @@ EXCLUDED = {
     "median_stability_check": "one orders scan unioned into three parity arms; the cumulative-count median windows run over (arm, distinct-price) aggregated rows (same family as price_quantiles, benched)",
     "event_type_venn": "one events scan -> per-user bool_or groupBy -> 8-row mask groupBy; strictly lighter than dau_wau_stickiness (benched) on the same user-keyed shuffle",
     "bucket_pruned_lookup": "one bucketed catalog write + a 1-of-8-buckets pruned point read; the write rides bucketed_join_rollup's (benched) identical bucketBy path",
+    "quantization_error_curve": "two passes over the exploded embedding coordinates (max + one conditional agg for all bit widths); same explode shape as embedding_dim_profile / embedding_quantize (benched)",
+    "truncation_loss_curve": "one row-local size(tokens) scan of documents with conditional sums; strictly lighter than token_count (benched)",
+    "dedup_transitivity_audit": "rides the verified-pair memo (dedup_minhash_verified benched); wedge enumeration is an edge-list self-join over the sparse near-dup graph",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
