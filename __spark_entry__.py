@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantization_error_curve": PL23.quantization_error_curve,
         "truncation_loss_curve": PL23.truncation_loss_curve,
         "dedup_transitivity_audit": PL23.dedup_transitivity_audit,
+        "streaming_session_window_native": ST.streaming_session_window_native,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -569,6 +570,7 @@ def oracle_sql() -> dict[str, str]:
         "quantization_error_curve": PL23.QUANTIZATION_ERROR_CURVE_SQL,
         "truncation_loss_curve": PL23.TRUNCATION_LOSS_CURVE_SQL,
         "dedup_transitivity_audit": PL23.DEDUP_TRANSITIVITY_SQL,
+        "streaming_session_window_native": ST.STREAMING_SESSION_WINDOW_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

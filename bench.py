@@ -42,6 +42,7 @@ EXCLUDED = {
     # fixed overhead per cycle) would swamp the batch-throughput signal
     "streaming_rollup_closed": "streaming availableNow startup dominates",
     "streaming_sessions_closed": "streaming availableNow startup dominates",
+    "streaming_session_window_native": "three availableNow cycles whose fixed streaming startup dominates (streaming_sessions_closed excluded for the same reason; the per-batch work is one user-keyed session_window aggregate)",
     "streaming_attribution_pairs": "streaming availableNow startup dominates",
     "streaming_cms_cells": "streaming availableNow startup dominates",
     "streaming_dedup_unique": "streaming availableNow startup dominates",

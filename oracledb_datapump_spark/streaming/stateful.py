@@ -252,3 +252,144 @@ ORDER BY user_id, session_seq
 
 
 STREAMING_SESSIONS_CLOSED_SQL = _sessions_closed_sql()
+
+
+# -- native session_window in streaming mode ---------------------------------
+
+SW_NATIVE_GAP = "30 minutes"
+
+
+def streaming_session_window_native(
+    spark: SparkSession, src_dir: str
+) -> DataFrame:
+    """(user_id, n_events, session_start_us, session_end_us): Spark's
+    NATIVE ``session_window`` aggregate run as a STRUCTURED STREAMING
+    query (watermarked, append mode) over three checkpointed
+    availableNow cycles — the declarative counterpart of this module's
+    applyInPandasWithState sessionizer, under the same cross-engine
+    hash.
+
+    Cycle mechanics (watermarks apply one batch late): cycle 1 drains
+    the real events (watermark still at epoch → nothing emits, state
+    accumulates); cycle 2 lands a sentinel event +30 days out (the
+    batch runs against the cycle-1 watermark = max real event time,
+    emitting every session closed strictly before it); cycle 3 lands a
+    second sentinel +60 days (running against the cycle-2 watermark =
+    sentinel-1's time, which closes EVERY real session — no boundary
+    sensitivity at the stream tail). The sentinel user (-1) stays open
+    in state and is filtered from the result; the oracle is the plain
+    batch gap-islands sessionization of all real events, so the hash
+    also re-proves the merge-at-exactly-gap boundary convention the
+    batch probe established (session_window_builtin).
+
+    At scale this is the production shape: session_window state is
+    merged map-side inside the aggregate, the watermark bounds state
+    size, and each cycle is one user-keyed shuffle."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .incremental import _land_single_parquet
+
+    src = tempfile.mkdtemp(prefix="dp_swn_src_")
+    out = tempfile.mkdtemp(prefix="dp_swn_out_")
+    sink = os.path.join(out, "sessions")
+    ckpt = os.path.join(out, "_ckpt")
+    try:
+        base = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+
+        def sentinel(days: int) -> DataFrame:
+            one = base.orderBy(F.desc("ts"), F.desc("event_id")).limit(1)
+            return one.select(
+                F.col("event_id") + days,  # unique, deterministic
+                F.expr(f"ts + INTERVAL {days} DAYS").alias("ts"),
+                F.lit(-1).cast(dict(base.dtypes)["user_id"]).alias(
+                    "user_id"
+                ),
+                *[
+                    F.col(c)
+                    for c in base.columns
+                    if c not in ("event_id", "ts", "user_id")
+                ],
+            ).toDF(*base.columns)
+
+        def cycle() -> None:
+            raw = stream_events_raw(spark, src)
+            from ..events_source import event_time_expr
+
+            ev = raw.withColumn("event_time", event_time_expr(raw))
+            sess = (
+                ev.withWatermark("event_time", "0 seconds")
+                .groupBy(
+                    "user_id",
+                    F.session_window("event_time", SW_NATIVE_GAP),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.expr("unix_micros(min(event_time))").alias(
+                        "session_start_us"
+                    ),
+                    F.expr("unix_micros(max(event_time))").alias(
+                        "session_end_us"
+                    ),
+                )
+                .select(
+                    "user_id", "n_events", "session_start_us",
+                    "session_end_us",
+                )
+            )
+            q = (
+                sess.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _land_single_parquet(base, os.path.join(src, "events-0.parquet"))
+        cycle()
+        _land_single_parquet(
+            sentinel(30), os.path.join(src, "events-1.parquet")
+        )
+        cycle()
+        _land_single_parquet(
+            sentinel(60), os.path.join(src, "events-2.parquet")
+        )
+        cycle()
+        return (
+            spark.read.parquet(sink)
+            .filter(F.col("user_id") >= 0)
+            .orderBy("user_id", "session_start_us")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
+STREAMING_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+FROM sess
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
