@@ -70,6 +70,7 @@ from oracledb_datapump_spark.operators import pipeline20 as PL20
 from oracledb_datapump_spark.operators import pipeline21 as PL21
 from oracledb_datapump_spark.operators import pipeline22 as PL22
 from oracledb_datapump_spark.operators import pipeline23 as PL23
+from oracledb_datapump_spark.operators import pipeline24 as PL24
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -385,6 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncation_loss_curve": PL23.truncation_loss_curve,
         "dedup_transitivity_audit": PL23.dedup_transitivity_audit,
         "streaming_session_window_native": ST.streaming_session_window_native,
+        "slo_burn_report": PL24.slo_burn_report,
+        "heavyhitter_turnover": PL24.heavyhitter_turnover,
+        "qty_price_correlation_by_brand": PL24.qty_price_correlation_by_brand,
+        "otif_by_month": PL24.otif_by_month,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -571,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
         "truncation_loss_curve": PL23.TRUNCATION_LOSS_CURVE_SQL,
         "dedup_transitivity_audit": PL23.DEDUP_TRANSITIVITY_SQL,
         "streaming_session_window_native": ST.STREAMING_SESSION_WINDOW_SQL,
+        "slo_burn_report": PL24.SLO_BURN_REPORT_SQL,
+        "heavyhitter_turnover": PL24.HEAVYHITTER_TURNOVER_SQL,
+        "qty_price_correlation_by_brand": PL24.QTY_PRICE_CORRELATION_SQL,
+        "otif_by_month": PL24.OTIF_BY_MONTH_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -108,6 +108,10 @@ EXCLUDED = {
     "quantization_error_curve": "two passes over the exploded embedding coordinates (max + one conditional agg for all bit widths); same explode shape as embedding_dim_profile / embedding_quantize (benched)",
     "truncation_loss_curve": "one row-local size(tokens) scan of documents with conditional sums; strictly lighter than token_count (benched)",
     "dedup_transitivity_audit": "rides the verified-pair memo (dedup_minhash_verified benched); wedge enumeration is an edge-list self-join over the sparse near-dup graph",
+    "slo_burn_report": "same orders x lineitem join + <=|months| groupBy as otif_by_month / ship_lag_quartiles_by_priority (benched); the budget windows run over month rows",
+    "heavyhitter_turnover": "one lineitem scan to a (part, era) groupBy + two 50-row TakeOrdered leaderboards; same scan family as top_suppliers_window (benched)",
+    "qty_price_correlation_by_brand": "same lineitem x part broadcast join + |brands| groupBy as part_brand_price_spread (benched); the moment arithmetic is row-local",
+    "otif_by_month": "same orders x lineitem join as ship_lag_quartiles_by_priority (benched) with one extra per-order ALL groupBy",
     "embedding_dim_ablation": "four arms of the ann_bruteforce_topk crossJoin-scored shape (benched) at decreasing dims",
     # r7 shape-dedup (verdict ask): same plan shape as a benched sibling —
     # groupBy + one-row broadcast total repeated with different literals;
