@@ -71,6 +71,7 @@ from oracledb_datapump_spark.operators import pipeline21 as PL21
 from oracledb_datapump_spark.operators import pipeline22 as PL22
 from oracledb_datapump_spark.operators import pipeline23 as PL23
 from oracledb_datapump_spark.operators import pipeline24 as PL24
+from oracledb_datapump_spark.operators import pipeline25 as PL25
 from oracledb_datapump_spark.streaming import dedup as SD
 from oracledb_datapump_spark.streaming import incremental as SI
 from oracledb_datapump_spark.streaming import stateful as ST
@@ -390,6 +391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavyhitter_turnover": PL24.heavyhitter_turnover,
         "qty_price_correlation_by_brand": PL24.qty_price_correlation_by_brand,
         "otif_by_month": PL24.otif_by_month,
+        "datapump_roundtrip_sample": E.datapump_roundtrip_sample,
+        "nation_share_of_region": PL25.nation_share_of_region,
+        "customer_dormancy_bands": PL25.customer_dormancy_bands,
+        "returns_rate_by_brand": PL25.returns_rate_by_brand,
     }
     ordered = {n: base[n] for n in GATED_PREFIX}
     ordered.update({n: f for n, f in base.items() if n not in ordered})
@@ -580,6 +585,10 @@ def oracle_sql() -> dict[str, str]:
         "heavyhitter_turnover": PL24.HEAVYHITTER_TURNOVER_SQL,
         "qty_price_correlation_by_brand": PL24.QTY_PRICE_CORRELATION_SQL,
         "otif_by_month": PL24.OTIF_BY_MONTH_SQL,
+        "datapump_roundtrip_sample": E.ROUNDTRIP_SAMPLE_SQL,
+        "nation_share_of_region": PL25.NATION_SHARE_OF_REGION_SQL,
+        "customer_dormancy_bands": PL25.CUSTOMER_DORMANCY_SQL,
+        "returns_rate_by_brand": PL25.RETURNS_RATE_BY_BRAND_SQL,
         "datapump_roundtrip_timetravel": E.ROUNDTRIP_TIMETRAVEL_SQL,
         "streaming_scd2_enrich": SJ.STREAMING_SCD2_ENRICH_SQL,
         "nation_revenue_hhi": PL6.NATION_REVENUE_HHI_SQL,

@@ -285,6 +285,48 @@ class Columns(Filter, name="COLUMNS"):
         config.table_columns[self.object_path or "*"] = [c.strip() for c in cols]
 
 
+class Sample(Filter, name="SAMPLE"):
+    """Deterministic row sampling at export — Oracle Data Pump's SAMPLE
+    parameter (percentage per table), re-expressed reproducibly:
+    value = '<ppm>:<column>' keeps rows where the cross-engine
+    md5-derived hash64 of the column, mod 1e6, falls below ppm. No RNG,
+    no partition-layout sensitivity (unlike DataFrame.sample), the same
+    rows on every engine and every run — which is what makes a sampled
+    export auditable. Compiles onto the QUERY predicate slot (ANDed
+    with any explicit QUERY), so it rides the existing pushdown path;
+    the hash expression is Spark SQL, evaluated engine-side after the
+    scan (a remote JDBC scan can't push md5-hash sampling — noted here
+    rather than silently differing per connector)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        val = str(self.value)
+        if ":" not in val:
+            raise UsageError(
+                "SAMPLE value must be '<ppm>:<column>' (the column makes "
+                f"the sample deterministic), got {val!r}"
+            )
+        ppm_s, col = (p.strip() for p in val.split(":", 1))
+        try:
+            ppm = int(ppm_s)
+        except ValueError:
+            raise UsageError(f"SAMPLE ppm must be an integer, got {ppm_s!r}")
+        if not 0 < ppm < 1_000_000:
+            raise UsageError(
+                f"SAMPLE ppm must be in (0, 1000000), got {ppm}"
+            )
+        if not col:
+            raise UsageError("SAMPLE requires a non-empty column name")
+        expr = (
+            f"CAST(CONV(SUBSTRING(md5(CAST({col} AS STRING)), 1, 15),"
+            f" 16, 10) AS BIGINT) % 1000000 < {ppm}"
+        )
+        path = self.object_path or "*"
+        prev = config.table_predicates.get(path)
+        config.table_predicates[path] = (
+            f"({prev}) AND ({expr})" if prev else expr
+        )
+
+
 class RemapData(Filter, name="REMAP_DATA"):
     """Rewrite a column's values through a registered deterministic
     transform during export — Oracle Data Pump's REMAP_DATA parameter

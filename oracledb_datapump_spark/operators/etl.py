@@ -542,3 +542,63 @@ ROUNDTRIP_COMPACT_SQL = (
     "SELECT *, TRUE AS was_fragmented, CAST(1 AS BIGINT) AS n_files_after "
     "FROM supplier ORDER BY s_suppkey"
 )
+
+
+SAMPLE_PPM = 250_000  # 25% deterministic sample
+
+
+def datapump_roundtrip_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE lifecycle under the driver hash: export ``orders`` with
+    SAMPLE('{ppm}:o_orderkey') — Oracle Data Pump's SAMPLE parameter,
+    made deterministic via the cross-engine md5 hash64 instead of a
+    server RNG — import into a DuckDB stand-in, read back. Hash
+    equality against the DuckDB twin predicate proves (a) the sample
+    is the same EXACT row set in both engines (auditable sampling —
+    a rerun or a different engine reproduces the artifact bit-for-bit)
+    and (b) the filter executed inside the export plan (the dump holds
+    only the sample)."""
+    src = ParquetConnector(sf_dir)
+    dump = tempfile.mkdtemp(prefix="dp_rt_sm_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.SAMPLE(f"{SAMPLE_PPM}:o_orderkey", object_path="orders"),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        return target.read_table(spark, "imported", "orders").orderBy(
+            "o_orderkey"
+        )
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+def _roundtrip_sample_sql() -> str:
+    from ..functions.text import sql_hash64
+
+    h = sql_hash64("CAST(o_orderkey AS VARCHAR)")
+    return (
+        f"SELECT * FROM orders WHERE {h} % 1000000 < {SAMPLE_PPM} "
+        "ORDER BY o_orderkey"
+    )
+
+
+ROUNDTRIP_SAMPLE_SQL = _roundtrip_sample_sql()
