@@ -20,12 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def render() -> str:
-    import __spark_entry__ as entry
-
-    names = list(entry.queries().keys())
+def green_rounds(exclude_rounds: set[int] | None = None) -> dict[str, str]:
+    """query -> latest round with a green CORRECTNESS row ('rN')."""
     latest: dict[str, str] = {}
     for n in range(1, 99):
+        if exclude_rounds and n in exclude_rounds:
+            continue
         p = os.path.join(REPO, f"CORRECTNESS_r{n:02d}.json")
         if not os.path.exists(p):
             continue
@@ -35,6 +35,14 @@ def render() -> str:
             )
             if ok:
                 latest[q] = f"r{n}"
+    return latest
+
+
+def render(exclude_rounds: set[int] | None = None) -> str:
+    import __spark_entry__ as entry
+
+    names = list(entry.queries().keys())
+    latest = green_rounds(exclude_rounds)
     cells = []
     for i, q in enumerate(names):
         star = "*" if i < 50 else ""
