@@ -112,6 +112,7 @@ EXCLUDED = {
     "heavyhitter_turnover": "one lineitem scan to a (part, era) groupBy + two 50-row TakeOrdered leaderboards; same scan family as top_suppliers_window (benched)",
     "qty_price_correlation_by_brand": "same lineitem x part broadcast join + |brands| groupBy as part_brand_price_spread (benched); the moment arithmetic is row-local",
     "otif_by_month": "same orders x lineitem join as ship_lag_quartiles_by_priority (benched) with one extra per-order ALL groupBy",
+    "datapump_roundtrip_incremental_compact": "same export->DuckDB-import lifecycle as the benched supplier roundtrip plus 3 incremental cycles and one coalesce rewrite; the compact rewrite shape is benched via datapump_roundtrip_compact's reasoning and the roundtrip shape via datapump_roundtrip_supplier",
     "datapump_roundtrip_sample": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched); SAMPLE adds one row-local md5 filter to the same plan",
     "nation_share_of_region": "same broadcast-dim orders rollup as revenue_by_nation (benched); share/rank windows run over 25 aggregated rows",
     "customer_dormancy_bands": "one |customers| groupBy of orders + broadcast max + LEFT dim join; same shape as customer_rfm_bands (benched)",

@@ -83,6 +83,12 @@ class PlanConfig:
     table_remap_data: dict[str, list[tuple[str, str]]] = field(
         default_factory=dict
     )
+    # SAMPLE: table -> (ppm, column). A dedicated plan field (like
+    # remap_data), NOT a table_predicates entry: predicates are embedded
+    # verbatim into remote SQL by the DuckDB/JDBC connectors, and the
+    # sample hash is Spark-dialect (CONV/SUBSTRING/md5) — pushing it
+    # would fail at bind time or sample divergently per engine.
+    table_sample: dict[str, tuple[int, str]] = field(default_factory=dict)
     table_merge_order: dict[str, str] = field(default_factory=dict)
     table_merge_delete_col: dict[str, str] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
@@ -292,11 +298,17 @@ class Sample(Filter, name="SAMPLE"):
     md5-derived hash64 of the column, mod 1e6, falls below ppm. No RNG,
     no partition-layout sensitivity (unlike DataFrame.sample), the same
     rows on every engine and every run — which is what makes a sampled
-    export auditable. Compiles onto the QUERY predicate slot (ANDed
-    with any explicit QUERY), so it rides the existing pushdown path;
-    the hash expression is Spark SQL, evaluated engine-side after the
-    scan (a remote JDBC scan can't push md5-hash sampling — noted here
-    rather than silently differing per connector)."""
+    export auditable. Fills a dedicated plan field (``table_sample``,
+    applied by the engine after ``connector.read_table`` — the same slot
+    REMAP_DATA uses) rather than the QUERY pushdown predicate: QUERY
+    strings are embedded verbatim into remote connector SQL, and the
+    Spark-dialect hash (CONV/SUBSTRING/md5) would fail to bind on
+    DuckDB/Oracle or, worse, sample a different row set per engine.
+    NULL policy (explicit): rows whose sample column is NULL are
+    EXCLUDED from the sample — a NULL key cannot hash deterministically,
+    and silently including it would make the sample irreproducible
+    under REMAP/schema evolution. Use COALESCE in a QUERY directive
+    first if NULL-keyed rows must be kept."""
 
     def apply(self, config: PlanConfig) -> None:
         val = str(self.value)
@@ -316,15 +328,7 @@ class Sample(Filter, name="SAMPLE"):
             )
         if not col:
             raise UsageError("SAMPLE requires a non-empty column name")
-        expr = (
-            f"CAST(CONV(SUBSTRING(md5(CAST({col} AS STRING)), 1, 15),"
-            f" 16, 10) AS BIGINT) % 1000000 < {ppm}"
-        )
-        path = self.object_path or "*"
-        prev = config.table_predicates.get(path)
-        config.table_predicates[path] = (
-            f"({prev}) AND ({expr})" if prev else expr
-        )
+        config.table_sample[self.object_path or "*"] = (ppm, col)
 
 
 class RemapData(Filter, name="REMAP_DATA"):

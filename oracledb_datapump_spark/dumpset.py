@@ -302,6 +302,37 @@ class DumpSet:
                 "files_after": after,
                 "bytes": nbytes,
             }
+            # Snapshot-history rewrite (round-9 advisor finding): the
+            # rewrite above replaced every part-file under new names, so
+            # any AS_OF_VERSION file lists in the manifest now reference
+            # deleted files — time travel would fail path-not-exist (or
+            # silently drop files under ignoreMissingFiles). Collapse the
+            # table's history to a single snapshot at the PRIOR latest
+            # version number listing the new files: AS_OF_VERSION(latest)
+            # keeps returning the full table, earlier versions fail loud
+            # ("no data files recorded"), and the logged event records
+            # the intentional history loss.
+            if self.exists():
+                meta = self.read_manifest()
+                tmeta = meta.tables.get(f"{schema}.{table}")
+                snaps = (tmeta or {}).get("snapshots")
+                if snaps:
+                    latest = max(s["version"] for s in snaps)
+                    new_files = sorted(
+                        os.path.basename(p)
+                        for p in glob.glob(os.path.join(d, "part-*"))
+                        if os.path.isfile(p)
+                    )
+                    tmeta["snapshots"] = [
+                        {"version": latest, "files": new_files}
+                    ]
+                    self.write_manifest(meta)
+                    self.log_event(
+                        "SNAPSHOT_HISTORY_COLLAPSED",
+                        table=f"{schema}.{table}",
+                        kept_version=latest,
+                        dropped_versions=latest - 1,
+                    )
             self.log_event(
                 "TABLE_COMPACTED",
                 table=f"{schema}.{table}",

@@ -186,6 +186,20 @@ def export_table(
             columns=plan.columns,
         )
         schema_json = df.schema.json()
+        if plan.sample:
+            # SAMPLE is evaluated engine-side on the scanned DataFrame —
+            # never pushed into connector SQL (the md5/CONV hash is
+            # Spark-dialect; remote engines would fail to bind it or
+            # sample a different row set). NULL sample keys are excluded
+            # by policy (see directives.Sample docstring).
+            ppm, col = plan.sample
+            from .functions.text import hash64
+            from pyspark.sql import functions as F
+
+            df = df.filter(
+                F.col(col).isNotNull()
+                & (hash64(F.col(col).cast("string")) % 1_000_000 < ppm)
+            )
         inc_col = plan.extra.get("incremental_column")
         prev_watermark = plan.extra.get("watermark")
         write_mode = "overwrite"
@@ -270,6 +284,15 @@ def export_table(
                 if write_mode == "append"
                 else []  # overwrite replaces every file: history resets
             )
+            if write_mode == "append" and not prev_snaps and pre_file_set:
+                # Snapshot history is starting MID-DUMP (the existing
+                # files were written before tracking, e.g. a pre-snapshot
+                # manifest). They must belong to a version or
+                # AS_OF_VERSION at ANY version — latest included — would
+                # silently drop the whole base table (round-9 advisor
+                # finding): seed them as version 1 and let this run's
+                # delta become version 2.
+                prev_snaps = [{"version": 1, "files": sorted(pre_file_set)}]
             added = sorted(_data_files(out_dir) - pre_file_set)
             detail["snapshots"] = prev_snaps + [
                 {"version": len(prev_snaps) + 1, "files": added}
@@ -437,6 +460,25 @@ def import_table(
                 raise UsageError(
                     f"AS_OF_VERSION({config.as_of_version}) beyond the "
                     f"dump's latest version {latest}"
+                )
+            # History completeness check (round-9 advisor finding): the
+            # union of the snapshot file lists must account for every
+            # data file in the directory — a dump appended to before
+            # tracking, or compacted without a history rewrite, would
+            # otherwise time-travel to a silently partial table.
+            union = {f for s in snaps for f in s["files"]}
+            on_disk = {
+                n for n in os.listdir(src_dir) if n.startswith("part-")
+            }
+            if union != on_disk:
+                extra = sorted(on_disk - union)[:3]
+                stale = sorted(union - on_disk)[:3]
+                raise UsageError(
+                    f"AS_OF_VERSION: snapshot history for {plan.source_key} "
+                    "does not match the dump directory "
+                    f"(untracked files: {extra}, missing files: {stale}) — "
+                    "the history is stale; re-export or compact with "
+                    "history rewrite before time-traveling"
                 )
             load_target = [
                 os.path.join(src_dir, f)

@@ -602,3 +602,93 @@ def _roundtrip_sample_sql() -> str:
 
 
 ROUNDTRIP_SAMPLE_SQL = _roundtrip_sample_sql()
+
+
+def datapump_roundtrip_incremental_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental dump-set MAINTENANCE loop (S6) under the driver hash:
+    three INCREMENTAL_COLUMN export cycles append ``orders`` in key
+    ranges (each cycle = one snapshot version + small part-files — the
+    layout a CDC feed accumulates), then ``DumpSet.compact`` rewrites
+    the fragmented dump AND collapses the snapshot history to the prior
+    latest version (dumpset.py compact — the round-9 history-rewrite
+    fix), and the import reads back AS_OF_VERSION(3) through the
+    post-compact history. Sentinels pin the physical claim
+    (``was_fragmented``/``n_files_after``: ≥3 files before, 1 after) and
+    the history claim (``kept_version``: exactly one snapshot at
+    version 3 whose file list passes the import-side union check). Hash
+    equality proves the maintenance pass moved no rows and altered no
+    values — the lifecycle a 100 TB CDC dump set lives or dies by.
+    Reference precedent: the dump-set file planner (reference
+    files.py:228-259) sizes dump pieces at export; an append-only store
+    needs the re-size pass too."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    src_orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    maxk = src_orders.agg(F.max("o_orderkey")).collect()[0][0]
+    cut1, cut2 = maxk // 3, 2 * maxk // 3
+    stage = tempfile.mkdtemp(prefix="dp_rt_ic_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_rt_ic_")
+    try:
+        for upper in (cut1, cut2, maxk):
+            src_orders.filter(F.col("o_orderkey") <= upper).write.mode(
+                "overwrite"
+            ).parquet(_os.path.join(stage, "orders.parquet"))
+            st = Job(
+                Operation.EXPORT,
+                JobMode.TABLE,
+                dumpfiles=dump,
+                directives=[
+                    D.INCLUDE_SCHEMA("main"),
+                    D.INCLUDE_TABLE("orders"),
+                    D.INCREMENTAL_COLUMN("o_orderkey", object_path="orders"),
+                ],
+            ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+            if st.job_state != "COMPLETED":
+                raise RuntimeError(f"export failed: {st.job_state}: {st.error}")
+        ds = DumpSet(dump)
+        tdir = ds.table_dir("main", "orders")
+
+        def _parts() -> int:
+            return sum(1 for n in _os.listdir(tdir) if n.startswith("part-"))
+
+        before = _parts()
+        ds.compact(spark, target_file_bytes=1 << 30, min_files=2)
+        after = _parts()
+        snaps = ds.read_manifest().tables["main.orders"]["snapshots"]
+        kept = snaps[0]["version"] if len(snaps) == 1 else -1
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.AS_OF_VERSION(3),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"import failed: {st.job_state}: {st.error}")
+        return (
+            target.read_table(spark, "imported", "orders")
+            .withColumn("was_fragmented", F.lit(before >= 3))
+            .withColumn("n_files_after", F.lit(after).cast("long"))
+            .withColumn("kept_version", F.lit(kept).cast("long"))
+            .orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_INCREMENTAL_COMPACT_SQL = (
+    "SELECT *, TRUE AS was_fragmented, CAST(1 AS BIGINT) AS n_files_after, "
+    "CAST(3 AS BIGINT) AS kept_version "
+    "FROM orders ORDER BY o_orderkey"
+)

@@ -208,8 +208,9 @@ def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_returned"),
             F.expr(
-                "CAST(sum(CASE WHEN l_returnflag = 'R' THEN rc ELSE 0 END)"
-                " * 1000000 div greatest(sum(rc), 1) AS BIGINT)"
+                "CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN rc ELSE 0 END"
+                " AS DECIMAL(38,0))) * 1000000"
+                " div greatest(sum(CAST(rc AS DECIMAL(38,0))), 1) AS BIGINT)"
             ).alias("returned_rev_ppm"),
         )
         .orderBy("brand")

@@ -38,6 +38,7 @@ class TablePlan:
     merge_order: str | None = None
     merge_delete_col: str | None = None
     remap_data: list[tuple[str, str]] | None = None
+    sample: tuple[int, str] | None = None  # (ppm, column), engine-side
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -125,6 +126,9 @@ def plan_export(
                     ),
                     remap_data=config.table_remap_data.get(
                         table, config.table_remap_data.get("*")
+                    ),
+                    sample=config.table_sample.get(
+                        table, config.table_sample.get("*")
                     ),
                     extra={"dump_format": config.dump_format.lower()},
                 )

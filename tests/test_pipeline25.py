@@ -38,9 +38,11 @@ def test_sample_directive_validation_and_compose():
     cfg = PlanConfig()
     D.QUERY("o_totalprice < 100.0", object_path="orders").apply(cfg)
     D.SAMPLE("250000:o_orderkey", object_path="orders").apply(cfg)
-    pred = cfg.table_predicates["orders"]
-    assert pred.startswith("(o_totalprice < 100.0) AND (")
-    assert "md5" in pred
+    # SAMPLE must NOT ride the QUERY pushdown slot (connectors embed
+    # predicates verbatim into remote SQL; the md5/CONV hash is
+    # Spark-dialect) — it fills the dedicated engine-side plan field.
+    assert cfg.table_predicates["orders"] == "o_totalprice < 100.0"
+    assert cfg.table_sample["orders"] == (250000, "o_orderkey")
 
 
 def test_sample_roundtrip_python_reference(spark, sf_dir):
@@ -129,3 +131,74 @@ def test_returns_python_reference(spark, sf_dir, duck_raw):
         r = got[b]
         assert (r.n_lines, r.n_returned) == (n, nr)
         assert r.returned_rev_ppm == rrev * 1_000_000 // max(rev, 1)
+
+
+def test_sample_export_from_duckdb_source(spark, sf_dir, tmp_path):
+    """SAMPLE must work when the SOURCE is a remote-SQL connector (the
+    round-8 advisor finding: the old pushdown compiled a Spark-dialect
+    md5/CONV predicate into DuckDB SQL and failed at bind time). The
+    engine-side filter must also select the identical row set the
+    parquet-source path selects."""
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.base import JobMode, Operation
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+
+    src = DuckDbConnector(":memory:")
+    src.execute(
+        f"CREATE TABLE hr_orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    src.execute("CREATE SCHEMA hr")
+    src.execute("CREATE TABLE hr.orders AS SELECT * FROM hr_orders")
+    dump = str(tmp_path / "dump")
+    st = Job(
+        Operation.EXPORT,
+        JobMode.TABLE,
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("hr"),
+            D.INCLUDE_TABLE("orders"),
+            D.SAMPLE(f"{SAMPLE_PPM}:o_orderkey", object_path="orders"),
+        ],
+    ).run(wait=True, connection=src, spark=spark)
+    assert st.job_state == "COMPLETED", st.error
+    got = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{dump}/hr/orders").collect()
+    }
+    expect = {
+        k
+        for (k,) in src.execute("SELECT o_orderkey FROM hr.orders").fetchall()
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % 1_000_000
+        < SAMPLE_PPM
+    }
+    assert got == expect and got
+
+
+def test_sample_null_keys_excluded(spark, tmp_path):
+    """Explicit NULL policy: rows whose sample column is NULL are
+    excluded from the sample (documented in directives.Sample)."""
+    from oracledb_datapump_spark import Job
+    from oracledb_datapump_spark.base import JobMode, Operation
+    from oracledb_datapump_spark.catalog import ParquetConnector
+
+    srcdir = tmp_path / "src"
+    (srcdir).mkdir()
+    spark.createDataFrame(
+        [(None, "a")] * 5 + [(i, "b") for i in range(200)],
+        "k int, v string",
+    ).coalesce(1).write.parquet(str(srcdir / "t.parquet"))
+    dump = str(tmp_path / "dump")
+    st = Job(
+        Operation.EXPORT,
+        JobMode.TABLE,
+        dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("main"),
+            D.INCLUDE_TABLE("t"),
+            D.SAMPLE("900000:k", object_path="t"),
+        ],
+    ).run(wait=True, connection=ParquetConnector(str(srcdir)), spark=spark)
+    assert st.job_state == "COMPLETED", st.error
+    out = spark.read.parquet(f"{dump}/main/t")
+    assert out.filter("k IS NULL").count() == 0
+    assert 0 < out.count() < 200

@@ -120,3 +120,76 @@ def test_overwrite_resets_history(spark, dirs):
     assert _ids(spark, wh) == [9]
     st = _import_as_of(spark, dump, wh, 2)
     assert st.job_state != "COMPLETED"
+
+
+def _strip_snapshots(dump):
+    ds = DumpSet(dump)
+    meta = ds.read_manifest()
+    meta.tables["main.tx"].pop("snapshots", None)
+    ds.write_manifest(meta)
+
+
+def test_append_onto_presnapshot_dump_seeds_base_as_v1(spark, dirs):
+    """Starting snapshot history mid-dump (the base files predate
+    tracking) must seed the base as version 1 — otherwise AS_OF_VERSION
+    at ANY version silently drops the whole base table (round-9
+    advisor finding)."""
+    stage, dump, wh = dirs
+    _write_source(spark, stage, [(1, "a"), (2, "b")])
+    _export(spark, stage, dump)
+    _strip_snapshots(dump)  # simulate a dump written before tracking
+    _write_source(spark, stage, [(1, "a"), (2, "b"), (3, "c")])
+    _export(spark, stage, dump)
+    snaps = DumpSet(dump).read_manifest().tables["main.tx"]["snapshots"]
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert snaps[0]["files"], "base files must belong to version 1"
+    st = _import_as_of(spark, dump, wh, 1)
+    assert st.job_state == "COMPLETED", st.error
+    assert _ids(spark, wh) == [1, 2]
+    st = _import_as_of(spark, dump, wh, 2)
+    assert st.job_state == "COMPLETED", st.error
+    assert _ids(spark, wh) == [1, 2, 3]
+
+
+def test_as_of_refuses_incomplete_history(spark, dirs):
+    """If the union of snapshot file lists does not cover the dump
+    directory, AS_OF_VERSION must refuse instead of time-traveling to a
+    silently partial table."""
+    stage, dump, wh = dirs
+    _write_source(spark, stage, [(1, "a"), (2, "b")])
+    _export(spark, stage, dump)
+    _write_source(spark, stage, [(1, "a"), (2, "b"), (3, "c")])
+    _export(spark, stage, dump)
+    ds = DumpSet(dump)
+    meta = ds.read_manifest()
+    snaps = meta.tables["main.tx"]["snapshots"]
+    snaps[0]["files"] = snaps[0]["files"][1:]  # drop a tracked base file
+    ds.write_manifest(meta)
+    st = _import_as_of(spark, dump, wh, 2)
+    assert st.job_state != "COMPLETED"
+    assert "does not match" in str(st.error)
+
+
+def test_compact_collapses_snapshot_history(spark, dirs):
+    """compact() rewrites every part-file: it must rewrite the snapshot
+    history too (collapse to the prior latest version over the new
+    files), or time travel references deleted filenames (round-9
+    advisor finding). Post-compact: latest version = full table, prior
+    versions fail loud, history loss is logged."""
+    stage, dump, wh = dirs
+    _write_source(spark, stage, [(1, "a"), (2, "b")])
+    _export(spark, stage, dump)
+    _write_source(spark, stage, [(1, "a"), (2, "b"), (3, "c")])
+    _export(spark, stage, dump)
+    ds = DumpSet(dump)
+    report = ds.compact(spark, min_files=2)
+    assert report["main.tx"]["files_after"] < report["main.tx"]["files_before"]
+    snaps = ds.read_manifest().tables["main.tx"]["snapshots"]
+    assert len(snaps) == 1 and snaps[0]["version"] == 2
+    st = _import_as_of(spark, dump, wh, 2)
+    assert st.job_state == "COMPLETED", st.error
+    assert _ids(spark, wh) == [1, 2, 3]
+    st = _import_as_of(spark, dump, wh, 1)
+    assert st.job_state != "COMPLETED"  # loud, not silently partial
+    events = [e["event"] for e in ds.read_events()]
+    assert "SNAPSHOT_HISTORY_COLLAPSED" in events
