@@ -67,6 +67,10 @@ EXCLUDED = {
     "streaming_merge_delete": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus a tombstone filter",
     "mv_delta_retract": "same partial-state union+re-agg shape as mv_delta_maintain (benched), with negated delta states",
     "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
+    "mv_distinct_delta": "two groupBy passes over orders (refcount state + recompute) — same keyed-agg shape as the benched mv_delta_maintain family",
+    "neyman_allocation_plan": "single integer-moment groupBy over orders plus a 5-row normalization; strictly lighter than the benched trimmed_price_stats",
+    "purge_impact_report": "two semi-join levels (orders on custkey, lineitem on orderkey) — same shape as the benched bloom_join_prune/snapshot_diff joins",
+    "streaming_merge_late_delete": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrivals plus a tombstone filter (the late+delete composition)",
     "streaming_merge_late": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), reversed arrival order",
     "streaming_merge_replay": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus one checkpoint-loss replay cycle",
     "revenue_trend_ols": "same broadcast-dim join + month groupBy shape as mktsegment_yoy / order_priority_mix_by_month (benched); the OLS moment algebra runs over <=|nation x month| aggregated rows",
@@ -350,6 +354,10 @@ HEADLINE = [
     # prefix filtering is a THIRD candidate-generation path (df-ordered
     # prefix self-join + exact-Jaccard verify) with its own join profile
     "dedup_prefix_filter_pairs",
+    # winnowing is a FOURTH candidate path (char-gram explode →
+    # window-min fingerprints → capped fp self-join): positional-
+    # locality guarantee, unlike the set-similarity paths above
+    "winnowing_fingerprint_pairs",
     # banded coordinate-block interval join (the equi-join rewrite of an
     # inequality interval intersection) — no other benched query has an
     # explode-to-blocks join profile

@@ -702,3 +702,137 @@ def streaming_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAMING_MERGE_REPLAY_SQL = STREAMING_MERGE_APPLY_SQL
+
+
+def streaming_merge_late_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE_ORDER × MERGE_DELETE_COL composition — tombstones
+    arriving OUT OF ORDER, the corner every real CDC feed hits
+    (partition rebalance, backfill replay): after the reversed two-cycle
+    merge of streaming_merge_late converges, a THIRD batch delivers one
+    tombstone per user whose version is deliberately mixed — users with
+    user_id % 3 = 0 get a WINNING version (last_ts_us + 1) and everyone
+    else a STALE one (last_ts_us − 1). Under
+    MERGE_ORDER(last_ts_us,last_event_id) a tombstone is just a version
+    like any other: the stale ones must NOT delete (the applied state is
+    newer — deleting would be the arrival-ordered wrong answer) and the
+    winning ones MUST. The converged warehouse therefore equals
+    latest-per-user MINUS the user_id % 3 = 0 users — both directions of
+    the version×tombstone matrix non-vacuous at every fixture scale,
+    under the cross-engine value hash. Directive-level matrix and both
+    negative proofs: tests/test_merge_late_delete.py.
+
+    At scale this is Debezium op='d' under out-of-order delivery:
+    deletes ride the SAME key-shuffled survivor window as upserts —
+    tombstone precedence is a row-local version compare, no driver
+    state, no second codepath. Reference precedent:
+    TABLE_EXISTS_ACTION conflict policy (reference
+    directives.py:372-376) is the closest the reference gets to upsert
+    semantics; the version×tombstone matrix is the Spark-first
+    extension."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..base import JobMode, Operation
+    from ..catalog import ParquetConnector
+    from ..directives import DirectiveBase as D
+    from ..events_source import load_events
+    from ..job import Job
+
+    src = tempfile.mkdtemp(prefix="dp_ld_src_")
+    wh = tempfile.mkdtemp(prefix="dp_ld_wh_")
+    cp = tempfile.mkdtemp(prefix="dp_ld_cp_")
+    stage = tempfile.mkdtemp(prefix="dp_ld_tomb_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_ld_tomb_dump_")
+    try:
+        for land in stage_events_arrivals(spark, sf_dir, src, reverse=True):
+            land()
+            run_merge_apply_cycle(
+                spark, src, wh, cp, merge_order="last_ts_us,last_event_id"
+            )
+        # third batch: one tombstone per user, version = overall-latest
+        # ts ± 1 — winning for user_id % 3 = 0, stale for the rest
+        ev = load_events(spark, sf_dir)
+        tomb = (
+            ev.withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("user_id").orderBy(
+                        F.desc("ts_us"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                (
+                    F.col("ts_us")
+                    + F.when(F.col("user_id") % 3 == 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                ).alias("last_ts_us"),
+                F.col("event_type").alias("last_event_type"),
+                F.expr("CAST(floor(value * 100) AS LONG)").alias(
+                    "last_value_cents"
+                ),
+                F.lit(True).alias("is_deleted"),
+            )
+        )
+        tomb.write.mode("overwrite").parquet(
+            os.path.join(stage, "user_state.parquet")
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("user_state")],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"tombstone export failed: {st.error}")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "tgt"),
+                D.TABLE_EXISTS_ACTION("MERGE"),
+                D.MERGE_KEY("user_id"),
+                D.MERGE_ORDER("last_ts_us,last_event_id"),
+                D.MERGE_DELETE_COL("is_deleted"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"tombstone merge failed: {st.error}")
+        out = (
+            ParquetConnector(wh)
+            .read_table(spark, "tgt", "user_state")
+            .orderBy("user_id")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(cp, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+STREAMING_MERGE_LATE_DELETE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+       event_type AS last_event_type, value_cents AS last_value_cents
+FROM r
+WHERE rn = 1 AND user_id % 3 <> 0
+ORDER BY user_id
+"""

@@ -47,7 +47,16 @@ def _timing_guard(results, scale_dir):
     Warnings not failures by default — pytest itself co-runs queries and
     honest contention would otherwise flake the correctness gate; set
     SPARK_GRAFT_STRICT_TIMING=1 to enforce. Fresh timings are dumped to
-    /tmp/oracle_timings.json; commit via tools/record_oracle_timings.py."""
+    /tmp/oracle_timings.json; commit via tools/record_oracle_timings.py.
+
+    ORDER SENSITIVITY (round-9 root cause of the r8 canary hits): several
+    query families share memoized driver model state (k-means centroids,
+    PQ codebooks, the verified-pair cache) keyed per (applicationId,
+    sf_dir) — the FIRST consumer in queries() order pays the build cost.
+    Rebuilding GATED_PREFIX reorders queries(), shifts which consumer
+    pays, and makes old per-query timings incomparable. After any prefix
+    rotation, re-record ORACLE_TIMINGS.json from a quiet full-suite run
+    before trusting the canary."""
     import json
     import warnings
 
