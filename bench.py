@@ -67,6 +67,10 @@ EXCLUDED = {
     "streaming_merge_delete": "same EXPORT->IMPORT(MERGE) cycle harness as streaming_merge_apply (benched), plus a tombstone filter",
     "mv_delta_retract": "same partial-state union+re-agg shape as mv_delta_maintain (benched), with negated delta states",
     "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
+    "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
+    "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
+    "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
+    "stratified_kfold_plan": "single hash-mod groupBy over orders plus a 5-row broadcast — lighter than the benched stratified_sample",
     "mv_distinct_delta": "two groupBy passes over orders (refcount state + recompute) — same keyed-agg shape as the benched mv_delta_maintain family",
     "neyman_allocation_plan": "single integer-moment groupBy over orders plus a 5-row normalization; strictly lighter than the benched trimmed_price_stats",
     "purge_impact_report": "two semi-join levels (orders on custkey, lineitem on orderkey) — same shape as the benched bloom_join_prune/snapshot_diff joins",

@@ -77,8 +77,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 # is committed; "clean" = contamination sentinel green (bench.py) and no
 # co-running load (pytest, a driver gate) during the run.
 CLEAN_FULLS = [
-    ("1a35c8b", "r8b"),  # round-8 mid-round capture (157 queries, sentinel green)
     ("cd0ac49", "r8c"),  # round-8 closing capture (179.98s/157q, 1.092, sentinel green)
+    ("d513e51", "r9a"),  # round-9 opening capture (167.5s/158q, 0.953, sentinel green)
 ]
 
 
