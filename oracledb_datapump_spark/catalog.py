@@ -211,6 +211,95 @@ class ParquetConnector:
         elif os.path.exists(path):
             os.remove(path)
 
+    # -- MERGE file-pruning capability (MERGE_PRUNE directive) -------------
+    def table_file_ranges(
+        self, schema: str, table: str, column: str
+    ) -> "list[tuple[str, Any, Any]] | None":
+        """Per-data-file (path, min, max) zone maps for ``column`` from
+        the parquet footers — driver-side metadata reads only (KB per
+        file, never row data). Returns None when the capability does not
+        apply: non-parquet connector format, non-flat layout, or any
+        file lacking statistics for the column (then the engine falls
+        back to the full-rewrite merge)."""
+        if self.fmt != "parquet":
+            return None
+        path = self._path(schema, table)
+        if not os.path.isdir(path):
+            return None
+        files = sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+        if not files or any(
+            os.path.isdir(os.path.join(path, n))
+            for n in os.listdir(path)
+            if not n.startswith(("_", "."))
+        ):
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except Exception:
+            return None
+        out: list[tuple[str, Any, Any]] = []
+        for f in files:
+            try:
+                md = pq.ParquetFile(f).metadata
+                names = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                if column not in names:
+                    return None
+                ci = names[column]
+                mn = mx = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if mn is None:
+                    return None
+            except Exception:
+                return None
+            out.append((f, mn, mx))
+        return out
+
+    def merge_pruned_write(
+        self, df: DataFrame, schema: str, table: str, touched: list[str]
+    ) -> int:
+        """Replace exactly the ``touched`` data files with the merged
+        DataFrame's output, leaving every other file byte-identical.
+        Write-to-sibling then swap: survivors land in ``.merge_tmp``,
+        the touched files are removed, and the new parts move in under
+        collision-free names. Returns the number of files written."""
+        import shutil
+
+        path = self._path(schema, table)
+        tmp = path + ".merge_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        new_parts = sorted(
+            n
+            for n in os.listdir(tmp)
+            if n.startswith("part-") and not n.endswith(".crc")
+        )
+        for f in touched:
+            os.remove(f)
+            crc = os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            )
+            if os.path.exists(crc):
+                os.remove(crc)
+        for i, n in enumerate(new_parts):
+            # "m<i>-" prefix keeps names unique vs the kept originals
+            os.rename(
+                os.path.join(tmp, n), os.path.join(path, f"part-m{i}-{n[5:]}")
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return len(new_parts)
+
     def snapshot_marker(self) -> str | None:
         return None
 

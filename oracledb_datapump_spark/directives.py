@@ -91,6 +91,7 @@ class PlanConfig:
     table_sample: dict[str, tuple[int, str]] = field(default_factory=dict)
     table_merge_order: dict[str, str] = field(default_factory=dict)
     table_merge_delete_col: dict[str, str] = field(default_factory=dict)
+    table_merge_prune: dict[str, bool] = field(default_factory=dict)
     incremental_columns: dict[str, str] = field(default_factory=dict)
 
     # parallelism
@@ -443,6 +444,34 @@ class MergeDeleteCol(Filter, name="MERGE_DELETE_COL"):
 
     def apply(self, config: PlanConfig) -> None:
         config.table_merge_delete_col[self.object_path or "*"] = str(self.value)
+
+
+class MergePrune(Filter, name="MERGE_PRUNE"):
+    """File-level zone-map pruning for TABLE_EXISTS_ACTION(MERGE) —
+    value ON/OFF (bare directive = ON). When ON and the target is a
+    flat parquet table with footer min/max statistics on the (single)
+    MERGE_KEY column, the merge rewrites ONLY the files whose key range
+    contains at least one incoming key; untouched files are kept
+    byte-identical. This is the Delta/Iceberg MERGE file-skipping idea
+    expressed on plain parquet: at 100 TB a CDC batch touching 0.1% of
+    the key space must not rewrite the other 99.9%. Zone-map safety: a
+    file CONTAINING an incoming key always has that key inside its
+    min/max, so it is always rewritten — false positives (range overlap
+    without containment) only cost extra rewrites, never correctness.
+
+    PRECONDITION (documented, like every native MERGE format): the
+    stored table is merge-key-unique across files — the invariant MERGE
+    itself maintains. A table appended to outside MERGE may hold the
+    same key in two files; a full (unpruned) merge dedups those, a
+    pruned one cannot see the untouched copy. Falls back to the full
+    rewrite whenever the capability is unavailable (non-parquet target,
+    multi-column MERGE_KEY, missing footer stats, schema evolution
+    active, or every file touched)."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.table_merge_prune[self.object_path or "*"] = (
+            str(self.value or "ON").strip().upper() != "OFF"
+        )
 
 
 class AsOfVersion(Filter, name="AS_OF_VERSION"):

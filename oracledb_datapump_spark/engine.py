@@ -497,6 +497,7 @@ def import_table(
         if plan.columns:
             df = df.select(*plan.columns)
         mode = plan.write_mode
+        pruned_written = False
         if mode == "merge":
             # TABLE_EXISTS_ACTION(MERGE): newest-wins upsert by
             # MERGE_KEY. One window over existing ∪ incoming (incoming
@@ -535,9 +536,74 @@ def import_table(
                 from pyspark.sql import Window
                 from pyspark.sql import functions as F
 
-                existing = connector.read_table(
-                    spark, plan.target_schema, plan.target_table
-                )
+                # MERGE_PRUNE: zone-map file pruning — rewrite only the
+                # files whose footer [min,max] on the merge key contains
+                # an incoming key; every file CONTAINING an incoming key
+                # is inside its own min/max, so pruning can only add
+                # false-positive rewrites, never miss one. Falls back to
+                # the full rewrite when the capability is unavailable
+                # (see directives.MergePrune). NULL incoming keys force
+                # the fallback: parquet zone maps don't locate nulls, so
+                # a stored null-key row in an untouched file would escape
+                # the survivor window.
+                prune_touched = None
+                prune_total = 0
+                if (
+                    plan.merge_prune
+                    and len(keys) == 1
+                    and not config.allow_schema_evolution
+                ):
+                    fr = getattr(connector, "table_file_ranges", None)
+                    ranges = (
+                        fr(plan.target_schema, plan.target_table, keys[0])
+                        if fr
+                        else None
+                    )
+                    if ranges:
+                        try:
+                            has_null = (
+                                df.filter(F.col(keys[0]).isNull())
+                                .limit(1)
+                                .count()
+                                > 0
+                            )
+                            if not has_null:
+                                rng_df = spark.createDataFrame(
+                                    [(p, mn, mx) for p, mn, mx in ranges],
+                                    ["__path", "__mn", "__mx"],
+                                )
+                                inc = (
+                                    df.select(F.col(keys[0]).alias("__k"))
+                                    .distinct()
+                                )
+                                prune_touched = sorted(
+                                    r["__path"]
+                                    for r in inc.join(
+                                        F.broadcast(rng_df),
+                                        (F.col("__k") >= F.col("__mn"))
+                                        & (F.col("__k") <= F.col("__mx")),
+                                    )
+                                    .select("__path")
+                                    .distinct()
+                                    .collect()  # bounded by the file count
+                                )
+                                prune_total = len(ranges)
+                                if len(prune_touched) == prune_total:
+                                    prune_touched = None  # nothing skipped
+                        except Exception:
+                            prune_touched = None  # capability mismatch
+                if prune_touched is None:
+                    existing = connector.read_table(
+                        spark, plan.target_schema, plan.target_table
+                    )
+                elif prune_touched:
+                    existing = spark.read.parquet(*prune_touched)
+                else:
+                    # all incoming keys are new: no stored file overlaps,
+                    # but the survivor window must still dedup the batch
+                    existing = connector.read_table(
+                        spark, plan.target_schema, plan.target_table
+                    ).limit(0)
                 # DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION): by-name drift
                 # between the target and the dump resolves to the union
                 # of columns, null-filling either side; off = the strict
@@ -641,6 +707,21 @@ def import_table(
                 # to overwrite a path it is reading). localCheckpoint
                 # severs the lineage to the target's files.
                 df = df.localCheckpoint(eager=True)
+                if prune_touched is not None:
+                    written = connector.merge_pruned_write(
+                        df,
+                        plan.target_schema,
+                        plan.target_table,
+                        prune_touched,
+                    )
+                    dumpset.log_event(
+                        "TABLE_MERGE_PRUNED",
+                        table=plan.target_key,
+                        files_total=prune_total,
+                        files_touched=len(prune_touched),
+                        files_written=written,
+                    )
+                    pruned_written = True
             elif del_col:
                 # first merge into a fresh table: a tombstone for a key
                 # that never existed is a no-op row, not an error
@@ -678,14 +759,15 @@ def import_table(
                             fld.name, F.lit(None).cast(fld.dataType)
                         )
                 df = df.select(*existing.columns)
-        connector.write_table(
-            df,
-            plan.target_schema,
-            plan.target_table,
-            mode=mode,
-            truncate=plan.truncate,
-            options=plan.writer_options,
-        )
+        if not pruned_written:
+            connector.write_table(
+                df,
+                plan.target_schema,
+                plan.target_table,
+                mode=mode,
+                truncate=plan.truncate,
+                options=plan.writer_options,
+            )
         rows, size, nfiles = _count_dump_rows(src_dir, fmt, spark)
         if config.validate_table_data:
             # VALIDATE_TBL_DATA (reference DATA_OPTIONS bit,

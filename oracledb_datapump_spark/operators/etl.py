@@ -692,3 +692,108 @@ ROUNDTRIP_INCREMENTAL_COMPACT_SQL = (
     "CAST(3 AS BIGINT) AS kept_version "
     "FROM orders ORDER BY o_orderkey"
 )
+
+
+def datapump_roundtrip_merge_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE_PRUNE lifecycle under the driver hash: a range-clustered
+    warehouse copy of ``orders`` (8 key-sorted files) takes a CDC batch
+    confined to the lowest key octile (status rewritten to 'M') through
+    IMPORT(MERGE + MERGE_PRUNE) — the Delta/Iceberg file-skipping MERGE
+    re-expressed on plain parquet via footer zone maps
+    (engine.py merge path; catalog.py table_file_ranges /
+    merge_pruned_write). Sentinels pin the physical claim —
+    ``was_pruned`` (the TABLE_MERGE_PRUNED event fired with
+    files_touched < files_total) and ``untouched_kept`` (every
+    non-touched file survived byte-identical, verified by md5 before/
+    after) — while hash equality against the CASE-expression oracle
+    proves the pruned rewrite changed exactly the delta rows and
+    nothing else. At 100 TB this is the difference between a CDC merge
+    rewriting 12% of the table and rewriting all of it."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    maxk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    cut = maxk // 8
+    stage = tempfile.mkdtemp(prefix="dp_mp_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_mp_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_mp_dump_")
+    try:
+        tdir = _os.path.join(wh, "main", "orders.parquet")
+        orders.repartitionByRange(8, "o_orderkey").write.parquet(tdir)
+
+        def _files() -> dict:
+            return {
+                n: _hashlib.md5(
+                    open(_os.path.join(tdir, n), "rb").read()
+                ).hexdigest()
+                for n in _os.listdir(tdir)
+                if n.startswith("part-") and n.endswith(".parquet")
+            }
+
+        before = _files()
+        delta = orders.filter(F.col("o_orderkey") <= cut).withColumn(
+            "o_orderstatus", F.lit("M")
+        )
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(stage, "orders.parquet")
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("orders")],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"delta export failed: {st.error}")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("MERGE"),
+                D.MERGE_KEY("o_orderkey"),
+                D.MERGE_PRUNE("ON"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"pruned merge failed: {st.error}")
+        after = _files()
+        ev = [
+            e
+            for e in DumpSet(dump).read_events()
+            if e["event"] == "TABLE_MERGE_PRUNED"
+        ]
+        was_pruned = bool(ev) and ev[0]["files_touched"] < ev[0]["files_total"]
+        kept = set(before) & set(after)
+        untouched_kept = (
+            len(kept) >= 1 and all(before[n] == after[n] for n in kept)
+        )
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn("was_pruned", F.lit(was_pruned))
+            .withColumn("untouched_kept", F.lit(untouched_kept))
+            .orderBy("o_orderkey")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_MERGE_PRUNED_SQL = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey <= (SELECT MAX(o_orderkey) // 8 FROM orders)
+            THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice, o_orderdate, o_orderpriority,
+       TRUE AS was_pruned, TRUE AS untouched_kept
+FROM orders
+ORDER BY o_orderkey
+"""

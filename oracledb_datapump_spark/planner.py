@@ -39,6 +39,7 @@ class TablePlan:
     merge_delete_col: str | None = None
     remap_data: list[tuple[str, str]] | None = None
     sample: tuple[int, str] | None = None  # (ppm, column), engine-side
+    merge_prune: bool = False  # MERGE file-level zone-map pruning
     # import-only
     write_mode: str = "error"
     truncate: bool = False
@@ -179,6 +180,9 @@ def plan_import(
                 ),
                 merge_delete_col=config.table_merge_delete_col.get(
                     table, config.table_merge_delete_col.get("*")
+                ),
+                merge_prune=config.table_merge_prune.get(
+                    table, config.table_merge_prune.get("*", False)
                 ),
                 extra={"topo_level": levels.get(f"{schema}.{table}", 0)},
             )
