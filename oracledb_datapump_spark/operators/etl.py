@@ -775,12 +775,14 @@ def datapump_roundtrip_merge_pruned(
         untouched_kept = (
             len(kept) >= 1 and all(before[n] == after[n] for n in kept)
         )
+        # warehouse dir is deleted below — pin rows first
         return (
             ParquetConnector(wh)
             .read_table(spark, "main", "orders")
             .withColumn("was_pruned", F.lit(was_pruned))
             .withColumn("untouched_kept", F.lit(untouched_kept))
             .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -107,8 +107,11 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: two assignment tables (pred rides the verified-pair memo +
     label propagation; truth is one groupBy), one (pred,truth)
-    intersection count, three broadcastable side tables, one final
-    1-row aggregate. Nothing driver-side."""
+    intersection count, three keyed side-table joins (unhinted — AQE
+    broadcasts at small sf, shuffle-joins at scale; the side tables are
+    O(#clusters) ~ corpus-proportional, so a forced broadcast would be
+    a driver OOM at 100 TB), one final 1-row aggregate. Nothing
+    driver-side."""
     from .dedup import _docs, dedup_groups
 
     pred = dedup_groups(spark, sf_dir).select("doc_id", F.col("group_id").alias("p"))
@@ -122,10 +125,14 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     npt = a.groupBy("p", "t").agg(F.count(F.lit(1)).alias("npt"))
     np_ = a.groupBy("p").agg(F.count(F.lit(1)).alias("np"))
     nt = a.groupBy("t").agg(F.count(F.lit(1)).alias("nt"))
+    # no broadcast hints: the side tables are O(#docs/#clusters) — at
+    # 100 TB that is corpus-proportional and a forced broadcast would
+    # OOM the driver. All three joins are keyed; let AQE pick
+    # broadcast at small sf and shuffle-join at scale.
     per_item = (
-        a.join(F.broadcast(npt), ["p", "t"])
-        .join(F.broadcast(np_), "p")
-        .join(F.broadcast(nt), "t")
+        a.join(npt, ["p", "t"])
+        .join(np_, "p")
+        .join(nt, "t")
         .select(
             F.expr("CAST(npt * 1000000 div np AS BIGINT)").alias("p_ppm"),
             F.expr("CAST(npt * 1000000 div nt AS BIGINT)").alias("r_ppm"),

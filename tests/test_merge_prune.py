@@ -194,3 +194,26 @@ def test_pruned_tombstone_deletes_only_touched(spark, dirs):
     st = _state(spark, wh)
     assert len(st) == 3990
     assert all(k not in st for k in range(10))
+
+
+@pytest.mark.parametrize(
+    "sf",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01"],
+    ids=["sf0.001", "sf0.01"],
+)
+def test_query_wrapper_survives_temp_dir_teardown(spark, sf):
+    """Round-9 regression: the QUERY wrapper (not the engine) tears down
+    its temp warehouse in a `finally` before the caller ever runs an
+    action. The returned DataFrame must therefore be pinned
+    (localCheckpoint) — materialize only AFTER the wrapper returns, the
+    exact order the driver gate uses."""
+    from __spark_entry__ import queries
+
+    fn = queries()["datapump_roundtrip_merge_pruned"]
+    df = fn(spark, sf)  # temp dirs are gone once this returns
+    rows = df.collect()  # first action happens after teardown
+    assert len(rows) > 0
+    assert rows[0]["was_pruned"] is True
+    assert rows[0]["untouched_kept"] is True
+    marked = [r for r in rows if r["o_orderstatus"] == "M"]
+    assert 0 < len(marked) < len(rows)

@@ -77,8 +77,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 # is committed; "clean" = contamination sentinel green (bench.py) and no
 # co-running load (pytest, a driver gate) during the run.
 CLEAN_FULLS = [
-    ("cd0ac49", "r8c"),  # round-8 closing capture (179.98s/157q, 1.092, sentinel green)
     ("d513e51", "r9a"),  # round-9 opening capture (167.5s/158q, 0.953, sentinel green)
+    ("975e9e9", "r9c"),  # round-9 closing capture (166.35s/158q, 1.011, sentinel green)
 ]
 
 

@@ -72,7 +72,31 @@ def write_readme(table: str) -> None:
     open(path, "w").write(text[:start] + table + "\n" + text[end:])
 
 
+def check() -> bool:
+    """True iff the README table equals render() for the working tree."""
+    text = open(os.path.join(REPO, "README.md")).read()
+    start = text.index("| query | green |")
+    end = start
+    for line in text[start:].splitlines(keepends=True):
+        if line.startswith("|"):
+            end += len(line)
+        else:
+            break
+    return text[start:end].strip() == render().strip()
+
+
 def main() -> None:
+    if "--check" in sys.argv:
+        if check():
+            print("ledger fresh")
+        else:
+            print(
+                "STALE LEDGER: README.md table != tools/make_ledger.py "
+                "render(); run `python tools/make_ledger.py --write`",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        return
     table = render()
     if "--write" in sys.argv:
         write_readme(table)
