@@ -257,18 +257,72 @@ def export_table(
             df = df.sortWithinPartitions(
                 *[c.strip() for c in plan.sort_by.split(",") if c.strip()]
             )
-        writer = df.write.mode(write_mode).option(
-            "compression", _map_codec(fmt, plan.codec)
-        )
-        if plan.partition_by:
-            # hive-partitioned dump layout (EXPORT_PARTITION_BY extension);
-            # enables partition pruning on import and DEPARTITION splits
-            writer = writer.partitionBy(plan.partition_by)
-        if fmt == "csv":
-            # headerless + manifest schema on import: CSV carries no types
-            writer = writer.option("header", "false")
-        writer.format(fmt).save(out_dir)
-        rows, size, nfiles = _count_dump_rows(out_dir, fmt, spark)
+        enc = plan.extra.get("encryption")
+        enc_detail = None
+        if enc:
+            # ENCRYPTION: real Parquet modular encryption (AES-GCM),
+            # executor-distributed — see crypto.py. Row/byte counts come
+            # from the write tasks themselves (an ALL-scope dump has no
+            # readable footers to re-count from).
+            from .crypto import write_encrypted_dump
+            from .exceptions import UsageError
+
+            if fmt != "parquet":
+                raise UsageError(
+                    "ENCRYPTION requires a parquet dump (Parquet modular "
+                    f"encryption); this dump is {fmt} (DUMP_FORMAT)"
+                )
+            if plan.partition_by:
+                raise UsageError(
+                    "ENCRYPTION cannot be combined with "
+                    "EXPORT_PARTITION_BY (hive layouts nest files per "
+                    "leaf; the encrypted writer is flat-layout only)"
+                )
+            if inc_col is not None:
+                raise UsageError(
+                    "ENCRYPTION cannot be combined with "
+                    "INCREMENTAL_COLUMN (the watermark read-back would "
+                    "need the password at every later export)"
+                )
+            enc_res = write_encrypted_dump(
+                df,
+                out_dir,
+                enc["password"],
+                enc["scope"],
+                enc["algorithm"],
+                _map_codec(fmt, plan.codec),
+            )
+            rows, size, nfiles = (
+                enc_res["rows"],
+                enc_res["bytes"],
+                len(enc_res["files"]),
+            )
+            enc_detail = {
+                "scope": enc["scope"],
+                "algorithm": enc["algorithm"],
+                "salt_hex": enc_res["salt_hex"],  # public KDF salt
+            }
+            dumpset.log_event(
+                "TABLE_EXPORT_ENCRYPTED",
+                table=plan.source_key,
+                scope=enc["scope"],
+                algorithm=enc["algorithm"],
+            )
+        else:
+            writer = df.write.mode(write_mode).option(
+                "compression", _map_codec(fmt, plan.codec)
+            )
+            if plan.partition_by:
+                # hive-partitioned dump layout (EXPORT_PARTITION_BY
+                # extension); enables partition pruning on import and
+                # DEPARTITION splits
+                writer = writer.partitionBy(plan.partition_by)
+            if fmt == "csv":
+                # headerless + manifest schema on import: CSV carries no
+                # types
+                writer = writer.option("header", "false")
+            writer.format(fmt).save(out_dir)
+            rows, size, nfiles = _count_dump_rows(out_dir, fmt, spark)
         # Manifest fields stay cumulative (they describe the dump set);
         # the TABLE_EXPORT_DONE event reports this run's delta so CDC
         # status/metrics aren't inflated by prior increments.
@@ -278,6 +332,8 @@ def export_table(
             "codec": plan.codec,
             "dump_format": fmt,
         }
+        if enc_detail:
+            detail["encryption"] = enc_detail
         if track_snapshots:
             prev_snaps = (
                 list(plan.extra.get("snapshots") or [])
@@ -491,10 +547,51 @@ def import_table(
                     f"AS_OF_VERSION({config.as_of_version}): no data files "
                     f"recorded for {plan.source_key} at that version"
                 )
-        df = reader.format(fmt).load(load_target)
+        enc_meta = (
+            dumpset.read_manifest().tables.get(plan.source_key, {}).get("encryption")
+            if dumpset.exists()
+            else None
+        )
+        if enc_meta:
+            # encrypted dump: decrypting file-list reader (crypto.py) —
+            # a plain spark.read here would die on the Parquet crypto
+            # layer, so fail with the actionable message instead
+            from .crypto import read_encrypted_dump
+            from .exceptions import UsageError
+
+            password = plan.extra.get("encryption_password")
+            if not password:
+                raise UsageError(
+                    f"dump for {plan.source_key} is encrypted "
+                    f"(scope {enc_meta['scope']}); IMPORT requires "
+                    "ENCRYPTION_PASSWORD"
+                )
+            tmeta = dumpset.read_manifest().tables.get(plan.source_key, {})
+            if isinstance(load_target, list):
+                enc_files = load_target
+            else:
+                enc_files = [
+                    os.path.join(src_dir, n)
+                    for n in os.listdir(src_dir)
+                    if n.startswith("part-") and n.endswith(".parquet")
+                ]
+            # a QUERY predicate may reference columns outside the
+            # COLUMNS projection (the plain path filters before
+            # selecting), so only push the column prune into the
+            # parquet read when there is no predicate
+            df = read_encrypted_dump(
+                spark,
+                enc_files,
+                tmeta["spark_schema"],
+                password,
+                enc_meta["salt_hex"],
+                columns=plan.columns if not plan.predicate else None,
+            )
+        else:
+            df = reader.format(fmt).load(load_target)
         if plan.predicate:
             df = df.filter(plan.predicate)
-        if plan.columns:
+        if plan.columns and (enc_meta is None or plan.predicate):
             df = df.select(*plan.columns)
         mode = plan.write_mode
         pruned_written = False
@@ -768,7 +865,19 @@ def import_table(
                 truncate=plan.truncate,
                 options=plan.writer_options,
             )
-        rows, size, nfiles = _count_dump_rows(src_dir, fmt, spark)
+        if enc_meta:
+            # sealed footers (ALL/METADATA_ONLY) need the key for the
+            # zero-scan accounting; the plain counter would fall back to
+            # a doomed spark.read on the encrypted files
+            from .crypto import count_encrypted_dump
+
+            rows, size, nfiles = count_encrypted_dump(
+                src_dir,
+                plan.extra["encryption_password"],
+                enc_meta["salt_hex"],
+            )
+        else:
+            rows, size, nfiles = _count_dump_rows(src_dir, fmt, spark)
         if config.validate_table_data:
             # VALIDATE_TBL_DATA (reference DATA_OPTIONS bit,
             # directives.py:227-238): post-write row-count verify. A

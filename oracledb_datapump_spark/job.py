@@ -185,6 +185,21 @@ class Job:
             plans = plan_export(self.connector, self.operation, self.mode, config)
         else:
             plans = plan_import(self.dumpset, config)
+        # ENCRYPTION: validate the directive family once at plan time
+        # (wallet modes and DDL column scopes fail loudly here), then
+        # thread the normalized contract into each plan — the password
+        # rides plan.extra in memory only and never reaches the manifest
+        # (engine records scope/algorithm/salt, not the secret).
+        if config.encryption:
+            from .crypto import validate_encryption
+
+            enc = validate_encryption(config.encryption)
+            if enc and self.operation == Operation.EXPORT:
+                for p in plans:
+                    p.extra["encryption"] = enc
+            elif enc:
+                for p in plans:
+                    p.extra["encryption_password"] = enc["password"]
         # CDC-style incremental export (INCREMENTAL_COLUMN directive):
         # thread each table's recorded watermark from the prior manifest
         # into its plan so the engine exports only new rows, appended.

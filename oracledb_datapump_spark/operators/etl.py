@@ -799,3 +799,109 @@ SELECT o_orderkey, o_custkey,
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def datapump_roundtrip_encrypted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENCRYPTION lifecycle under the driver hash (SURVEY §2.4 P4;
+    reference maps the directive family to Oracle server-side dump
+    encryption, reference directives.py:274-297): EXPORT ``orders``
+    with ENCRYPTION(DATA_ONLY) + ENCRYPTION_PASSWORD — real Parquet
+    modular encryption, AES-256-GCM data pages, password-derived keys
+    (crypto.py) — then IMPORT it back with the password and prove the
+    plaintext is intact. Sentinels pin the physical claims:
+    ``ciphertext_opaque`` (every dump part file rejects a keyless
+    pyarrow read — the data really is sealed) and ``kms_guard``
+    (reading with a WRONG password fails the HMAC key-unwrap loudly).
+    The encryption step is executor-distributed (one AES writer per
+    partition via mapInPandas), so at 100 TB it parallelizes with the
+    export instead of bottlenecking on a driver-side cipher."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="dp_enc_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_enc_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_enc_dump_")
+    pw = "dp-spark-roundtrip"
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders.repartition(4).write.parquet(
+            _os.path.join(stage, "orders.parquet")
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.ENCRYPTION("DATA_ONLY"),
+                D.ENCRYPTION_PASSWORD(pw),
+                D.ENCRYPTION_ALGORITHM("AES256"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"encrypted export failed: {st.error}")
+
+        import pyarrow.parquet as pq
+
+        tdir = _os.path.join(dump, "main", "orders")
+        parts = [
+            _os.path.join(tdir, n)
+            for n in _os.listdir(tdir)
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+        ciphertext_opaque = len(parts) > 0
+        for p in parts:
+            try:
+                pq.read_table(p)  # keyless read must fail on AES data
+                ciphertext_opaque = False
+            except Exception:
+                pass
+
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.ENCRYPTION_PASSWORD("not-the-password"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        kms_guard = st.job_state != "COMPLETED" and "does not match" in str(
+            st.error
+        )
+
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.ENCRYPTION_PASSWORD(pw),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"encrypted import failed: {st.error}")
+        # warehouse dir is deleted below — pin rows first
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn("ciphertext_opaque", F.lit(ciphertext_opaque))
+            .withColumn("kms_guard", F.lit(kms_guard))
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_ENCRYPTED_SQL = """
+SELECT *, TRUE AS ciphertext_opaque, TRUE AS kms_guard
+FROM orders
+ORDER BY o_orderkey
+"""
