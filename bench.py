@@ -69,6 +69,7 @@ EXCLUDED = {
     "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
     "datapump_roundtrip_merge_pruned": "same export->import(MERGE) lifecycle as datapump_roundtrip_merge (benched) plus an 8-file range-clustered base write; the prune makes the merge strictly cheaper than the benched full rewrite",
     "datapump_roundtrip_encrypted": "same export->import lifecycle as datapump_roundtrip_supplier (benched) plus AES-GCM encrypt/decrypt and two deliberately-failing negative imports; timing is dominated by the 3 job lifecycles, not a query plan",
+    "datapump_roundtrip_merge_pruned_ordered": "same lifecycle shape as datapump_roundtrip_merge_pruned (EXCLUDED for the same reason): an 8-file range-clustered base write dominates; the composed MERGE is strictly the benched merge path plus a window order",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",

@@ -905,3 +905,152 @@ SELECT *, TRUE AS ciphertext_opaque, TRUE AS kms_guard
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def datapump_roundtrip_merge_pruned_ordered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE_PRUNE × MERGE_ORDER × MERGE_DELETE_COL — the full CDC fast
+    path composed under one hash (the repo's flagship scale claim: the
+    Delta/Iceberg-style merge on plain parquet, engine.py merge path).
+    A range-clustered warehouse copy of ``orders`` (8 key-sorted files,
+    seeded at version 1) takes a CDC batch confined to the lowest key
+    octile that mixes THREE arrival shapes per key class (key % 3):
+      0 → a v2 update (status 'M') that must win over the v1 base row;
+      1 → a v2 update (status 'W') PLUS a stale v1 tombstone — the
+          tombstone arrives but must NOT delete (it loses the version
+          race exactly like a stale late upsert);
+      2 → a winning v3 tombstone — the key must vanish.
+    Zone-map pruning restricts the rewrite to the files whose footer
+    [min,max] contains an incoming key; sentinels pin the physical
+    claim (``was_pruned``: TABLE_MERGE_PRUNED fired with files_touched
+    < files_total; ``untouched_kept``: every untouched file survived
+    byte-identical by md5), while hash equality against the CASE
+    oracle pins the version matrix (reference TABLE_EXISTS_ACTION
+    semantics directives.py:372-376; dump-set file plan
+    files.py:982-1063). At 100 TB this is a CDC merge that rewrites
+    one octile of the table, honors out-of-order versions, and applies
+    tombstones — in a single shuffle on the merge key."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="dp_mpo_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_mpo_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_mpo_dump_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        maxk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        cut = maxk // 8
+        tdir = _os.path.join(wh, "main", "orders.parquet")
+        orders.withColumn("ver", F.lit(1).cast("int")).repartitionByRange(
+            8, "o_orderkey"
+        ).write.parquet(tdir)
+
+        def _files() -> dict:
+            return {
+                n: _hashlib.md5(
+                    open(_os.path.join(tdir, n), "rb").read()
+                ).hexdigest()
+                for n in _os.listdir(tdir)
+                if n.startswith("part-") and n.endswith(".parquet")
+            }
+
+        before = _files()
+        octile = orders.filter(F.col("o_orderkey") <= cut)
+        k3 = F.col("o_orderkey") % 3
+        upd_m = (
+            octile.filter(k3 == 0)
+            .withColumn("o_orderstatus", F.lit("M"))
+            .withColumn("ver", F.lit(2).cast("int"))
+            .withColumn("dead", F.lit(False))
+        )
+        upd_w = (
+            octile.filter(k3 == 1)
+            .withColumn("o_orderstatus", F.lit("W"))
+            .withColumn("ver", F.lit(2).cast("int"))
+            .withColumn("dead", F.lit(False))
+        )
+        stale_tomb = (
+            octile.filter(k3 == 1)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn("ver", F.lit(1).cast("int"))
+            .withColumn("dead", F.lit(True))
+        )
+        win_tomb = (
+            octile.filter(k3 == 2)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .withColumn("ver", F.lit(3).cast("int"))
+            .withColumn("dead", F.lit(True))
+        )
+        delta = upd_m.unionByName(upd_w).unionByName(stale_tomb).unionByName(
+            win_tomb
+        )
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(stage, "orders.parquet")
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("orders")],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"delta export failed: {st.error}")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("MERGE"),
+                D.MERGE_KEY("o_orderkey"),
+                D.MERGE_ORDER("ver"),
+                D.MERGE_DELETE_COL("dead"),
+                D.MERGE_PRUNE("ON"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"pruned ordered merge failed: {st.error}")
+        after = _files()
+        from ..dumpset import DumpSet
+
+        ev = [
+            e
+            for e in DumpSet(dump).read_events()
+            if e["event"] == "TABLE_MERGE_PRUNED"
+        ]
+        was_pruned = bool(ev) and ev[0]["files_touched"] < ev[0]["files_total"]
+        kept = set(before) & set(after)
+        untouched_kept = (
+            len(kept) >= 1 and all(before[n] == after[n] for n in kept)
+        )
+        # warehouse dir is deleted below — pin rows first
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn("was_pruned", F.lit(was_pruned))
+            .withColumn("untouched_kept", F.lit(untouched_kept))
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_MERGE_PRUNED_ORDERED_SQL = """
+WITH c AS (SELECT MAX(o_orderkey) // 8 AS cut FROM orders)
+SELECT o.o_orderkey, o.o_custkey,
+       CASE WHEN o.o_orderkey <= c.cut AND o.o_orderkey % 3 = 0 THEN 'M'
+            WHEN o.o_orderkey <= c.cut AND o.o_orderkey % 3 = 1 THEN 'W'
+            ELSE o.o_orderstatus END AS o_orderstatus,
+       o.o_totalprice, o.o_orderdate, o.o_orderpriority,
+       CAST(CASE WHEN o.o_orderkey <= c.cut AND o.o_orderkey % 3 IN (0, 1)
+                 THEN 2 ELSE 1 END AS INTEGER) AS ver,
+       TRUE AS was_pruned, TRUE AS untouched_kept
+FROM orders o, c
+WHERE NOT (o.o_orderkey <= c.cut AND o.o_orderkey % 3 = 2)
+ORDER BY o.o_orderkey
+"""

@@ -217,3 +217,31 @@ def test_query_wrapper_survives_temp_dir_teardown(spark, sf):
     assert rows[0]["untouched_kept"] is True
     marked = [r for r in rows if r["o_orderstatus"] == "M"]
     assert 0 < len(marked) < len(rows)
+
+
+def test_composed_prune_order_tombstone_matrix(spark):
+    """MERGE_PRUNE × MERGE_ORDER × MERGE_DELETE_COL version matrix,
+    through the query wrapper, materialized after teardown: k%3==0 →
+    v2 'M' wins; k%3==1 → v2 'W' wins and the STALE v1 tombstone is
+    ignored; k%3==2 → winning v3 tombstone deletes the key."""
+    from __spark_entry__ import queries
+
+    fn = queries()["datapump_roundtrip_merge_pruned_ordered"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows[0]["was_pruned"] is True
+    assert rows[0]["untouched_kept"] is True
+    maxk = max(r["o_orderkey"] for r in rows)
+    cut = maxk // 8
+    in_octile = [r for r in rows if r["o_orderkey"] <= cut]
+    assert in_octile, "octile empty — fixture too small"
+    for r in in_octile:
+        m = r["o_orderkey"] % 3
+        assert m != 2, f"winning tombstone failed to delete {r['o_orderkey']}"
+        assert (m, r["o_orderstatus"], r["ver"]) in (
+            (0, "M", 2),
+            (1, "W", 2),
+        ), r
+    # every class actually occurred (no vacuous pass)
+    assert {r["o_orderkey"] % 3 for r in in_octile} == {0, 1}
+    # stale tombstone's status 'X' must appear nowhere
+    assert all(r["o_orderstatus"] != "X" for r in rows)
