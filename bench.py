@@ -70,6 +70,8 @@ EXCLUDED = {
     "datapump_roundtrip_merge_pruned": "same export->import(MERGE) lifecycle as datapump_roundtrip_merge (benched) plus an 8-file range-clustered base write; the prune makes the merge strictly cheaper than the benched full rewrite",
     "datapump_roundtrip_encrypted": "same export->import lifecycle as datapump_roundtrip_supplier (benched) plus AES-GCM encrypt/decrypt and two deliberately-failing negative imports; timing is dominated by the 3 job lifecycles, not a query plan",
     "datapump_roundtrip_merge_pruned_ordered": "same lifecycle shape as datapump_roundtrip_merge_pruned (EXCLUDED for the same reason): an 8-file range-clustered base write dominates; the composed MERGE is strictly the benched merge path plus a window order",
+    "mv_topk_delta": "two keyed aggregates and a 10-row window — same incremental-MV shape as mv_delta_maintain (benched) with strictly less work",
+    "blocking_quality_report": "three partial-aggregated groupBys over documents reduced to one row — same shape as table_profile/shard_balance_report (benched)",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
@@ -384,6 +386,13 @@ HEADLINE = [
     # writes and a zero-Exchange fact-fact join — a physical path
     # (bucketed scan join) nothing else benches
     "bucketed_join_rollup",
+    # production incremental dedup: new-batch x stored-index band join +
+    # candidate-restricted verification — the only benched op exercising
+    # the asymmetric (small x large) LSH join shape
+    "dedup_minhash_incremental",
+    # fixed-round k-core peel: per-round double semi-join + degree agg —
+    # the iterative-graph shape with per-round localCheckpoint pinning
+    "kcore_peel_curve",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

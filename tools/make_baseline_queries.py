@@ -77,8 +77,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 # is committed; "clean" = contamination sentinel green (bench.py) and no
 # co-running load (pytest, a driver gate) during the run.
 CLEAN_FULLS = [
-    ("d513e51", "r9a"),  # round-9 opening capture (167.5s/158q, 0.953, sentinel green)
     ("975e9e9", "r9c"),  # round-9 closing capture (166.35s/158q, 1.011, sentinel green)
+    ("11e4a7e", "r10a"),  # round-10 opening capture (159.27s/158q, 0.999, sentinel green)
 ]
 
 
