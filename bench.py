@@ -72,6 +72,8 @@ EXCLUDED = {
     "datapump_roundtrip_merge_pruned_ordered": "same lifecycle shape as datapump_roundtrip_merge_pruned (EXCLUDED for the same reason): an 8-file range-clustered base write dominates; the composed MERGE is strictly the benched merge path plus a window order",
     "mv_topk_delta": "two keyed aggregates and a 10-row window — same incremental-MV shape as mv_delta_maintain (benched) with strictly less work",
     "blocking_quality_report": "three partial-aggregated groupBys over documents reduced to one row — same shape as table_profile/shard_balance_report (benched)",
+    "scd2_build_intervals": "two same-partitioning windows over events — strictly less work than the benched peak_concurrent_sessions window stack",
+    "golden_record_fusion": "one groupBy over the memoized verified-pair groups (model-scale input); the dominant cost is dedup_groups, already exercised via benched consumers",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
@@ -393,6 +395,9 @@ HEADLINE = [
     # fixed-round k-core peel: per-round double semi-join + degree agg —
     # the iterative-graph shape with per-round localCheckpoint pinning
     "kcore_peel_curve",
+    # basket self-join pair explosion + per-item rank window — the
+    # item-item CF shape (bounded by basket width) nothing else benches
+    "item_cf_topk",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
