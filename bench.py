@@ -74,6 +74,8 @@ EXCLUDED = {
     "blocking_quality_report": "three partial-aggregated groupBys over documents reduced to one row — same shape as table_profile/shard_balance_report (benched)",
     "scd2_build_intervals": "two same-partitioning windows over events — strictly less work than the benched peak_concurrent_sessions window stack",
     "golden_record_fusion": "one groupBy over the memoized verified-pair groups (model-scale input); the dominant cost is dedup_groups, already exercised via benched consumers",
+    "label_centroid_similarity": "explode + K-dim centroid groupBy + K^2 pair join over a 500-row embeddings fixture — model-scale; embedding_pca_scores (benched) covers the explode-heavy shape",
+    "bpe_merge_candidates": "row-local char-pair explode + one count groupBy — same shape as vocab_ngram_counts (benched)",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
@@ -398,6 +400,9 @@ HEADLINE = [
     # basket self-join pair explosion + per-item rank window — the
     # item-item CF shape (bounded by basket width) nothing else benches
     "item_cf_topk",
+    # chained earliest-after joins (MATCH_RECOGNIZE-lite funnel) — the
+    # sequential-pattern shape: three keyed join+agg rounds on user_id
+    "funnel_ordered_within_gap",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
