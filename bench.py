@@ -76,6 +76,8 @@ EXCLUDED = {
     "golden_record_fusion": "one groupBy over the memoized verified-pair groups (model-scale input); the dominant cost is dedup_groups, already exercised via benched consumers",
     "label_centroid_similarity": "explode + K-dim centroid groupBy + K^2 pair join over a 500-row embeddings fixture — model-scale; embedding_pca_scores (benched) covers the explode-heavy shape",
     "bpe_merge_candidates": "row-local char-pair explode + one count groupBy — same shape as vocab_ngram_counts (benched)",
+    "skipgram_negative_table": "one token-count groupBy + a 100-row rank window — same shape as vocab_ngram_counts/zipf_vocab_curve (benched)",
+    "churn_training_set": "single user-keyed conditional aggregate over events — strictly less work than the benched dau_wau_stickiness",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
@@ -403,6 +405,9 @@ HEADLINE = [
     # chained earliest-after joins (MATCH_RECOGNIZE-lite funnel) — the
     # sequential-pattern shape: three keyed join+agg rounds on user_id
     "funnel_ordered_within_gap",
+    # gaps-and-islands window + double groupBy on one user_id shuffle —
+    # the canonical islands plan
+    "user_longest_streak",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
