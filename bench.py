@@ -78,6 +78,7 @@ EXCLUDED = {
     "bpe_merge_candidates": "row-local char-pair explode + one count groupBy — same shape as vocab_ngram_counts (benched)",
     "skipgram_negative_table": "one token-count groupBy + a 100-row rank window — same shape as vocab_ngram_counts/zipf_vocab_curve (benched)",
     "churn_training_set": "single user-keyed conditional aggregate over events — strictly less work than the benched dau_wau_stickiness",
+    "ann_ivf_nprobe_curve": "three probe-filtered IVF-PQ scans + one exact baseline — each arm is the benched ann_ivfpq_topk shape; the sweep adds no new physical pattern",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
@@ -408,6 +409,9 @@ HEADLINE = [
     # gaps-and-islands window + double groupBy on one user_id shuffle —
     # the canonical islands plan
     "user_longest_streak",
+    # two global range sorts + 16-step codegen'd Hilbert transform —
+    # the space-filling-curve re-cluster price nothing else benches
+    "hilbert_skip_compare",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

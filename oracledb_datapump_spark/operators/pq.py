@@ -403,7 +403,9 @@ ANN_PQ_SQL = _pq_topk_sql()
 IVFPQ_NPROBE = 2  # coarse clusters probed per query
 
 
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_NPROBE
+) -> DataFrame:
     """(query_id, match_id, rank, adist): the full IVF-PQ search — route
     each query to its {IVFPQ_NPROBE} nearest coarse (k-means) centroids,
     then PQ-score ONLY the vectors assigned to those clusters via the
@@ -449,7 +451,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pw = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cluster"))
     probes = (
         cdist.withColumn("prn", F.row_number().over(pw))
-        .filter(F.col("prn") <= IVFPQ_NPROBE)
+        .filter(F.col("prn") <= nprobe)
         .select("query_id", "cluster")
     )
     books = _fit_codebooks(spark, sf_dir)
@@ -475,7 +477,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_ctes() -> list[str]:
+def _ivf_ctes(nprobe: int = IVFPQ_NPROBE, probes_name: str = "probes") -> list[str]:
     """Coarse-quantizer fit CTEs — the clustering._kmeans_sql chain
     (same init/assign/update arithmetic over the FULL 64-d vectors,
     clustering.py:KMEANS_K/KMEANS_ITERS) with kq/kc/ka names so it
@@ -516,7 +518,7 @@ def _ivf_ctes() -> list[str]:
 )"""
     )
     ctes.append(
-        f"""probes AS (
+        f"""{probes_name} AS (
   SELECT query_id, cluster FROM (
     SELECT q.vec_id AS query_id, c.cid AS cluster,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -525,7 +527,7 @@ def _ivf_ctes() -> list[str]:
     FROM q JOIN {final_kc} c USING (i)
     WHERE q.vec_id < {PQ_QUERIES}
     GROUP BY q.vec_id, c.cid)
-  WHERE prn <= {IVFPQ_NPROBE}
+  WHERE prn <= {nprobe}
 )"""
     )
     return ctes
