@@ -412,6 +412,9 @@ HEADLINE = [
     # two global range sorts + 16-step codegen'd Hilbert transform —
     # the space-filling-curve re-cluster price nothing else benches
     "hilbert_skip_compare",
+    # three-micro-batch ingestion dedup: per-batch band join against a
+    # growing parquet index + candidate-verify — the streaming LSH shape
+    "streaming_dedup_incremental",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in

@@ -1,0 +1,246 @@
+"""Streaming near-duplicate detection at ingestion: MinHash-LSH over a
+growing band index, one micro-batch per arrival file.
+
+The batch operator family (operators/dedup.py) answers "find the dups
+in this corpus"; this module answers the production question "find each
+NEW document's dups the moment it arrives". Per micro-batch:
+
+1. band signatures for the arriving docs (same 16-hash/4-band family
+   as the batch path — one source of truth for the constants);
+2. candidate pairs = new bands ⋈ (stored index ∪ this batch), keyed on
+   (band, sig) with the arriving side being the higher doc_id (arrival
+   files are ascending doc_id ranges, so 'newer' ≡ 'greater');
+3. exact-Jaccard verification of the candidates against the source
+   store (point reads of the candidate docs only);
+4. append the batch's bands to the index and the verified pairs to the
+   output — both plain parquet appends, idempotent per batch.
+
+CONVERGENCE CONTRACT (the gated claim): after the stream drains, the
+accumulated pair set equals the BATCH dedup of the full corpus
+(dedup_minhash_verified) with roles (new = greater id, old = lesser) —
+streaming ingestion loses nothing and invents nothing vs the offline
+job. The oracle is the batch SQL re-rolled into those roles plus each
+pair's arrival batch (reconstructable from the tercile cuts, which pins
+the micro-batch attribution too).
+
+At 100 TB: the band index is the stored state (doc_id, band, sig —
+corpus-scale but narrow), each arrival joins only its own bands against
+it, and verification touches candidate docs only. The file source
+stands in for Kafka; maxFilesPerTrigger=1 gives one batch per arrival.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    BAND_ROWS,
+    JACCARD_THRESHOLD,
+    NUM_HASHES,
+    DEDUP_MINHASH_VERIFIED_SQL,
+    _minhash_cols,
+    _shingles,
+    _shingles_multiset,
+)
+from .incremental import _land_single_parquet
+
+PAIR_SCHEMA = (
+    "new_doc long, old_doc long, jaccard double, arrival_batch long"
+)
+
+
+def _bands_for(docs: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, sig) for the given docs — the same construction as
+    dedup_minhash_pairs (dedup.py:226), parameterized by doc frame."""
+    agg = _shingles_multiset(spark, sf_dir, docs).groupBy("doc_id").agg(
+        *_minhash_cols()
+    )
+    band_sig = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{j}").cast("string")
+                    for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+                ],
+            )
+        ).alias(f"sig{b}")
+        for b in range(NUM_HASHES // BAND_ROWS)
+    ]
+    return agg.select(
+        "doc_id", F.posexplode(F.array(*band_sig)).alias("band", "sig")
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """One availableNow cycle over the arrival dir: per micro-batch,
+    find the arriving docs' verified near-dups against everything seen
+    so far (index + the batch itself) and grow the index."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_b = _bands_for(batch_df, spark, sf_dir).localCheckpoint(
+            eager=True
+        )  # joined below AND appended to the index
+        seen_b = new_b
+        if any(
+            n.endswith(".parquet")
+            for n in os.listdir(index_dir)
+            if not n.startswith(("_", "."))
+        ):
+            seen_b = spark.read.parquet(index_dir).unionByName(new_b)
+        a = new_b.alias("a")
+        b = seen_b.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") > F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("new_doc"),
+                F.col("b.doc_id").alias("old_doc"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # grow the index regardless of whether this batch found pairs
+        new_b.write.mode("append").parquet(index_dir)
+        if cand.isEmpty():
+            return
+        # verification: exact Jaccard from the SOURCE store, candidate
+        # docs only (the point-read pattern — never a corpus rescan)
+        cand_docs = (
+            cand.select(F.col("new_doc").alias("doc_id"))
+            .union(cand.select(F.col("old_doc").alias("doc_id")))
+            .distinct()
+        )
+        sh = _shingles(spark, sf_dir).join(
+            F.broadcast(cand_docs), "doc_id", "semi"
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        sa = sh.select(
+            F.col("doc_id").alias("new_doc"), F.col("shingle").alias("sh_a")
+        )
+        sb = sh.select(
+            F.col("doc_id").alias("_old2"), F.col("shingle").alias("sh_b")
+        )
+        inter = (
+            cand.join(sa, "new_doc")
+            .join(
+                sb,
+                (F.col("old_doc") == F.col("_old2"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("new_doc", "old_doc")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        na = sizes.select(
+            F.col("doc_id").alias("new_doc"), F.col("n").alias("na")
+        )
+        nb = sizes.select(
+            F.col("doc_id").alias("old_doc"), F.col("n").alias("nb")
+        )
+        verified = (
+            inter.join(F.broadcast(na), "new_doc")
+            .join(F.broadcast(nb), "old_doc")
+            .select(
+                "new_doc",
+                "old_doc",
+                (
+                    F.col("inter")
+                    / (F.col("na") + F.col("nb") - F.col("inter"))
+                ).alias("jaccard"),
+                F.lit(batch_id).cast("long").alias("arrival_batch"),
+            )
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(new_doc, old_doc, jaccard, arrival_batch): the full streaming-
+    ingestion dedup lifecycle under the driver hash — the documents
+    fixture arrives as three ascending-doc_id tercile files, one
+    micro-batch each; every batch joins its band signatures against the
+    accumulated index (plus itself), verifies candidates with exact
+    Jaccard, and appends. Hash equality against the BATCH verified-pair
+    oracle (roles re-rolled to new=greater id; arrival batch
+    reconstructed from the tercile cuts) is the convergence proof:
+    streaming ingestion finds exactly the offline job's pairs, each in
+    the micro-batch where its newer member arrived."""
+    src = tempfile.mkdtemp(prefix="dp_slsh_src_")
+    index_dir = tempfile.mkdtemp(prefix="dp_slsh_idx_")
+    pairs_dir = tempfile.mkdtemp(prefix="dp_slsh_pairs_")
+    ckpt = tempfile.mkdtemp(prefix="dp_slsh_ckpt_")
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.agg(F.max("doc_id") + 1).collect()[0][0]
+        c1, c2 = n // 3, 2 * n // 3
+        slices = [
+            d.filter(F.col("doc_id") < c1),
+            d.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+            d.filter(F.col("doc_id") >= c2),
+        ]
+        for i, sl in enumerate(slices):
+            _land_single_parquet(sl, os.path.join(src, f"docs-{i}.parquet"))
+        # schema-seed the pairs dir so a pair-free drain still reads back
+        spark.createDataFrame([], PAIR_SCHEMA).write.mode("overwrite").parquet(
+            pairs_dir
+        )
+        run_streaming_dedup(spark, sf_dir, src, index_dir, pairs_dir, ckpt)
+        # temp dirs are deleted below — pin rows first
+        return (
+            spark.read.schema(PAIR_SCHEMA)
+            .parquet(pairs_dir)
+            .orderBy("new_doc", "old_doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for p in (src, index_dir, pairs_dir, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _streaming_dedup_sql() -> str:
+    base = DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH pairs AS ({base}),
+mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents)
+SELECT doc_b AS new_doc, doc_a AS old_doc, jaccard,
+       CAST(CASE WHEN doc_b < n // 3 THEN 0
+                 WHEN doc_b < 2 * n // 3 THEN 1
+                 ELSE 2 END AS BIGINT) AS arrival_batch
+FROM pairs, mx
+ORDER BY new_doc, old_doc
+"""
+
+
+STREAMING_DEDUP_INCREMENTAL_SQL = _streaming_dedup_sql()
