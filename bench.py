@@ -79,6 +79,8 @@ EXCLUDED = {
     "skipgram_negative_table": "one token-count groupBy + a 100-row rank window — same shape as vocab_ngram_counts/zipf_vocab_curve (benched)",
     "churn_training_set": "single user-keyed conditional aggregate over events — strictly less work than the benched dau_wau_stickiness",
     "ann_ivf_nprobe_curve": "three probe-filtered IVF-PQ scans + one exact baseline — each arm is the benched ann_ivfpq_topk shape; the sweep adds no new physical pattern",
+    "datapump_roundtrip_views_as_tables": "source-engine view materialization + the benched export/import lifecycle shape (datapump_roundtrip_supplier); the view body runs in DuckDB, not Spark",
+    "datapump_roundtrip_reimport_skip": "one import + one deliberate no-op re-import — strictly less work than the benched datapump_roundtrip_merge",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",

@@ -367,6 +367,14 @@ class DuckDbConnector:
     def table_exists(self, schema: str, table: str) -> bool:
         return table in self.list_tables(schema)
 
+    def list_views(self, schema: str) -> list[str]:
+        rows = self._cursor().execute(
+            "SELECT table_name FROM information_schema.tables "
+            "WHERE table_schema = ? AND table_type = 'VIEW' ORDER BY 1",
+            [schema],
+        ).fetchall()
+        return [r[0] for r in rows]
+
     def ensure_schema(self, schema: str) -> None:
         with self._write_lock:
             self._cursor().execute(

@@ -71,6 +71,7 @@ class PlanConfig:
     # filters (metadata/object-level — reference §2.2)
     include_schemas: list[str] = field(default_factory=list)
     include_tables: list[str] = field(default_factory=list)
+    views_as_tables: list[str] = field(default_factory=list)
     exclude_object_types: set[str] = field(default_factory=set)
     include_object_types: set[str] | None = None
     # row-level extension (reference lacks QUERY wrapping; SURVEY.md §2.2)
@@ -261,6 +262,20 @@ class IncludeTable(Filter, name="INCLUDE_TABLE"):
 
     def apply(self, config: PlanConfig) -> None:
         config.include_tables.append(str(self.value))
+
+
+class ViewsAsTables(Filter, name="VIEWS_AS_TABLES"):
+    """Materialize named source VIEWS as exported tables — the public
+    Oracle Data Pump VIEWS_AS_TABLES parameter (the reference does not
+    implement it; extension for connectors with view catalogs). Value:
+    comma-separated view names; each must exist in a selected schema
+    (connector.list_views) or the job fails at plan time, matching
+    Oracle's ORA-31655 posture. The importer sees an ordinary table."""
+
+    def apply(self, config: PlanConfig) -> None:
+        config.views_as_tables.extend(
+            v.strip() for v in str(self.value).split(",") if v.strip()
+        )
 
 
 class ExcludeObjectType(Filter, name="EXCLUDE_OBJECT_TYPE"):

@@ -334,6 +334,10 @@ def export_table(
         }
         if enc_detail:
             detail["encryption"] = enc_detail
+        if plan.extra.get("source_type"):
+            # VIEWS_AS_TABLES provenance: the dump holds materialized
+            # rows; the importer treats it as an ordinary table
+            detail["source_type"] = plan.extra["source_type"]
         if track_snapshots:
             prev_snaps = (
                 list(plan.extra.get("snapshots") or [])

@@ -1054,3 +1054,166 @@ FROM orders o, c
 WHERE NOT (o.o_orderkey <= c.cut AND o.o_orderkey % 3 = 2)
 ORDER BY o.o_orderkey
 """
+
+
+def datapump_roundtrip_views_as_tables(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VIEWS_AS_TABLES lifecycle under the driver hash: a revenue-per-
+    nation VIEW defined in the DuckDB source catalog (never a base
+    table) exports through VIEWS_AS_TABLES — the public Oracle Data
+    Pump parameter the reference declares nothing for — materializing
+    the view's rows into an ordinary dump table, then imports into a
+    parquet warehouse. Hash equality against the view's own SQL proves
+    the materialization; the ``was_view`` sentinel pins the manifest
+    provenance (detail.source_type == 'VIEW'). At 100 TB the view body
+    executes in the SOURCE engine (pushdown by construction — the
+    connector reads `SELECT * FROM view`), so the export moves only
+    result rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    wh = tempfile.mkdtemp(prefix="dp_vat_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_vat_dump_")
+    try:
+        src = DuckDbConnector(":memory:")
+        src.load_parquet_dir("main", sf_dir)
+        src.execute(
+            """
+            CREATE VIEW main.rev_by_nation AS
+            SELECT n.n_name,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM main.orders o
+            JOIN main.customer c ON o.o_custkey = c.c_custkey
+            JOIN main.nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            """
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.VIEWS_AS_TABLES("rev_by_nation"),
+            ],
+        ).run(wait=True, connection=src, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"view export failed: {st.error}")
+        meta = DumpSet(dump).read_manifest().tables.get(
+            "main.rev_by_nation", {}
+        )
+        was_view = meta.get("source_type") == "VIEW"
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"view import failed: {st.error}")
+        # warehouse dir is deleted below — pin rows first
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "rev_by_nation")
+            .withColumn("was_view", F.lit(was_view))
+            .orderBy("n_name")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_VIEWS_AS_TABLES_SQL = """
+SELECT n.n_name,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS was_view
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+
+def datapump_roundtrip_reimport_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TABLE_EXISTS_ACTION(SKIP) idempotency audit under the driver
+    hash: import ``nation`` into a parquet warehouse, then re-import
+    the SAME dump with SKIP — the second run must be a byte-level no-op
+    (every warehouse file md5-identical; ``reimport_noop`` sentinel)
+    and the job must report the table as skipped (``was_skipped`` from
+    the TABLE_IMPORT_SKIP_EXISTS event). SKIP is Oracle's default
+    exists-action (reference directives.py:372-376); this pins the
+    operational contract that makes re-running a failed-downstream
+    import safe."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    wh = tempfile.mkdtemp(prefix="dp_skip_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_skip_dump_")
+    try:
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("nation")],
+        ).run(wait=True, connection=ParquetConnector(sf_dir), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.error}")
+        for _ in range(2):
+            st = Job(
+                Operation.IMPORT,
+                JobMode.TABLE,
+                dumpfiles=dump,
+                directives=[D.TABLE_EXISTS_ACTION("SKIP")],
+            ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+            if st.job_state != "COMPLETED":
+                raise RuntimeError(f"import failed: {st.error}")
+            tdir = _os.path.join(wh, "main", "nation.parquet")
+            digest = {
+                n: _hashlib.md5(
+                    open(_os.path.join(tdir, n), "rb").read()
+                ).hexdigest()
+                for n in _os.listdir(tdir)
+                if n.startswith("part-")
+            }
+            if _ == 0:
+                first = digest
+        reimport_noop = digest == first and len(first) >= 1
+        was_skipped = any(
+            e["event"] == "TABLE_IMPORT_SKIP_EXISTS"
+            for e in DumpSet(dump).read_events()
+        )
+        # warehouse dir is deleted below — pin rows first
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "nation")
+            .withColumn("reimport_noop", F.lit(reimport_noop))
+            .withColumn("was_skipped", F.lit(was_skipped))
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_REIMPORT_SKIP_SQL = """
+SELECT *, TRUE AS reimport_noop, TRUE AS was_skipped
+FROM nation
+ORDER BY n_nationkey
+"""

@@ -82,8 +82,11 @@ def plan_export(
             raise UsageError("SCHEMA mode requires at least one INCLUDE_SCHEMA")
         schemas = list(dict.fromkeys(config.include_schemas))
     elif mode == JobMode.TABLE:
-        if not config.include_tables:
-            raise UsageError("TABLE mode requires at least one INCLUDE_TABLE")
+        if not config.include_tables and not config.views_as_tables:
+            raise UsageError(
+                "TABLE mode requires at least one INCLUDE_TABLE "
+                "(or VIEWS_AS_TABLES)"
+            )
         schemas = list(dict.fromkeys(config.include_schemas)) or connector.list_schemas()
     else:
         # TABLESPACE/TRANSPORTABLE: physical-storage scope has no Spark
@@ -133,6 +136,37 @@ def plan_export(
                     ),
                     extra={"dump_format": config.dump_format.lower()},
                 )
+            )
+    # VIEWS_AS_TABLES: materialize named source views as exported tables
+    # (public Oracle Data Pump parameter; extension here — the reference
+    # never implements it). A view that matches no selected schema fails
+    # at plan time, mirroring Oracle's ORA-31655 posture.
+    for view in config.views_as_tables:
+        found = False
+        for schema in schemas:
+            lv = getattr(connector, "list_views", None)
+            if lv and view in lv(schema):
+                found = True
+                plans.append(
+                    TablePlan(
+                        schema=schema,
+                        table=view,
+                        target_schema=schema,
+                        target_table=view,
+                        parallel=config.parallel,
+                        predicate=_match_predicate(config, view),
+                        columns=_match_columns(config, view),
+                        codec=config.parquet_codec(),
+                        extra={
+                            "dump_format": config.dump_format.lower(),
+                            "source_type": "VIEW",
+                        },
+                    )
+                )
+        if not found:
+            raise UsageError(
+                f"VIEWS_AS_TABLES: view {view!r} not found in any selected "
+                "schema (or the connector exposes no view catalog)"
             )
     return plans
 
