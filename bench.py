@@ -81,6 +81,7 @@ EXCLUDED = {
     "ann_ivf_nprobe_curve": "three probe-filtered IVF-PQ scans + one exact baseline — each arm is the benched ann_ivfpq_topk shape; the sweep adds no new physical pattern",
     "datapump_roundtrip_views_as_tables": "source-engine view materialization + the benched export/import lifecycle shape (datapump_roundtrip_supplier); the view body runs in DuckDB, not Spark",
     "datapump_roundtrip_reimport_skip": "one import + one deliberate no-op re-import — strictly less work than the benched datapump_roundtrip_merge",
+    "image_decode_features": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched), smaller payloads",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
     "dedup_bcubed_eval": "rides the benched dedup_groups label propagation + one md5 groupBy and three small joins",
     "attribution_u_shaped": "two user-keyed window passes over events — same shape as the benched asof_attribution/event_transition_gaps",
@@ -417,6 +418,9 @@ HEADLINE = [
     # three-micro-batch ingestion dedup: per-batch band join against a
     # growing parquet index + candidate-verify — the streaming LSH shape
     "streaming_dedup_incremental",
+    # Arrow-batched REAL WAV decode over mapInPandas — the binary-codec
+    # Python path (sanctioned slow path) nothing else benches
+    "audio_decode_features",
 ]
 
 # lang_id_confusion / dedup_rate_by_source / doc_chunks joined HEADLINE in
