@@ -69,6 +69,7 @@ EXCLUDED = {
     "datapump_roundtrip_timetravel": "same export->DuckDB-import lifecycle as supplier roundtrip (benched) plus a second incremental cycle; the AS_OF read is a file-list narrowing",
     "datapump_roundtrip_merge_pruned": "same export->import(MERGE) lifecycle as datapump_roundtrip_merge (benched) plus an 8-file range-clustered base write; the prune makes the merge strictly cheaper than the benched full rewrite",
     "datapump_roundtrip_encrypted": "same export->import lifecycle as datapump_roundtrip_supplier (benched) plus AES-GCM encrypt/decrypt and two deliberately-failing negative imports; timing is dominated by the 3 job lifecycles, not a query plan",
+    "datapump_roundtrip_encrypted_columns": "same 2-job lifecycle as datapump_roundtrip_encrypted (EXCLUDED) with column-subset keys; timing is job machinery + driver-side DuckDB keyless probes, not a query plan",
     "datapump_roundtrip_merge_pruned_ordered": "same lifecycle shape as datapump_roundtrip_merge_pruned (EXCLUDED for the same reason): an 8-file range-clustered base write dominates; the composed MERGE is strictly the benched merge path plus a window order",
     "mv_topk_delta": "two keyed aggregates and a 10-row window — same incremental-MV shape as mv_delta_maintain (benched) with strictly less work",
     "blocking_quality_report": "three partial-aggregated groupBys over documents reduced to one row — same shape as table_profile/shard_balance_report (benched)",
@@ -481,6 +482,16 @@ def run_slice(names: list[str], runs: int, sentinel: bool = False) -> dict:
     load_events(spark, SF_DIR).count()
 
     qs = entry_mod.queries()
+    # r10 verdict "What's wrong #1": the first timed headline eats JVM/JIT/
+    # whole-stage-codegen warm-up that the footer touches above don't cover
+    # (q1_pricing_summary's committed 2.77x was refuted by the same run's
+    # end-of-JVM sentinel at 0.52x). One UNTIMED execution of the first
+    # headline absorbs that cost outside the timing window.
+    if names:
+        try:
+            qs[names[0]](spark, SF_DIR).count()
+        except Exception:
+            pass  # the timed loop will surface the error with context
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -23,12 +23,17 @@ encryption spec as implemented by pyarrow (``pyarrow.parquet.encryption``):
 * Scope mapping (Oracle → parquet): ``ALL`` = encrypted footer
   (``PARE`` magic — even schema/stats are sealed), ``DATA_ONLY`` =
   plaintext footer + every column encrypted (row counts/stats stay
-  probe-able, data does not). ``METADATA_ONLY`` (sealed footer,
-  plaintext columns) is not expressible through parquet's key-tools
-  API and ``ENCRYPTED_COLUMNS_ONLY`` needs per-column DDL ENCRYPT
-  markers that have no catalog analog here → both ``Unsupported``.
-  ``ENCRYPTION_MODE`` TRANSPARENT/DUAL need an Oracle wallet →
-  ``Unsupported``; PASSWORD is the supported mode.
+  probe-able, data does not), ``ENCRYPTED_COLUMNS_ONLY`` = plaintext
+  footer + only the ENCRYPTION_COLUMNS-named columns encrypted via
+  pyarrow ``column_keys`` (Oracle reads the column set from DDL
+  ENCRYPT markers, reference ``directives.py:274-297``; the
+  directive-supplied list is the catalog-less analog — keyless
+  readers keep the unnamed columns, e.g. DuckDB projection pushdown,
+  while the named columns fail loudly). ``METADATA_ONLY`` (sealed
+  footer, plaintext columns) is not expressible through parquet's
+  key-tools API → ``Unsupported``. ``ENCRYPTION_MODE``
+  TRANSPARENT/DUAL need an Oracle wallet → ``Unsupported``; PASSWORD
+  is the supported mode.
 
 Scale notes: the write path is ``df.mapInPandas`` — **each executor
 task encrypts and writes its own part file directly**, so encryption
@@ -148,11 +153,24 @@ def validate_encryption(enc: dict) -> dict:
     scope = enc.get("scope") or ("ALL" if enc.get("password") else "NONE")
     if scope == "NONE":
         return {}
+    columns = enc.get("columns")
     if scope == "ENCRYPTED_COLUMNS_ONLY":
-        raise Unsupported(
-            "ENCRYPTION(ENCRYPTED_COLUMNS_ONLY) selects columns by DDL "
-            "ENCRYPT markers, which have no catalog analog here; use "
-            "DATA_ONLY or ALL"
+        # Oracle selects the columns by DDL ENCRYPT markers (reference
+        # directives.py:274-297); the catalog-less analog is an explicit
+        # ENCRYPTION_COLUMNS directive naming them. Named columns go
+        # through pyarrow column_keys; unnamed columns AND the footer
+        # stay plaintext so keyless readers keep the rest of the table.
+        if not columns:
+            raise UsageError(
+                "ENCRYPTION(ENCRYPTED_COLUMNS_ONLY) requires "
+                "ENCRYPTION_COLUMNS naming the columns to seal (the "
+                "catalog-less analog of Oracle's DDL ENCRYPT markers)"
+            )
+    elif columns:
+        raise UsageError(
+            "ENCRYPTION_COLUMNS only applies to "
+            "ENCRYPTION(ENCRYPTED_COLUMNS_ONLY); "
+            f"scope {scope} encrypts a fixed column set"
         )
     if scope == "METADATA_ONLY":
         raise Unsupported(
@@ -168,7 +186,10 @@ def validate_encryption(enc: dict) -> dict:
             "(PASSWORD mode is the only supported ENCRYPTION_MODE)"
         )
     algorithm = enc.get("algorithm", "AES256")
-    return {"password": password, "scope": scope, "algorithm": algorithm}
+    out = {"password": password, "scope": scope, "algorithm": algorithm}
+    if columns:
+        out["columns"] = list(columns)
+    return out
 
 
 def encryption_properties(
@@ -182,7 +203,12 @@ def encryption_properties(
         footer_key=MASTER_KEY_ID,
         column_keys=column_keys,
         encryption_algorithm="AES_GCM_V1",
-        plaintext_footer=(scope == "DATA_ONLY"),
+        # DATA_ONLY: plaintext footer, every column sealed (stats remain
+        # probe-able). ENCRYPTED_COLUMNS_ONLY: plaintext footer AND only
+        # the named columns sealed — keyless readers (DuckDB projection
+        # pushdown) keep the unnamed columns; that partial readability
+        # IS the Oracle semantic and the lifecycle query pins it.
+        plaintext_footer=(scope in ("DATA_ONLY", "ENCRYPTED_COLUMNS_ONLY")),
         data_key_length_bits=_ALGO_BITS.get(algorithm, 256),
         double_wrapping=False,
     )
@@ -205,6 +231,7 @@ def write_encrypted_dump(
     scope: str,
     algorithm: str,
     codec: str,
+    encrypt_columns: list[str] | None = None,
 ) -> dict:
     """Encrypted export writer: one AES-GCM parquet file per Spark
     partition, written by the executor that owns the partition (direct
@@ -223,6 +250,14 @@ def write_encrypted_dump(
     salt = os.urandom(16)
     arrow_schema = to_arrow_schema(df.schema)
     leaf_columns = list(arrow_schema.names)
+    if scope == "ENCRYPTED_COLUMNS_ONLY":
+        unknown = sorted(set(encrypt_columns or []) - set(leaf_columns))
+        if unknown:
+            raise UsageError(
+                f"ENCRYPTION_COLUMNS names columns not in the export: "
+                f"{unknown} (exported columns: {leaf_columns})"
+            )
+        leaf_columns = list(encrypt_columns or [])
 
     def _write(batches):
         import uuid

@@ -630,6 +630,22 @@ class EncryptionPassword(Parameter, name="ENCRYPTION_PASSWORD"):
         return {"name": self.NAME, "value": "***"}  # never persist the secret
 
 
+class EncryptionColumns(Parameter, name="ENCRYPTION_COLUMNS"):
+    """Columns to seal under ENCRYPTION(ENCRYPTED_COLUMNS_ONLY) — the
+    catalog-less analog of Oracle's DDL ENCRYPT markers (the reference
+    forwards the scope to Oracle, which reads them from table DDL,
+    reference directives.py:274-297; plain parquet has no DDL, so the
+    caller names the columns). Comma-separated string or list."""
+
+    def _coerce(self, value):
+        if isinstance(value, (list, tuple)):
+            return [str(c).strip() for c in value if str(c).strip()]
+        return [c.strip() for c in str(value).split(",") if c.strip()]
+
+    def apply(self, config: PlanConfig) -> None:
+        config.encryption["columns"] = self.value
+
+
 class Estimate(_EnumParameter, name="ESTIMATE"):
     VALUES = ("BLOCKS", "STATISTICS")
 

@@ -291,6 +291,7 @@ def export_table(
                 enc["scope"],
                 enc["algorithm"],
                 _map_codec(fmt, plan.codec),
+                encrypt_columns=enc.get("columns"),
             )
             rows, size, nfiles = (
                 enc_res["rows"],
@@ -302,6 +303,10 @@ def export_table(
                 "algorithm": enc["algorithm"],
                 "salt_hex": enc_res["salt_hex"],  # public KDF salt
             }
+            if enc.get("columns"):
+                # which columns are sealed is public metadata (the
+                # footer is plaintext under this scope anyway)
+                enc_detail["columns"] = list(enc["columns"])
             dumpset.log_event(
                 "TABLE_EXPORT_ENCRYPTED",
                 table=plan.source_key,

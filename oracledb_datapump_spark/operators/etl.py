@@ -907,6 +907,125 @@ ORDER BY o_orderkey
 """
 
 
+def datapump_roundtrip_encrypted_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ENCRYPTION(ENCRYPTED_COLUMNS_ONLY) lifecycle under the driver
+    hash (SURVEY §2.4 P4; Oracle selects the sealed columns from DDL
+    ENCRYPT markers — reference directives.py:274-297 — the
+    catalog-less analog is the ENCRYPTION_COLUMNS directive). EXPORT
+    ``customer`` sealing only ``c_name``/``c_acctbal`` via pyarrow
+    ``column_keys`` with a plaintext footer, then IMPORT back with the
+    password and prove the plaintext is intact. Sentinels pin BOTH
+    sides of the partial-encryption claim on every part file:
+    ``named_opaque`` — a keyless DuckDB projection of a sealed column
+    fails loudly; ``unnamed_plain`` — a keyless DuckDB scan of the
+    UNNAMED columns returns exactly the source count/sum (projection
+    pushdown never touches sealed pages); ``footer_plain`` — keyless
+    pyarrow reads footer row counts (PAR1 magic, stats probe-able).
+    At 100 TB the named columns cost AES-GCM on their pages only;
+    scans of the open columns pay zero crypto."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    stage = tempfile.mkdtemp(prefix="dp_ecol_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_ecol_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_ecol_dump_")
+    pw = "dp-spark-columns"
+    try:
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        cust.repartition(4).write.parquet(
+            _os.path.join(stage, "customer.parquet")
+        )
+        src_n, src_sum = (
+            cust.agg(
+                F.count("*").alias("n"), F.sum("c_custkey").alias("s")
+            ).collect()[0]
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("customer"),
+                D.ENCRYPTION("ENCRYPTED_COLUMNS_ONLY"),
+                D.ENCRYPTION_COLUMNS("c_name,c_acctbal"),
+                D.ENCRYPTION_PASSWORD(pw),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"column-encrypted export failed: {st.error}")
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        tdir = _os.path.join(dump, "main", "customer")
+        parts = [
+            _os.path.join(tdir, n)
+            for n in _os.listdir(tdir)
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+        named_opaque = len(parts) > 0
+        for p in parts:
+            try:
+                duckdb.sql(f"SELECT c_name FROM '{p}'").fetchall()
+                named_opaque = False  # sealed column must not be keyless-readable
+            except Exception:
+                pass
+        try:
+            got_n, got_sum = duckdb.sql(
+                "SELECT COUNT(*), SUM(c_custkey) "
+                f"FROM read_parquet({parts!r})"
+            ).fetchone()
+            unnamed_plain = (int(got_n), int(got_sum)) == (
+                int(src_n),
+                int(src_sum),
+            )
+        except Exception:
+            unnamed_plain = False
+        try:
+            footer_plain = (
+                sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+                == int(src_n)
+            )
+        except Exception:
+            footer_plain = False
+
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.ENCRYPTION_PASSWORD(pw),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"column-encrypted import failed: {st.error}")
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "customer")
+            .withColumn("named_opaque", F.lit(named_opaque))
+            .withColumn("unnamed_plain", F.lit(unnamed_plain))
+            .withColumn("footer_plain", F.lit(footer_plain))
+            .orderBy("c_custkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_ENCRYPTED_COLUMNS_SQL = """
+SELECT *, TRUE AS named_opaque, TRUE AS unnamed_plain, TRUE AS footer_plain
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 def datapump_roundtrip_merge_pruned_ordered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

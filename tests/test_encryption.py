@@ -200,6 +200,134 @@ def test_unsupported_knobs_fail_loudly(spark, dirs):
     assert "parquet" in str(st.error)
 
 
+def test_encrypted_columns_only_roundtrip(spark, dirs):
+    """ENCRYPTED_COLUMNS_ONLY (r10 verdict ask #2): only the
+    ENCRYPTION_COLUMNS-named columns are sealed (pyarrow column_keys),
+    the footer stays plaintext, and keyless readers keep the unnamed
+    columns — the catalog-less analog of Oracle's DDL ENCRYPT markers
+    (reference directives.py:274-297)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+
+    stage, wh, dump = dirs
+    src = _seed(spark, stage)
+    st = _export(
+        spark, stage, dump,
+        [D.ENCRYPTION("ENCRYPTED_COLUMNS_ONLY"),
+         D.ENCRYPTION_COLUMNS("n_name"),
+         D.ENCRYPTION_PASSWORD(PW)],
+    )
+    assert st.job_state == "COMPLETED", st.error
+    tdir = os.path.join(dump, "main", "nation")
+    parts = [
+        os.path.join(tdir, n)
+        for n in os.listdir(tdir)
+        if n.startswith("part-") and n.endswith(".parquet")
+    ]
+    assert parts
+    for p in parts:
+        # plaintext footer: PAR1 magic, row counts probe-able keyless
+        assert open(p, "rb").read(4) == b"PAR1"
+        assert pq.ParquetFile(p).metadata.num_rows >= 0
+        # the sealed column must reject a keyless projection
+        with pytest.raises(Exception):
+            con.sql(f"SELECT n_name FROM '{p}'").fetchall()
+    # unnamed columns keyless-readable with correct values
+    got = con.sql(
+        f"SELECT COUNT(*), SUM(n_nationkey) FROM read_parquet({parts!r})"
+    ).fetchone()
+    assert got == (25, 300)
+    # manifest records which columns are sealed (public metadata)
+    meta = DumpSet(dump).read_manifest().tables["main.nation"]["encryption"]
+    assert meta["scope"] == "ENCRYPTED_COLUMNS_ONLY"
+    assert meta["columns"] == ["n_name"]
+    # import with the password restores the full plaintext
+    st = _import(spark, wh, dump, [D.ENCRYPTION_PASSWORD(PW)])
+    assert st.job_state == "COMPLETED", st.error
+    out = ParquetConnector(wh).read_table(spark, "main", "nation")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_footer_mode_matrix(spark, dirs):
+    """Scope × footer-mode matrix: ALL seals the footer (PARE magic,
+    keyless metadata probe fails), DATA_ONLY keeps a plaintext footer
+    but seals every column, ENCRYPTED_COLUMNS_ONLY keeps a plaintext
+    footer and seals only the named subset."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+
+    stage, wh, dump = dirs
+    _seed(spark, stage)
+    cases = [
+        ("ALL", [], b"PARE", False, False),
+        ("DATA_ONLY", [], b"PAR1", True, False),
+        (
+            "ENCRYPTED_COLUMNS_ONLY",
+            [D.ENCRYPTION_COLUMNS("n_name")],
+            b"PAR1",
+            True,
+            True,
+        ),
+    ]
+    for scope, extra, magic, footer_open, unnamed_open in cases:
+        sdump = os.path.join(dump, scope.lower())
+        st = _export(
+            spark, stage, sdump,
+            [D.ENCRYPTION(scope), D.ENCRYPTION_PASSWORD(PW), *extra],
+        )
+        assert st.job_state == "COMPLETED", (scope, st.error)
+        tdir = os.path.join(sdump, "main", "nation")
+        parts = [
+            os.path.join(tdir, n)
+            for n in os.listdir(tdir)
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+        for p in parts:
+            assert open(p, "rb").read(4) == magic, scope
+            if footer_open:
+                assert pq.ParquetFile(p).metadata.num_rows >= 0
+            else:
+                with pytest.raises(Exception):
+                    pq.ParquetFile(p)
+            if unnamed_open:
+                assert con.sql(
+                    f"SELECT n_nationkey FROM '{p}'"
+                ).fetchall() is not None
+            else:
+                with pytest.raises(Exception):
+                    con.sql(f"SELECT n_nationkey FROM '{p}'").fetchall()
+            # a sealed column never reads keyless under any scope
+            with pytest.raises(Exception):
+                con.sql(f"SELECT n_name FROM '{p}'").fetchall()
+
+
+def test_encryption_columns_negatives(spark, dirs):
+    stage, wh, dump = dirs
+    _seed(spark, stage)
+    # ENCRYPTION_COLUMNS only composes with ENCRYPTED_COLUMNS_ONLY
+    with pytest.raises((UsageError, Exception), match="only applies"):
+        _raise_or_error(
+            _export(spark, stage, dump,
+                    [D.ENCRYPTION("DATA_ONLY"),
+                     D.ENCRYPTION_COLUMNS("n_name"),
+                     D.ENCRYPTION_PASSWORD(PW)])
+        )
+    # unknown column names fail loudly at write time
+    with pytest.raises((UsageError, Exception), match="not in the export"):
+        _raise_or_error(
+            _export(spark, stage, dump,
+                    [D.ENCRYPTION("ENCRYPTED_COLUMNS_ONLY"),
+                     D.ENCRYPTION_COLUMNS("no_such_column"),
+                     D.ENCRYPTION_PASSWORD(PW)])
+        )
+
+
 def test_encryption_none_is_noop(spark, dirs):
     stage, wh, dump = dirs
     _seed(spark, stage)
