@@ -83,6 +83,7 @@ EXCLUDED = {
     "datapump_roundtrip_views_as_tables": "source-engine view materialization + the benched export/import lifecycle shape (datapump_roundtrip_supplier); the view body runs in DuckDB, not Spark",
     "datapump_roundtrip_reimport_skip": "one import + one deliberate no-op re-import — strictly less work than the benched datapump_roundtrip_merge",
     "image_decode_features": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched), smaller payloads",
+    "image_decode_features_png": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); adds per-row zlib inflate over <200-byte payloads",
     "fd_discovery_scan": "six independent 2-column distinct+groupBy scans — same shape as the benched table_profile/fk_candidate_scan family",
     "source_percentile_bands": "one source-partitioned NTILE window + a groupBy — strictly less work than the benched length_decile_bands",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
