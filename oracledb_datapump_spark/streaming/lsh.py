@@ -229,6 +229,93 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(p, ignore_errors=True)
 
 
+def streaming_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_dedup_incremental's pair contract with an index
+    COMPACTION between arrivals (r10 verdict ask #4): the stored band
+    index grows by one parquet append per micro-batch — file-count
+    hygiene at 100 TB demands periodic consolidation, and this gate
+    proves consolidation is INVISIBLE to the dedup results. Lifecycle:
+    drain terciles 0–1 (two micro-batches, each appending dozens of
+    small index files), run the real datapump COMPACT pass over the
+    index (DumpSet.compact — coalesce-to-target + atomic double-rename
+    swap + TABLE_COMPACTED event, the same machinery the
+    datapump_roundtrip_compact lifecycle gates), then land tercile 2
+    and drain again so the THIRD batch joins against the compacted
+    index. Hash equality with the batch oracle (identical to the
+    incremental contract, arrival batches intact across the restart)
+    plus the ``was_fragmented``/``compacted``/``compaction_logged``
+    sentinels is the invariance proof: the index survives maintenance
+    with zero pairs lost, invented, or re-attributed."""
+    src = tempfile.mkdtemp(prefix="dp_slshc_src_")
+    idx_root = tempfile.mkdtemp(prefix="dp_slshc_idxroot_")
+    pairs_dir = tempfile.mkdtemp(prefix="dp_slshc_pairs_")
+    ckpt = tempfile.mkdtemp(prefix="dp_slshc_ckpt_")
+    # the index lives as a table inside a dump-set layout so the real
+    # COMPACT pass (dumpset.py:206) can maintain it
+    index_dir = os.path.join(idx_root, "main", "band_index")
+    os.makedirs(index_dir)
+
+    def _index_files() -> list[str]:
+        return [
+            n
+            for n in os.listdir(index_dir)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        ]
+
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = d.agg(F.max("doc_id") + 1).collect()[0][0]
+        c1, c2 = n // 3, 2 * n // 3
+        spark.createDataFrame([], PAIR_SCHEMA).write.mode("overwrite").parquet(
+            pairs_dir
+        )
+        # phase 1: terciles 0 and 1 arrive and drain (batches 0, 1)
+        _land_single_parquet(
+            d.filter(F.col("doc_id") < c1),
+            os.path.join(src, "docs-0.parquet"),
+        )
+        _land_single_parquet(
+            d.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+            os.path.join(src, "docs-1.parquet"),
+        )
+        run_streaming_dedup(spark, sf_dir, src, index_dir, pairs_dir, ckpt)
+        # maintenance window: compact the band index with the datapump
+        # COMPACT pass (coalesce, never a shuffle; atomic swap)
+        from ..dumpset import DumpSet
+
+        files_before = len(_index_files())
+        ds = DumpSet(idx_root)
+        ds.compact(spark, target_file_bytes=1 << 40)
+        files_after = len(_index_files())
+        compaction_logged = any(
+            e["event"] == "TABLE_COMPACTED"
+            and e["table"] == "main.band_index"
+            for e in ds.read_events()
+        )
+        # the rewrite replaced every index file under new names; drop any
+        # cached listing so batch 2's fresh read lists the new layout
+        spark.catalog.refreshByPath(index_dir)
+        # phase 2: tercile 2 arrives; the checkpoint resumes numbering at
+        # batch 2 and its candidates join the COMPACTED index
+        _land_single_parquet(
+            d.filter(F.col("doc_id") >= c2),
+            os.path.join(src, "docs-2.parquet"),
+        )
+        run_streaming_dedup(spark, sf_dir, src, index_dir, pairs_dir, ckpt)
+        return (
+            spark.read.schema(PAIR_SCHEMA)
+            .parquet(pairs_dir)
+            .withColumn("was_fragmented", F.lit(files_before >= 2))
+            .withColumn("compacted", F.lit(files_after < files_before))
+            .withColumn("compaction_logged", F.lit(compaction_logged))
+            .orderBy("new_doc", "old_doc")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for p in (src, idx_root, pairs_dir, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _streaming_dedup_sql() -> str:
     base = DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
     return f"""
@@ -244,3 +331,10 @@ ORDER BY new_doc, old_doc
 
 
 STREAMING_DEDUP_INCREMENTAL_SQL = _streaming_dedup_sql()
+
+STREAMING_DEDUP_COMPACTED_SQL = _streaming_dedup_sql().replace(
+    "       CAST(CASE WHEN doc_b < n // 3 THEN 0",
+    "       TRUE AS was_fragmented, TRUE AS compacted,\n"
+    "       TRUE AS compaction_logged,\n"
+    "       CAST(CASE WHEN doc_b < n // 3 THEN 0",
+)
