@@ -85,6 +85,7 @@ EXCLUDED = {
     "image_decode_features": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched), smaller payloads",
     "image_decode_features_png": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); adds per-row zlib inflate over <200-byte payloads",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
+    "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",
     "fd_discovery_scan": "six independent 2-column distinct+groupBy scans — same shape as the benched table_profile/fk_candidate_scan family",
     "source_percentile_bands": "one source-partitioned NTILE window + a groupBy — strictly less work than the benched length_decile_bands",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",

@@ -211,6 +211,26 @@ def export_table(
 
             df = df.filter(F.col(inc_col) > F.lit(prev_watermark))
             write_mode = "append"
+        n_before_dedup = None
+        if plan.dedup_keep_best:
+            # DEDUP_KEEP_BEST: one row per key survives — greatest score,
+            # ties to the smallest tiebreak (directives.DedupKeepBest).
+            # Engine-side after the pushed-down scan, SAMPLE and the
+            # incremental watermark slice, before REMAP_DATA (the policy
+            # judges raw values; the remap rewrites the survivors). One
+            # shuffle on the key; the pre-dedup count is a column-pruned
+            # count-star so the recorded drop is attributable.
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            key, score, tie = plan.dedup_keep_best
+            n_before_dedup = df.count()
+            w = Window.partitionBy(key).orderBy(F.desc(score), F.asc(tie))
+            df = (
+                df.withColumn("__dkb_rk", F.row_number().over(w))
+                .filter(F.col("__dkb_rk") == 1)
+                .drop("__dkb_rk")
+            )
         if plan.remap_data:
             # REMAP_DATA rewrites are row-local projections applied after
             # the pushed-down read and before any layout shuffle — the
@@ -339,6 +359,21 @@ def export_table(
         }
         if enc_detail:
             detail["encryption"] = enc_detail
+        if plan.dedup_keep_best:
+            key, score, tie = plan.dedup_keep_best
+            rows_dropped = int(n_before_dedup - run_rows)
+            detail["dedup_keep_best"] = {
+                "key": key,
+                "score": score,
+                "tiebreak": tie,
+                "rows_dropped": rows_dropped,
+            }
+            dumpset.log_event(
+                "TABLE_EXPORT_DEDUPED",
+                table=plan.source_key,
+                key=key,
+                rows_dropped=rows_dropped,
+            )
         if plan.extra.get("source_type"):
             # VIEWS_AS_TABLES provenance: the dump holds materialized
             # rows; the importer treats it as an ordinary table

@@ -1026,6 +1026,136 @@ ORDER BY c_custkey
 """
 
 
+def datapump_roundtrip_dedup_export(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP_KEEP_BEST export lifecycle under the driver hash (r10
+    verdict ask #8 — the export-path composition of the repo's dedup
+    and datapump pillars). A staged ``orders`` copy plants one
+    duplicate per ``o_orderkey % 8 == 0`` key with o_totalprice + 1
+    (the planted row must WIN keep-best: greatest score per key,
+    ties to smallest tiebreak — directives.DedupKeepBest). EXPORT
+    with DEDUP_KEEP_BEST('o_orderkey:o_totalprice:o_orderdate'),
+    IMPORT back, and the oracle recomputes the survivor set
+    independently with the same window over the same staged relation.
+    Sentinels: ``rows_dropped_recorded`` — the manifest's
+    dedup_keep_best.rows_dropped equals the planted duplicate count
+    and the TABLE_EXPORT_DEDUPED event fired; ``dups_survive_without``
+    — the NEGATIVE proof: the same staged table exported WITHOUT the
+    directive keeps every duplicate (dump row count = staged count).
+    At 100 TB the directive costs one shuffle on the dedup key — the
+    policy runs inside the export instead of as a separate corpus
+    rewrite."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    stage = tempfile.mkdtemp(prefix="dp_dkb_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_dkb_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_dkb_dump_")
+    dump2 = tempfile.mkdtemp(prefix="dp_dkb_dump2_")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        dups = o.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+        staged = o.unionByName(dups)
+        n_staged = staged.count()
+        n_dups = n_staged - o.count()
+        staged.repartition(4).write.parquet(
+            _os.path.join(stage, "orders.parquet")
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.DEDUP_KEEP_BEST("o_orderkey:o_totalprice:o_orderdate"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"dedup export failed: {st.error}")
+        meta = DumpSet(dump).read_manifest().tables["main.orders"]
+        event_ok = any(
+            e["event"] == "TABLE_EXPORT_DEDUPED"
+            and e["table"] == "main.orders"
+            for e in DumpSet(dump).read_events()
+        )
+        rows_dropped_recorded = (
+            meta.get("dedup_keep_best", {}).get("rows_dropped") == n_dups
+            and event_ok
+        )
+        # negative proof: without the directive, every duplicate survives
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump2,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"control export failed: {st.error}")
+        dups_survive_without = (
+            spark.read.parquet(_os.path.join(dump2, "main", "orders")).count()
+            == n_staged
+        )
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"dedup import failed: {st.error}")
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn(
+                "rows_dropped_recorded", F.lit(bool(rows_dropped_recorded))
+            )
+            .withColumn(
+                "dups_survive_without", F.lit(bool(dups_survive_without))
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(dump2, ignore_errors=True)
+
+
+ROUNDTRIP_DEDUP_EXPORT_SQL = """
+WITH staged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 8 = 0
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY o_totalprice DESC, o_orderdate) AS rk
+  FROM staged
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority,
+       TRUE AS rows_dropped_recorded, TRUE AS dups_survive_without
+FROM r WHERE rk = 1
+ORDER BY o_orderkey
+"""
+
+
 def datapump_roundtrip_merge_pruned_ordered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -39,6 +39,8 @@ class TablePlan:
     merge_delete_col: str | None = None
     remap_data: list[tuple[str, str]] | None = None
     sample: tuple[int, str] | None = None  # (ppm, column), engine-side
+    # (key, score, tiebreak) keep-best export dedup, engine-side
+    dedup_keep_best: tuple[str, str, str] | None = None
     merge_prune: bool = False  # MERGE file-level zone-map pruning
     # import-only
     write_mode: str = "error"
@@ -133,6 +135,9 @@ def plan_export(
                     ),
                     sample=config.table_sample.get(
                         table, config.table_sample.get("*")
+                    ),
+                    dedup_keep_best=config.table_dedup_keep_best.get(
+                        table, config.table_dedup_keep_best.get("*")
                     ),
                     extra={"dump_format": config.dump_format.lower()},
                 )
