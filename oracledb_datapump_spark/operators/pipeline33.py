@@ -160,6 +160,14 @@ def hilbert_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_rows"),
             )
         )
+        # Measured (r11, same-JVM A/B at sf0.1, 2 rounds each): leaving
+        # zones LAZY wins. localCheckpoint(eager) on zones = 14.2s vs
+        # 13.2s; collapsing the three workload aggregates into one pass
+        # + stack-unpivot = 13.8s vs 12.8s. The three branches re-derive
+        # the zones groupBy from the checkpointed ranked table, but they
+        # run as independent parallel stages that saturate the cores;
+        # both "economies" serialize that. The wall time is the two
+        # global range sorts — the honest re-cluster price.
         date_hit = ~((F.col("dhi") < date_lo) | (F.col("dlo") > date_hi))
         part_hit = ~(
             (F.col("phi") < F.lit(LAYOUT_PART_LO))
