@@ -86,6 +86,11 @@ EXCLUDED = {
     "image_decode_features_png": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); adds per-row zlib inflate over <200-byte payloads",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
     "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",
+    "datapump_roundtrip_policy_stack": "same staged-export lifecycle as datapump_roundtrip_dedup_export (EXCLUDED); the composed SAMPLE/DEDUP/REMAP stack adds row-local filters to the same plan",
+    "markov_top1_accuracy": "same user-keyed lag-window dominant shape as event_transition_gaps (benched); the argmax/accuracy stage runs over a <=|types|^2 aggregate",
+    "bigram_lift_topk": "same tokenize+bigram-count dominant shape as bigram_surprise (benched); adds only marginal joins over the Zipf-bounded aggregate",
+    "sq8_quant_error": "same posexplode + per-dim aggregate shape as pq_subspace_error (benched), with row-local integer arithmetic instead of codebook joins",
+    "repurchase_hazard_table": "same customer-keyed lag-window shape as repeat_purchase_gaps (benched); the hazard window runs over a <=|weeks| aggregate",
     "fd_discovery_scan": "six independent 2-column distinct+groupBy scans — same shape as the benched table_profile/fk_candidate_scan family",
     "source_percentile_bands": "one source-partitioned NTILE window + a groupBy — strictly less work than the benched length_decile_bands",
     "rrf_fusion_topk": "builds BOTH benched inverted indexes (tfidf_search_topk + bm25_search_topk) then fuses two tiny topk lists — the fusion layer adds a |q|x2k union+window",
@@ -421,6 +426,8 @@ HEADLINE = [
     # two global range sorts + 16-step codegen'd Hilbert transform —
     # the space-filling-curve re-cluster price nothing else benches
     "hilbert_skip_compare",
+    "chi2_independence_matrix",
+    "exact_percentile_two_pass",
     # three-micro-batch ingestion dedup: per-batch band join against a
     # growing parquet index + candidate-verify — the streaming LSH shape
     "streaming_dedup_incremental",

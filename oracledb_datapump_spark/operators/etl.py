@@ -1132,6 +1132,139 @@ def datapump_roundtrip_dedup_export(
         shutil.rmtree(dump2, ignore_errors=True)
 
 
+POLICY_STACK_SAMPLE_PPM = 700_000
+
+
+def datapump_roundtrip_policy_stack(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The export POLICY STACK composed under one hash: SAMPLE →
+    DEDUP_KEEP_BEST → REMAP_DATA in the engine's documented order
+    (engine.export_table applies the deterministic sample first, the
+    keep-best window on the sampled survivors, and the REMAP rewrite
+    on the deduped rows — the policy judges raw values, the remap
+    rewrites what ships). The staged ``orders`` plants one winning
+    duplicate per ``o_orderkey % 8 == 0`` key; the md5-hash64 sample
+    keeps/drops a key's original and duplicate TOGETHER (both hash the
+    same o_orderkey), so the dedup still faces every planted pair that
+    survives sampling. The oracle recomputes the full composition in
+    DuckDB — same hash predicate, same window, same hash_mask twin —
+    so the gate pins the ORDER of the stack, not just each directive
+    alone (a remap-before-dedup engine would score masked values; a
+    dedup-before-sample engine would record a different drop count).
+    Sentinel: ``rows_dropped_recorded`` — manifest drop equals the
+    independently recomputed sampled-duplicate count and the
+    TABLE_EXPORT_DEDUPED event fired."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+    from ..functions.text import hash64
+
+    stage = tempfile.mkdtemp(prefix="dp_pstack_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_pstack_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_pstack_dump_")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        dups = o.filter(F.col("o_orderkey") % 8 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        )
+        staged = o.unionByName(dups)
+        staged.repartition(4).write.parquet(
+            _os.path.join(stage, "orders.parquet")
+        )
+        sampled = staged.filter(
+            hash64(F.col("o_orderkey").cast("string")) % 1_000_000
+            < POLICY_STACK_SAMPLE_PPM
+        )
+        expected_drop = (
+            sampled.count() - sampled.select("o_orderkey").distinct().count()
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.SAMPLE(f"{POLICY_STACK_SAMPLE_PPM}:o_orderkey"),
+                D.DEDUP_KEEP_BEST("o_orderkey:o_totalprice:o_orderdate"),
+                D.REMAP_DATA("o_orderpriority:hash_mask"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"policy-stack export failed: {st.error}")
+        meta = DumpSet(dump).read_manifest().tables["main.orders"]
+        event_ok = any(
+            e["event"] == "TABLE_EXPORT_DEDUPED"
+            and e["table"] == "main.orders"
+            for e in DumpSet(dump).read_events()
+        )
+        rows_dropped_recorded = (
+            meta.get("dedup_keep_best", {}).get("rows_dropped")
+            == expected_drop
+            and event_ok
+        )
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"policy-stack import failed: {st.error}")
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn(
+                "rows_dropped_recorded", F.lit(bool(rows_dropped_recorded))
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+def _roundtrip_policy_stack_sql() -> str:
+    from ..functions.remap_data import _sql_hash_mask
+    from ..functions.text import sql_hash64
+
+    h = sql_hash64("CAST(o_orderkey AS VARCHAR)")
+    return f"""
+WITH staged AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 8 = 0
+),
+sampled AS (
+  SELECT * FROM staged
+  WHERE {h} % 1000000 < {POLICY_STACK_SAMPLE_PPM}
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY o_orderkey
+           ORDER BY o_totalprice DESC, o_orderdate) AS rk
+  FROM sampled
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       {_sql_hash_mask("o_orderpriority")} AS o_orderpriority,
+       TRUE AS rows_dropped_recorded
+FROM r WHERE rk = 1
+ORDER BY o_orderkey
+"""
+
+
+ROUNDTRIP_POLICY_STACK_SQL = _roundtrip_policy_stack_sql()
+
+
 ROUNDTRIP_DEDUP_EXPORT_SQL = """
 WITH staged AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
