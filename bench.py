@@ -84,6 +84,7 @@ EXCLUDED = {
     "datapump_roundtrip_reimport_skip": "one import + one deliberate no-op re-import — strictly less work than the benched datapump_roundtrip_merge",
     "image_decode_features": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched), smaller payloads",
     "image_decode_features_png": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); adds per-row zlib inflate over <200-byte payloads",
+    "image_decode_features_jpeg": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); the pure-Python entropy decode is per-row bounded (<=12 DC-only blocks/doc) but slower per byte than the benched WAV path",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
     "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",
     "datapump_roundtrip_policy_stack": "same staged-export lifecycle as datapump_roundtrip_dedup_export (EXCLUDED); the composed SAMPLE/DEDUP/REMAP stack adds row-local filters to the same plan",
