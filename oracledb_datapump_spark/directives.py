@@ -114,6 +114,11 @@ class PlanConfig:
     estimate: str | None = None
     estimate_only: bool = False
 
+    # integrity (Oracle DP 21c CHECKSUM family)
+    checksum: bool = False
+    checksum_algorithm: str = "SHA256"
+    verify_checksum: bool = False
+
     # snapshot
     flashback_scn: int | None = None
     flashback_time: datetime | None = None
@@ -686,6 +691,45 @@ class EncryptionColumns(Parameter, name="ENCRYPTION_COLUMNS"):
 
     def apply(self, config: PlanConfig) -> None:
         config.encryption["columns"] = self.value
+
+
+class Checksum(Parameter, name="CHECKSUM"):
+    """Oracle Data Pump 21c CHECKSUM parameter (public; the reference
+    predates it and wraps nothing for it — beyond-parity surface like
+    VIEWS_AS_TABLES): record a per-dump-file digest in the manifest at
+    export so transport corruption is detectable. Digests are computed
+    executor-side (DumpSet.file_digests — one task per file), so the
+    integrity pass scales with the dump, not the driver."""
+
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.checksum = self.value
+
+
+class ChecksumAlgorithm(_EnumParameter, name="CHECKSUM_ALGORITHM"):
+    """CRC32 / SHA256 / SHA384 / SHA512 (Oracle's 21c value set).
+    Setting an algorithm implies CHECKSUM=YES, per Oracle semantics."""
+
+    VALUES = ("CRC32", "SHA256", "SHA384", "SHA512")
+
+    def apply(self, config: PlanConfig) -> None:
+        config.checksum = True
+        config.checksum_algorithm = self.value
+
+
+class VerifyChecksum(Parameter, name="VERIFY_CHECKSUM"):
+    """Import-side twin: recompute every data file's digest before any
+    row is read and refuse the import on mismatch (or when the dump
+    carries no recorded checksums — silently skipping verification the
+    caller asked for would defeat the parameter)."""
+
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.verify_checksum = self.value
 
 
 class Estimate(_EnumParameter, name="ESTIMATE"):

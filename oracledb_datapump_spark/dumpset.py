@@ -179,6 +179,68 @@ class DumpSet:
             spark_schema_json=schema_json,
         )
 
+    # -- checksums (Oracle DP 21c CHECKSUM/VERIFY_CHECKSUM analog) -----------
+
+    @staticmethod
+    def file_digests(spark, root: str, algorithm: str) -> dict[str, str]:
+        """{relative path: hex digest} for every data file under
+        ``root`` — computed EXECUTOR-SIDE (file-list ``mapInPandas``,
+        one task per file, streamed 1 MiB chunks) so a 100 TB dump's
+        digest pass parallelizes like the export itself instead of
+        serializing through the driver. CRC32 uses zlib; SHA* use
+        hashlib. Hidden/underscore files (Spark markers) are excluded —
+        they are engine artifacts, not dump data."""
+        import pandas as pd
+
+        files = sorted(
+            os.path.relpath(p, root)
+            for p in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+            and not os.path.basename(p).startswith(("_", "."))
+        )
+        if not files:
+            return {}
+        fdf = spark.createDataFrame(
+            [(f,) for f in files], "rel string"
+        ).repartition(min(len(files), 256), "rel")
+        alg = algorithm.upper()
+
+        def _digest(batches):
+            import hashlib
+            import zlib
+
+            for pdf in batches:
+                out = []
+                for rel in pdf["rel"]:
+                    p = os.path.join(root, rel)
+                    if alg == "CRC32":
+                        c = 0
+                        with open(p, "rb") as fh:
+                            while True:
+                                chunk = fh.read(1 << 20)
+                                if not chunk:
+                                    break
+                                c = zlib.crc32(chunk, c)
+                        d = f"{c & 0xFFFFFFFF:08x}"
+                    else:
+                        h = hashlib.new(alg.lower())
+                        with open(p, "rb") as fh:
+                            while True:
+                                chunk = fh.read(1 << 20)
+                                if not chunk:
+                                    break
+                                h.update(chunk)
+                        d = h.hexdigest()
+                    out.append((rel, d))
+                yield pd.DataFrame(out, columns=["rel", "digest"])
+
+        return {
+            r["rel"]: r["digest"]
+            for r in fdf.mapInPandas(
+                _digest, "rel string, digest string"
+            ).collect()
+        }
+
     # -- compaction (OPTIMIZE-style small-file consolidation) ----------------
     DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 

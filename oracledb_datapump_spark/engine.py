@@ -419,6 +419,19 @@ def export_table(
             )[0]
             detail["incremental_column"] = inc_col
             detail["watermark"] = wm_row[0]
+        cks_alg = plan.extra.get("checksum_algorithm")
+        if cks_alg:
+            # CHECKSUM (Oracle DP 21c): per-file digests, executor-side
+            # fan-out — recorded over the WHOLE table dir so incremental
+            # appends refresh the full integrity map
+            digests = dumpset.file_digests(spark, out_dir, cks_alg)
+            detail["checksums"] = {"algorithm": cks_alg, "files": digests}
+            dumpset.log_event(
+                "TABLE_CHECKSUM_RECORDED",
+                table=plan.source_key,
+                algorithm=cks_alg,
+                n_files=len(digests),
+            )
         dumpset.log_event(
             "TABLE_EXPORT_DONE",
             table=plan.source_key,
@@ -458,6 +471,44 @@ def import_table(
             dumpset.log_event("TABLE_IMPORT_SKIP_EXISTS", table=plan.target_key)
             dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=0)
             return TableResult(plan, ok=True, rows=0, skipped=True)
+        if config.verify_checksum:
+            # VERIFY_CHECKSUM (Oracle DP 21c): recompute every data
+            # file's digest BEFORE any row is read; a dump without
+            # recorded checksums fails too — silently skipping the
+            # verification the caller asked for would defeat it
+            from .exceptions import UsageError
+
+            recorded = (
+                dumpset.read_manifest()
+                .tables.get(plan.source_key, {})
+                .get("checksums")
+                if dumpset.exists()
+                else None
+            )
+            if not recorded:
+                raise UsageError(
+                    f"VERIFY_CHECKSUM: dump for {plan.source_key} carries "
+                    "no recorded checksums (export with CHECKSUM)"
+                )
+            actual = dumpset.file_digests(
+                spark, src_dir, recorded["algorithm"]
+            )
+            bad = sorted(
+                set(recorded["files"].items()) ^ set(actual.items())
+            )
+            if bad:
+                names = sorted({rel for rel, _ in bad})
+                raise UsageError(
+                    f"VERIFY_CHECKSUM: dump for {plan.source_key} failed "
+                    f"{recorded['algorithm']} verification on "
+                    f"{len(names)} file(s): {names[:5]}"
+                )
+            dumpset.log_event(
+                "TABLE_CHECKSUM_VERIFIED",
+                table=plan.source_key,
+                algorithm=recorded["algorithm"],
+                n_files=len(actual),
+            )
         fmt = _sniff_dump_format(src_dir)
         # PARTITION_OPTIONS=DEPARTITION: one target table per hive
         # partition directory (reference directives.py:346-349); MERGE/

@@ -200,6 +200,11 @@ class Job:
             elif enc:
                 for p in plans:
                     p.extra["encryption_password"] = enc["password"]
+        # CHECKSUM (Oracle DP 21c): thread the algorithm into each
+        # export plan; the engine records per-file digests post-write
+        if config.checksum and self.operation == Operation.EXPORT:
+            for p in plans:
+                p.extra["checksum_algorithm"] = config.checksum_algorithm
         # CDC-style incremental export (INCREMENTAL_COLUMN directive):
         # thread each table's recorded watermark from the prior manifest
         # into its plan so the engine exports only new rows, appended.

@@ -1132,6 +1132,116 @@ def datapump_roundtrip_dedup_export(
         shutil.rmtree(dump2, ignore_errors=True)
 
 
+def datapump_roundtrip_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECKSUM / VERIFY_CHECKSUM lifecycle under the driver hash
+    (Oracle Data Pump 21c's public integrity parameters — the reference
+    predates them; beyond-parity surface like VIEWS_AS_TABLES). EXPORT
+    ``orders`` with CHECKSUM(SHA256) — per-file digests computed
+    executor-side (DumpSet.file_digests) and recorded in the manifest —
+    then: (a) a clean VERIFY_CHECKSUM import succeeds; (b) after one
+    byte of one part file is flipped mid-file, the VERIFY import
+    REFUSES with the failing file named (``tamper_detected``); (c) the
+    byte restored, the verified import completes and hash equality
+    proves the data intact. At 100 TB the digest pass fans out one
+    task per dump file on both sides — integrity scales with the dump,
+    never through the driver."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    stage = tempfile.mkdtemp(prefix="dp_cks_stage_")
+    wh = tempfile.mkdtemp(prefix="dp_cks_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_cks_dump_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        orders.repartition(4).write.parquet(
+            _os.path.join(stage, "orders.parquet")
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.CHECKSUM(True),
+                D.CHECKSUM_ALGORITHM("SHA256"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"checksum export failed: {st.error}")
+        ds = DumpSet(dump)
+        meta = ds.read_manifest().tables["main.orders"].get("checksums", {})
+        checksums_recorded = (
+            meta.get("algorithm") == "SHA256"
+            and len(meta.get("files", {})) >= 2
+            and any(
+                e["event"] == "TABLE_CHECKSUM_RECORDED"
+                for e in ds.read_events()
+            )
+        )
+        # tamper one byte mid-file → the verified import must refuse
+        tdir = _os.path.join(dump, "main", "orders")
+        part = sorted(
+            p for p in _os.listdir(tdir) if p.startswith("part-")
+        )[0]
+        p = _os.path.join(tdir, part)
+        original = open(p, "rb").read()
+        flipped = bytearray(original)
+        flipped[len(flipped) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(flipped))
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.VERIFY_CHECKSUM(True),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        tamper_detected = st.job_state != "COMPLETED" and (
+            "failed" in str(st.error) and "verification" in str(st.error)
+        )
+        # restore and verify clean
+        open(p, "wb").write(original)
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.VERIFY_CHECKSUM(True),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"verified import failed: {st.error}")
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn(
+                "checksums_recorded", F.lit(bool(checksums_recorded))
+            )
+            .withColumn("tamper_detected", F.lit(bool(tamper_detected)))
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ROUNDTRIP_CHECKSUM_SQL = """
+SELECT *, TRUE AS checksums_recorded, TRUE AS tamper_detected
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 POLICY_STACK_SAMPLE_PPM = 700_000
 
 
