@@ -313,6 +313,255 @@ class ParquetConnector:
         return []  # parquet files carry no constraints
 
 
+class SqliteConnector:
+    """SQLite-file-backed connector (stdlib ``sqlite3`` — no JDBC jar
+    needed), the second live-RDBMS path beside DuckDB. Unlike the
+    DuckDB test connector, the READ side is genuinely distributed: the
+    driver probes MIN/MAX(rowid), splits the key space into
+    ``parallel`` ranges, and each executor task opens the database file
+    READ-ONLY and scans only its `rowid` slice — the exact
+    partitionColumn/lowerBound/upperBound pattern the production
+    JdbcConnector uses, implemented against a real embedded engine this
+    environment can run. (SQLite's 'main' IS its literal schema name,
+    so the schema-qualified contract maps natively.)
+
+    The WRITE side serializes through the driver (SQLite is a
+    single-writer engine); like the DuckDB connector it is a test/edge
+    substrate and says so — the 100 TB sink is parquet dump sets or
+    JDBC. Type mapping: SQLite columns are dynamically typed, so writes
+    DECLARE types from the Spark schema (INTEGER/REAL/TEXT/BLOB, with
+    timestamps declared TIMESTAMP and stored as ISO-microsecond TEXT)
+    and reads map declared types back (TIMESTAMP → datetime64[us]) —
+    the gated round-trip pins that the mapping is lossless end to end.
+    """
+
+    _TS_FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self.path = path
+        self._con = sqlite3.connect(path, check_same_thread=False)
+        import threading
+
+        # RLock: write_table introspects the catalog (execute) while
+        # already holding the lock — a plain Lock self-deadlocks there
+        self._write_lock = threading.RLock()
+
+    def execute(self, sql: str, params: Any = None):
+        with self._write_lock:
+            return (
+                self._con.execute(sql, params)
+                if params
+                else self._con.execute(sql)
+            )
+
+    # -- catalog ---------------------------------------------------------
+    def list_schemas(self) -> list[str]:
+        rows = self.execute("PRAGMA database_list").fetchall()
+        return sorted(r[1] for r in rows if r[1] not in SYSTEM_SCHEMAS)
+
+    def list_tables(self, schema: str) -> list[str]:
+        rows = self.execute(
+            f"SELECT name FROM {quote_ident(schema)}.sqlite_master "
+            "WHERE type = 'table' AND name NOT LIKE 'sqlite_%' ORDER BY 1"
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def list_views(self, schema: str) -> list[str]:
+        rows = self.execute(
+            f"SELECT name FROM {quote_ident(schema)}.sqlite_master "
+            "WHERE type = 'view' ORDER BY 1"
+        ).fetchall()
+        return [r[0] for r in rows]
+
+    def table_exists(self, schema: str, table: str) -> bool:
+        return table in self.list_tables(schema)
+
+    def ensure_schema(self, schema: str) -> None:
+        if schema not in self.list_schemas():
+            raise UsageError(
+                f"SQLite cannot create schema {schema!r}: attach a "
+                "database file as that schema first (ATTACH ... AS)"
+            )
+
+    def _declared_types(self, schema: str, table: str) -> list[tuple[str, str]]:
+        rows = self.execute(
+            f"PRAGMA {quote_ident(schema)}.table_info({quote_ident(table)})"
+        ).fetchall()
+        return [(r[1], (r[2] or "").upper()) for r in rows]
+
+    # -- I/O --------------------------------------------------------------
+    def read_table(
+        self,
+        spark: SparkSession,
+        schema: str,
+        table: str,
+        *,
+        as_of: str | None = None,
+        parallel: int = 1,
+        predicate: str | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        import pandas as pd
+
+        info = self._declared_types(schema, table)
+        if columns:
+            info = [ct for ct in info if ct[0] in set(columns)]
+        col_sql = ", ".join(quote_ident(c) for c, _ in info)
+        fq = f"{quote_ident(schema)}.{quote_ident(table)}"
+        lohi = self.execute(
+            f"SELECT MIN(rowid), MAX(rowid) FROM {fq}"
+        ).fetchone()
+        # Spark-side schema from the DECLARED types — every partition
+        # must agree on it regardless of which rows it sees
+        def spark_type(decl: str) -> str:
+            if "INT" in decl:
+                return "long"
+            if decl in ("REAL", "FLOAT", "DOUBLE") or "REAL" in decl:
+                return "double"
+            if "TIMESTAMP" in decl or "DATE" in decl:
+                return "timestamp_ntz"
+            if "BLOB" in decl:
+                return "binary"
+            return "string"
+
+        schema_ddl = ", ".join(
+            f"{c} {spark_type(t)}" for c, t in info
+        )
+        if lohi[0] is None:  # empty table
+            return spark.createDataFrame([], schema_ddl)
+        lo, hi = int(lohi[0]), int(lohi[1])
+        n = max(1, min(parallel, hi - lo + 1))
+        span = (hi - lo + 1 + n - 1) // n
+        ranges = [
+            (lo + i * span - 1, min(lo + (i + 1) * span - 1, hi))
+            for i in range(n)
+        ]  # (exclusive_lo, inclusive_hi)
+        rdf = spark.createDataFrame(ranges, "xlo long, ihi long").repartition(
+            n, "xlo"
+        )
+        path, ts_fmt = self.path, self._TS_FMT
+        ts_cols = [c for c, t in info if "TIMESTAMP" in t or "DATE" in t]
+        pred_sql = f" AND ({predicate})" if predicate else ""
+
+        def scan(batches):
+            import sqlite3
+
+            con = sqlite3.connect(
+                f"file:{path}?mode=ro", uri=True, check_same_thread=False
+            )
+            try:
+                for pdf in batches:
+                    for xlo, ihi in zip(pdf["xlo"], pdf["ihi"]):
+                        q = (
+                            f"SELECT {col_sql} FROM {fq} WHERE rowid > "
+                            f"{int(xlo)} AND rowid <= {int(ihi)}{pred_sql}"
+                        )
+                        out = pd.read_sql_query(q, con)
+                        for c in ts_cols:
+                            out[c] = pd.to_datetime(
+                                out[c], format=ts_fmt
+                            ).astype("datetime64[us]")
+                        yield out
+            finally:
+                con.close()
+
+        return rdf.mapInPandas(scan, schema_ddl)
+
+    def write_table(
+        self,
+        df: DataFrame,
+        schema: str,
+        table: str,
+        *,
+        mode: str = "error",
+        truncate: bool = False,
+        options: dict[str, str] | None = None,
+    ) -> None:
+        fq = f"{quote_ident(schema)}.{quote_ident(table)}"
+        exists = self.table_exists(schema, table)
+        if mode == "ignore" and exists:
+            return
+        if mode == "error" and exists:
+            raise FileError(f"Table exists: {schema}.{table}")
+
+        def decl(dt: str) -> str:
+            if dt in ("bigint", "int", "smallint", "tinyint", "boolean"):
+                return "INTEGER"
+            if dt in ("double", "float") or dt.startswith("decimal"):
+                return "REAL"
+            if dt.startswith("timestamp") or dt == "date":
+                return "TIMESTAMP"
+            if dt == "binary":
+                return "BLOB"
+            return "TEXT"
+
+        cols = [(c, decl(t)) for c, t in df.dtypes]
+        ts_cols = {c for c, d in cols if d == "TIMESTAMP"}
+        rows = []
+        for r in df.collect():  # driver-side: test/edge substrate only
+            vals = []
+            for (c, d), v in zip(cols, r):
+                if v is not None and c in ts_cols:
+                    v = v.strftime(self._TS_FMT)
+                vals.append(v)
+            rows.append(tuple(vals))
+        ddl_cols = ", ".join(f"{quote_ident(c)} {d}" for c, d in cols)
+        ph = ", ".join("?" for _ in cols)
+        with self._write_lock:
+            cur = self._con.cursor()
+            if exists and mode == "overwrite" and not truncate:
+                cur.execute(f"DROP TABLE {fq}")
+                exists = False
+            if exists and mode == "overwrite" and truncate:
+                cur.execute(f"DELETE FROM {fq}")
+            if not exists:
+                cur.execute(f"CREATE TABLE {fq} ({ddl_cols})")
+            elif mode == "append":
+                target = {c for c, _ in self._declared_types(schema, table)}
+                if {c for c, _ in cols} != target:
+                    raise FileError(
+                        f"Schema drift writing {schema}.{table}: incoming "
+                        f"{sorted(c for c, _ in cols)} != target "
+                        f"{sorted(target)}"
+                    )
+            names = ", ".join(quote_ident(c) for c, _ in cols)
+            cur.executemany(
+                f"INSERT INTO {fq} ({names}) VALUES ({ph})", rows
+            )
+            self._con.commit()
+
+    def drop_table(self, schema: str, table: str) -> None:
+        with self._write_lock:
+            self._con.execute(
+                f"DROP TABLE IF EXISTS "
+                f"{quote_ident(schema)}.{quote_ident(table)}"
+            )
+            self._con.commit()
+
+    def snapshot_marker(self) -> str | None:
+        from .util import utc_now
+
+        return "TS(" + utc_now().isoformat() + ")"
+
+    def schema_version(self, schema: str) -> str | None:
+        return None
+
+    def tablespaces(self, schema: str) -> list[str]:
+        return []
+
+    def foreign_keys(self, schema: str) -> list[tuple[str, str]]:
+        out = []
+        for t in self.list_tables(schema):
+            for r in self.execute(
+                f"PRAGMA {quote_ident(schema)}.foreign_key_list"
+                f"({quote_ident(t)})"
+            ).fetchall():
+                out.append((t, r[2]))
+        return out
+
+
 class DuckDbConnector:
     """DuckDB-file-backed connector — the test stand-in for a real RDBMS
     (BASELINE.json: "t2 duckdb-oracle").
@@ -787,11 +1036,16 @@ class JdbcConnector:
 def resolve_connector(connection: object) -> Connector:
     """Build a connector from a URL string, dict, or ready object
     (reference database.py:69-85 accepts str | dict | Connection)."""
-    if isinstance(connection, (ParquetConnector, DuckDbConnector, JdbcConnector)):
+    if isinstance(
+        connection,
+        (ParquetConnector, DuckDbConnector, SqliteConnector, JdbcConnector),
+    ):
         return connection
     if isinstance(connection, str):
         if connection.startswith("duckdb://"):
             return DuckDbConnector(connection[len("duckdb://") :] or ":memory:")
+        if connection.startswith("sqlite://"):
+            return SqliteConnector(connection[len("sqlite://") :])
         if connection.startswith("parquet://"):
             return ParquetConnector(connection[len("parquet://") :])
         for scheme in ("orc", "json", "csv"):

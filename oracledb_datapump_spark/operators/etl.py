@@ -1132,6 +1132,82 @@ def datapump_roundtrip_dedup_export(
         shutil.rmtree(dump2, ignore_errors=True)
 
 
+def datapump_roundtrip_sqlite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SQLite source lifecycle under the driver hash — the second live
+    embedded-RDBMS path beside DuckDB (catalog.SqliteConnector, stdlib
+    ``sqlite3``), whose READ side is genuinely distributed: the driver
+    probes MIN/MAX(rowid) and every executor task opens the database
+    file read-only and scans only its rowid slice — the JdbcConnector's
+    partitionColumn pattern running for real in this environment
+    (reference deployment seam: reference database.py:40-85). Lifecycle:
+    seed SQLite from the fixture (typed DDL declared from the Spark
+    schema, timestamps as ISO text), EXPORT with PARALLEL(4), IMPORT
+    into a parquet warehouse, read back. Sentinels: ``partitioned_read``
+    (a parallel=4 connector read really produces 4 partitions) and
+    ``typed_roundtrip`` (the timestamp column comes back as a timestamp,
+    not text). Hash equality pins the full type mapping
+    Spark→SQLite→Spark as lossless."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import SqliteConnector
+
+    wh = tempfile.mkdtemp(prefix="dp_sq_wh_")
+    dump = tempfile.mkdtemp(prefix="dp_sq_dump_")
+    dbdir = tempfile.mkdtemp(prefix="dp_sq_db_")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        con = SqliteConnector(_os.path.join(dbdir, "src.db"))
+        con.write_table(orders, "main", "orders", mode="error")
+        probe = con.read_table(spark, "main", "orders", parallel=4)
+        partitioned_read = probe.rdd.getNumPartitions() == 4
+        typed_roundtrip = dict(probe.dtypes)["o_orderdate"].startswith(
+            "timestamp"
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.PARALLEL(4),
+            ],
+        ).run(wait=True, connection=con, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"sqlite export failed: {st.error}")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"sqlite import failed: {st.error}")
+        return (
+            ParquetConnector(wh)
+            .read_table(spark, "main", "orders")
+            .withColumn("partitioned_read", F.lit(bool(partitioned_read)))
+            .withColumn("typed_roundtrip", F.lit(bool(typed_roundtrip)))
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(dbdir, ignore_errors=True)
+
+
+ROUNDTRIP_SQLITE_SQL = """
+SELECT *, TRUE AS partitioned_read, TRUE AS typed_roundtrip
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
 def datapump_roundtrip_checksum(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
