@@ -43,6 +43,16 @@ def exact_percentile_two_pass(
         .cast("long")
         .alias("v"),
     )
+    return order_stats_two_pass(spark, l, PCTS)
+
+
+def order_stats_two_pass(
+    spark: SparkSession, l: DataFrame, pcts=PCTS
+) -> DataFrame:
+    """Core refinement over any (grp string, v long) frame — factored
+    out so degenerate distributions (constant groups, singletons, heavy
+    ties, one-bucket skew) are property-testable without the fixture
+    (tests/test_two_pass_percentile.py)."""
     # pass 1: per-group envelope
     env = {
         r["grp"]: (r["lo"], r["hi"], r["n"])
@@ -77,7 +87,7 @@ def exact_percentile_two_pass(
     # target rank and the residual offset within that bucket
     targets = []  # (grp, pct, n, bucket, offset_in_bucket)
     for g, (lo, hi, n) in env.items():
-        for pct in PCTS:
+        for pct in pcts:
             rank = max(1, (n * pct + 99) // 100)  # ceil, 1-based
             seen = 0
             for b in range(N_BUCKETS):
