@@ -395,6 +395,30 @@ class DumpSet:
                         kept_version=latest,
                         dropped_versions=latest - 1,
                     )
+            # Checksum refresh (same failure class as the snapshot-
+            # history rewrite above): the compaction replaced every part
+            # file, so recorded CHECKSUM digests now describe deleted
+            # files and VERIFY_CHECKSUM would refuse a perfectly healthy
+            # dump. Recompute over the new layout with the recorded
+            # algorithm and log the refresh.
+            if self.exists():
+                meta = self.read_manifest()
+                tmeta = meta.tables.get(f"{schema}.{table}")
+                cks = (tmeta or {}).get("checksums")
+                if cks:
+                    tmeta["checksums"] = {
+                        "algorithm": cks["algorithm"],
+                        "files": self.file_digests(
+                            spark, d, cks["algorithm"]
+                        ),
+                    }
+                    self.write_manifest(meta)
+                    self.log_event(
+                        "TABLE_CHECKSUM_REFRESHED",
+                        table=f"{schema}.{table}",
+                        algorithm=cks["algorithm"],
+                        n_files=len(tmeta["checksums"]["files"]),
+                    )
             self.log_event(
                 "TABLE_COMPACTED",
                 table=f"{schema}.{table}",

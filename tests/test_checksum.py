@@ -116,3 +116,43 @@ def test_incremental_append_refreshes_digest_map(spark, dirs):
     assert n2 > n1  # the append's new files entered the integrity map
     st = _import(spark, wh, dump, [D.VERIFY_CHECKSUM(True)])
     assert st.job_state == "COMPLETED", st.error
+
+
+def test_encryption_checksum_composition(spark, dirs):
+    """CHECKSUM over an encrypted dump digests the ciphertext files;
+    the verified import decrypts after integrity passes."""
+    stage, wh, dump = dirs
+    src = _seed(spark, stage)
+    st = _export(spark, stage, dump,
+                 [D.CHECKSUM(True), D.ENCRYPTION("DATA_ONLY"),
+                  D.ENCRYPTION_PASSWORD("pw")])
+    assert st.job_state == "COMPLETED", st.error
+    meta = DumpSet(dump).read_manifest().tables["main.nation"]
+    assert meta["checksums"]["files"] and meta["encryption"]
+    st = _import(spark, wh, dump,
+                 [D.VERIFY_CHECKSUM(True), D.ENCRYPTION_PASSWORD("pw")])
+    assert st.job_state == "COMPLETED", st.error
+    out = ParquetConnector(wh).read_table(spark, "main", "nation")
+    assert sorted(r.n_name for r in out.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+
+
+def test_compaction_refreshes_checksums(spark, dirs):
+    """compact() replaces every part file — the digest map must follow
+    or VERIFY_CHECKSUM refuses a healthy dump (the snapshot-history
+    rewrite failure class)."""
+    stage, wh, dump = dirs
+    _seed(spark, stage, parts=6)
+    st = _export(spark, stage, dump, [D.CHECKSUM(True)])
+    assert st.job_state == "COMPLETED", st.error
+    before = DumpSet(dump).read_manifest().tables["main.nation"]["checksums"]
+    report = DumpSet(dump).compact(spark, target_file_bytes=1 << 40)
+    assert report["main.nation"]["files_after"] < report["main.nation"]["files_before"]
+    after = DumpSet(dump).read_manifest().tables["main.nation"]["checksums"]
+    assert after["files"] != before["files"]
+    assert after["algorithm"] == before["algorithm"]
+    ev = [e["event"] for e in DumpSet(dump).read_events()]
+    assert "TABLE_CHECKSUM_REFRESHED" in ev
+    st = _import(spark, wh, dump, [D.VERIFY_CHECKSUM(True)])
+    assert st.job_state == "COMPLETED", st.error
