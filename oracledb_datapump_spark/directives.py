@@ -118,6 +118,7 @@ class PlanConfig:
     checksum: bool = False
     checksum_algorithm: str = "SHA256"
     verify_checksum: bool = False
+    verify_only: bool = False
 
     # snapshot
     flashback_scn: int | None = None
@@ -730,6 +731,20 @@ class VerifyChecksum(Parameter, name="VERIFY_CHECKSUM"):
 
     def apply(self, config: PlanConfig) -> None:
         config.verify_checksum = self.value
+
+
+class VerifyOnly(Parameter, name="VERIFY_ONLY"):
+    """Oracle DP 21c VERIFY_ONLY: the import becomes a pure integrity
+    audit — every table's dump files are digest-verified against the
+    recorded checksums and ZERO rows are loaded (the target catalog is
+    untouched). Composes the VERIFY_CHECKSUM machinery with a skip of
+    the load stage."""
+
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.verify_only = self.value
 
 
 class Estimate(_EnumParameter, name="ESTIMATE"):

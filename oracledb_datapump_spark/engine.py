@@ -449,6 +449,44 @@ def export_table(
         return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
 
 
+def _verify_dump_checksums(
+    spark: SparkSession, dumpset: DumpSet, plan: TablePlan, src_dir: str
+) -> None:
+    """VERIFY_CHECKSUM / VERIFY_ONLY (Oracle DP 21c): recompute every
+    data file's digest BEFORE any row is read; a dump without recorded
+    checksums fails too — silently skipping the verification the
+    caller asked for would defeat it."""
+    from .exceptions import UsageError
+
+    recorded = (
+        dumpset.read_manifest()
+        .tables.get(plan.source_key, {})
+        .get("checksums")
+        if dumpset.exists()
+        else None
+    )
+    if not recorded:
+        raise UsageError(
+            f"VERIFY_CHECKSUM: dump for {plan.source_key} carries "
+            "no recorded checksums (export with CHECKSUM)"
+        )
+    actual = dumpset.file_digests(spark, src_dir, recorded["algorithm"])
+    bad = sorted(set(recorded["files"].items()) ^ set(actual.items()))
+    if bad:
+        names = sorted({rel for rel, _ in bad})
+        raise UsageError(
+            f"VERIFY_CHECKSUM: dump for {plan.source_key} failed "
+            f"{recorded['algorithm']} verification on "
+            f"{len(names)} file(s): {names[:5]}"
+        )
+    dumpset.log_event(
+        "TABLE_CHECKSUM_VERIFIED",
+        table=plan.source_key,
+        algorithm=recorded["algorithm"],
+        n_files=len(actual),
+    )
+
+
 def import_table(
     spark: SparkSession,
     connector: Connector,
@@ -471,44 +509,18 @@ def import_table(
             dumpset.log_event("TABLE_IMPORT_SKIP_EXISTS", table=plan.target_key)
             dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=0)
             return TableResult(plan, ok=True, rows=0, skipped=True)
-        if config.verify_checksum:
-            # VERIFY_CHECKSUM (Oracle DP 21c): recompute every data
-            # file's digest BEFORE any row is read; a dump without
-            # recorded checksums fails too — silently skipping the
-            # verification the caller asked for would defeat it
-            from .exceptions import UsageError
-
-            recorded = (
-                dumpset.read_manifest()
-                .tables.get(plan.source_key, {})
-                .get("checksums")
-                if dumpset.exists()
-                else None
-            )
-            if not recorded:
-                raise UsageError(
-                    f"VERIFY_CHECKSUM: dump for {plan.source_key} carries "
-                    "no recorded checksums (export with CHECKSUM)"
-                )
-            actual = dumpset.file_digests(
-                spark, src_dir, recorded["algorithm"]
-            )
-            bad = sorted(
-                set(recorded["files"].items()) ^ set(actual.items())
-            )
-            if bad:
-                names = sorted({rel for rel, _ in bad})
-                raise UsageError(
-                    f"VERIFY_CHECKSUM: dump for {plan.source_key} failed "
-                    f"{recorded['algorithm']} verification on "
-                    f"{len(names)} file(s): {names[:5]}"
-                )
+        if config.verify_checksum or config.verify_only:
+            _verify_dump_checksums(spark, dumpset, plan, src_dir)
+        if config.verify_only:
+            # VERIFY_ONLY (Oracle DP 21c): integrity audit of the dump,
+            # zero rows loaded — the target catalog is untouched
             dumpset.log_event(
-                "TABLE_CHECKSUM_VERIFIED",
-                table=plan.source_key,
-                algorithm=recorded["algorithm"],
-                n_files=len(actual),
+                "TABLE_IMPORT_VERIFY_ONLY", table=plan.target_key
             )
+            dumpset.log_event(
+                "TABLE_IMPORT_DONE", table=plan.target_key, rows=0
+            )
+            return TableResult(plan, ok=True, rows=0, skipped=True)
         fmt = _sniff_dump_format(src_dir)
         # PARTITION_OPTIONS=DEPARTITION: one target table per hive
         # partition directory (reference directives.py:346-349); MERGE/

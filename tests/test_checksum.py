@@ -156,3 +156,38 @@ def test_compaction_refreshes_checksums(spark, dirs):
     assert "TABLE_CHECKSUM_REFRESHED" in ev
     st = _import(spark, wh, dump, [D.VERIFY_CHECKSUM(True)])
     assert st.job_state == "COMPLETED", st.error
+
+
+def test_verify_only_audits_without_loading(spark, dirs):
+    """VERIFY_ONLY: digest audit completes, zero rows land, the target
+    stays absent; a tampered dump fails the audit; a checksum-less dump
+    is refused."""
+    stage, wh, dump = dirs
+    _seed(spark, stage)
+    st = _export(spark, stage, dump, [D.CHECKSUM(True)])
+    assert st.job_state == "COMPLETED", st.error
+    st = _import(spark, wh, dump, [D.VERIFY_ONLY(True)])
+    assert st.job_state == "COMPLETED", st.error
+    assert not ParquetConnector(wh).table_exists("main", "nation")
+    ev = [e["event"] for e in DumpSet(dump).read_events()]
+    assert "TABLE_IMPORT_VERIFY_ONLY" in ev and "TABLE_CHECKSUM_VERIFIED" in ev
+    # tamper → the audit itself fails
+    tdir = os.path.join(dump, "main", "nation")
+    part = sorted(p for p in os.listdir(tdir) if p.startswith("part-"))[0]
+    p = os.path.join(tdir, part)
+    b = bytearray(open(p, "rb").read())
+    b[-5] ^= 0xFF
+    open(p, "wb").write(bytes(b))
+    st = _import(spark, wh, dump, [D.VERIFY_ONLY(True)])
+    assert st.job_state != "COMPLETED"
+    assert "verification" in str(st.error)
+
+
+def test_verify_only_requires_recorded_checksums(spark, dirs):
+    stage, wh, dump = dirs
+    _seed(spark, stage)
+    st = _export(spark, stage, dump, [])
+    assert st.job_state == "COMPLETED", st.error
+    st = _import(spark, wh, dump, [D.VERIFY_ONLY(True)])
+    assert st.job_state != "COMPLETED"
+    assert "no recorded checksums" in str(st.error)
