@@ -1219,8 +1219,9 @@ def datapump_roundtrip_checksum(
     then: (a) a clean VERIFY_CHECKSUM import succeeds; (b) after one
     byte of one part file is flipped mid-file, the VERIFY import
     REFUSES with the failing file named (``tamper_detected``); (c) the
-    byte restored, the verified import completes and hash equality
-    proves the data intact. At 100 TB the digest pass fans out one
+    byte restored, a VERIFY_ONLY import audits the healthy dump and
+    loads NOTHING (``verify_only_audited``); (d) the verified import
+    completes and hash equality proves the data intact. At 100 TB the digest pass fans out one
     task per dump file on both sides — integrity scales with the dump,
     never through the driver."""
     import os as _os
@@ -1282,8 +1283,18 @@ def datapump_roundtrip_checksum(
         tamper_detected = st.job_state != "COMPLETED" and (
             "failed" in str(st.error) and "verification" in str(st.error)
         )
-        # restore and verify clean
+        # restore; VERIFY_ONLY audits the healthy dump loading nothing
         open(p, "wb").write(original)
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.VERIFY_ONLY(True)],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        verify_only_audited = (
+            st.job_state == "COMPLETED"
+            and not ParquetConnector(wh).table_exists("main", "orders")
+        )
         st = Job(
             Operation.IMPORT,
             JobMode.TABLE,
@@ -1302,6 +1313,9 @@ def datapump_roundtrip_checksum(
                 "checksums_recorded", F.lit(bool(checksums_recorded))
             )
             .withColumn("tamper_detected", F.lit(bool(tamper_detected)))
+            .withColumn(
+                "verify_only_audited", F.lit(bool(verify_only_audited))
+            )
             .orderBy("o_orderkey")
             .localCheckpoint(eager=True)
         )
@@ -1312,7 +1326,8 @@ def datapump_roundtrip_checksum(
 
 
 ROUNDTRIP_CHECKSUM_SQL = """
-SELECT *, TRUE AS checksums_recorded, TRUE AS tamper_detected
+SELECT *, TRUE AS checksums_recorded, TRUE AS tamper_detected,
+       TRUE AS verify_only_audited
 FROM orders
 ORDER BY o_orderkey
 """
