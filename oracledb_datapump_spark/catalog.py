@@ -410,9 +410,17 @@ class SqliteConnector:
             info = [ct for ct in info if ct[0] in set(columns)]
         col_sql = ", ".join(quote_ident(c) for c, _ in info)
         fq = f"{quote_ident(schema)}.{quote_ident(table)}"
-        lohi = self.execute(
-            f"SELECT MIN(rowid), MAX(rowid) FROM {fq}"
-        ).fetchone()
+        is_view = table in self.list_views(schema)
+        if is_view:
+            # views have no rowid to range-partition on: one full-scan
+            # task (VIEWS_AS_TABLES materialization path); a production
+            # source would project a keyed column instead
+            nrows = self.execute(f"SELECT COUNT(*) FROM {fq}").fetchone()[0]
+            lohi = (1, 1) if nrows else (None, None)
+        else:
+            lohi = self.execute(
+                f"SELECT MIN(rowid), MAX(rowid) FROM {fq}"
+            ).fetchone()
         # Spark-side schema from the DECLARED types — every partition
         # must agree on it regardless of which rows it sees
         def spark_type(decl: str) -> str:
@@ -454,10 +462,15 @@ class SqliteConnector:
             try:
                 for pdf in batches:
                     for xlo, ihi in zip(pdf["xlo"], pdf["ihi"]):
-                        q = (
-                            f"SELECT {col_sql} FROM {fq} WHERE rowid > "
-                            f"{int(xlo)} AND rowid <= {int(ihi)}{pred_sql}"
-                        )
+                        if is_view:
+                            where = pred_sql.replace(" AND ", " WHERE ", 1)
+                            q = f"SELECT {col_sql} FROM {fq}{where}"
+                        else:
+                            q = (
+                                f"SELECT {col_sql} FROM {fq} WHERE rowid > "
+                                f"{int(xlo)} AND rowid <= {int(ihi)}"
+                                f"{pred_sql}"
+                            )
                         out = pd.read_sql_query(q, con)
                         for c in ts_cols:
                             out[c] = pd.to_datetime(

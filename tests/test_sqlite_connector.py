@@ -91,3 +91,39 @@ def test_schema_creation_refused(spark, db):
     con = SqliteConnector(db)
     with pytest.raises(UsageError, match="ATTACH"):
         con.ensure_schema("not_attached")
+
+
+def test_views_as_tables_materializes_sqlite_view(spark, db):
+    """The VIEWS_AS_TABLES directive works against the SQLite catalog:
+    the view body runs in SQLite, the dump holds materialized rows."""
+    import shutil
+    import tempfile
+
+    from oracledb_datapump_spark.base import JobMode, Operation
+    from oracledb_datapump_spark.catalog import ParquetConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+    from oracledb_datapump_spark.job import Job
+
+    con = SqliteConnector(db)
+    df = _seed(spark, con)
+    con.execute(
+        "CREATE VIEW main.big_orders AS "
+        "SELECT o_orderkey, o_totalprice FROM main.orders "
+        "WHERE o_totalprice > 200000"
+    )
+    assert con.list_views("main") == ["big_orders"]
+    dump = tempfile.mkdtemp(prefix="dp_sq_vat_")
+    try:
+        st = Job(
+            Operation.EXPORT, JobMode.TABLE, dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main"),
+                        D.VIEWS_AS_TABLES("big_orders")],
+        ).run(wait=True, connection=con, spark=spark)
+        assert st.job_state == "COMPLETED", st.error
+        got = spark.read.parquet(os.path.join(dump, "main", "big_orders"))
+        want = df.filter("o_totalprice > 200000").count()
+        assert got.count() == want and got.columns == [
+            "o_orderkey", "o_totalprice",
+        ]
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
