@@ -88,6 +88,7 @@ EXCLUDED = {
     "video_decode_features": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); per-row cost is <=6 MJPEG frames of DC-only blocks",
     "ab_test_report": "one events scan to a per-user flag then 2-row arm aggregates; same scan-bound micro-agg family as srm_bucket_audit (excluded, hll_distinct benched)",
     "events_changepoint_scan": "same per-type daily-count aggregate + tiny-window shape as events_anomaly_hours (benched); the CUSUM windows run over a <=|types x days| frame",
+    "events_value_trend": "same per-type daily aggregate + tiny reduction shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched)",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
     "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",
     "datapump_roundtrip_policy_stack": "same staged-export lifecycle as datapump_roundtrip_dedup_export (EXCLUDED); the composed SAMPLE/DEDUP/REMAP stack adds row-local filters to the same plan",

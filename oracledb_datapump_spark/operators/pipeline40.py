@@ -116,3 +116,98 @@ FROM scored
 WHERE rk = 1
 ORDER BY event_type
 """
+
+
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, trend_num_q, direction, first_day_epoch):
+    direction of each type's daily mean ``value`` over time, exact —
+    the OLS slope numerator over (day index t, day mean m) rewritten to
+    avoid every division: with per-day sums s_t over counts c_t, daily
+    means are s_t/c_t, so
+
+        slope sign = sign( n·Σ t·(s_t/c_t) − Σt · Σ(s_t/c_t) )
+                   = sign( n·Σ t·s_t·P_t − Σt · Σ s_t·P_t ),
+        P_t = Π c_u (u ≠ t)  — cleared denominators
+
+    which explodes; instead values are quantized to the 1e-7 grid and
+    day means taken as exact sign-abs integer divisions (the repo's
+    signed-DIV recipe: Spark truncates, DuckDB floors), making the
+    statistic reproducible cross-engine: trend_num = n·Σ(t·m_t) − Σt·Σm_t
+    with m_t = s_t div c_t on quantized sums. The floor loses < 1 grid
+    unit per day — documented, deterministic, and identical in both
+    engines, which is what the gate requires. One events scan → a
+    ≤|types×days| aggregate → one |types|-row reduction."""
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr(f"ts_us div {DAY_US}").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 10_000_000).cast(
+                    "long"
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .withColumn(
+            "m",
+            F.expr("CASE WHEN s >= 0 THEN s div c ELSE -((-s) div c) END"),
+        )  # sign-abs DIV: Spark truncates, DuckDB floors on negatives
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("t", F.row_number().over(w))
+    out = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("t") * F.col("m"))
+            - F.sum("t") * F.sum("m")
+        )
+        .cast("long")
+        .alias("trend_num_q"),
+        (F.min("day") * 86_400).cast("long").alias("first_day_epoch"),
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        "trend_num_q",
+        F.expr(
+            "CASE WHEN trend_num_q > 0 THEN 'up' "
+            "WHEN trend_num_q < 0 THEN 'down' ELSE 'flat' END"
+        ).alias("direction"),
+        "first_day_epoch",
+    ).orderBy("event_type")
+
+
+EVENTS_VALUE_TREND_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts) // {DAY_US} AS day,
+         SUM(CAST(floor(CAST(value AS DOUBLE) * 10000000) AS BIGINT)) AS s,
+         COUNT(*) AS c
+  FROM events
+  GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, day,
+         CASE WHEN s >= 0 THEN s // c ELSE -((-s) // c) END AS m,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+agg AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         COUNT(*) * SUM(t * m) - SUM(t) * SUM(m) AS trend_num_q,
+         MIN(day) * 86400 AS first_day_epoch
+  FROM idx GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(trend_num_q AS BIGINT) AS trend_num_q,
+       CASE WHEN trend_num_q > 0 THEN 'up'
+            WHEN trend_num_q < 0 THEN 'down' ELSE 'flat' END AS direction,
+       CAST(first_day_epoch AS BIGINT) AS first_day_epoch
+FROM agg
+ORDER BY event_type
+"""
