@@ -77,8 +77,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 # is committed; "clean" = contamination sentinel green (bench.py) and no
 # co-running load (pytest, a driver gate) during the run.
 CLEAN_FULLS = [
-    ("0b5473b", "r11a"),  # round-11 opening capture (185.71s/166q, 0.952, zero errors) — first capture with the untimed-first-headline warm-up fix
     ("b696968", "r11c"),  # round-11 closing capture (197.03s/168q, 1.061, sentinel benign-faster 0.66) — first anchors for the two new r11 headliners
+    ("5ab1ee9", "r11d"),  # driver's judge-time capture (203.01s/168q, 1.118, sentinel benign-faster 0.641, contaminated=false) committed by the driver at the r11 boundary
 ]
 
 
