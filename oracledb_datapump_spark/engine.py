@@ -18,6 +18,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import json as _json
 import os
+import threading
 import traceback
 from dataclasses import dataclass, field
 from typing import Any
@@ -1025,6 +1026,7 @@ def run_plans(
     plans: list[TablePlan],
     config: PlanConfig,
     operation: str,
+    stop_event: threading.Event | None = None,
 ) -> EngineResult:
     """Execute table plans under a thread pool of size ≤ PARALLEL.
 
@@ -1032,9 +1034,39 @@ def run_plans(
     sanctioned pattern for many-small-tables jobs; within each table the
     partitioned read/write supplies intra-table parallelism. Threads are
     safe here: SparkSession is thread-safe for action submission.
+
+    ``stop_event`` is the STOP_JOB analog (reference status.py:32-47
+    models STOP_PENDING/STOPPING/STOPPED; Oracle's public contract is a
+    cooperative stop at a work-item boundary): when set, tables that have
+    not yet STARTED are recorded as not-run (TABLE_*_NOT_RUN events) and
+    the result state is STOPPED. In-flight tables always complete — a
+    table is the atomic unit of restartability, so the dump set only ever
+    holds whole tables and ``Job.restart`` can skip them wholesale.
     """
     workers = max(1, min(config.parallel, len(plans) or 1))
     results: list[TableResult] = []
+    stop_logged = threading.Lock()
+    stop_seen = [False]
+
+    def _boundary(p: TablePlan) -> TableResult | None:
+        """Table-boundary stop check: runs at each plan's start in both
+        the sequential and the thread-pool path."""
+        if stop_event is None or not stop_event.is_set():
+            return None
+        with stop_logged:
+            if not stop_seen[0]:
+                stop_seen[0] = True
+                dumpset.log_event("JOB_STOPPING", next_table=p.source_key)
+        dumpset.log_event(
+            f"TABLE_{operation}_NOT_RUN", table=p.source_key
+        )
+        return TableResult(p, ok=True, skipped=True, detail={"not_run": True})
+
+    def _one(p: TablePlan) -> TableResult:
+        return _boundary(p) or _run_one(
+            spark, connector, dumpset, p, config, operation
+        )
+
     # Imports execute in topo waves (parents before children — the FK
     # ordering Oracle provides implicitly); exports have a single wave.
     waves: dict[int, list[TablePlan]] = {}
@@ -1044,25 +1076,23 @@ def run_plans(
         wave = waves[level]
         if workers == 1 or len(wave) == 1:
             for p in wave:
-                results.append(
-                    _run_one(spark, connector, dumpset, p, config, operation)
-                )
+                results.append(_one(p))
         else:
             with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-                futs = [
-                    pool.submit(
-                        _run_one, spark, connector, dumpset, p, config, operation
-                    )
-                    for p in wave
-                ]
+                futs = [pool.submit(_one, p) for p in wave]
                 for f in futs:
                     results.append(f.result())
-    errors = sum(1 for r in results if not r.ok)
-    state = (
-        JobState.COMPLETED
-        if errors == 0
-        else JobState.COMPLETED_WITH_ERRORS
+    errors = sum(
+        1 for r in results if not r.ok and not r.detail.get("not_run")
     )
+    if stop_seen[0]:
+        state = JobState.STOPPED
+    else:
+        state = (
+            JobState.COMPLETED
+            if errors == 0
+            else JobState.COMPLETED_WITH_ERRORS
+        )
     return EngineResult(state=state, tables=results)
 
 

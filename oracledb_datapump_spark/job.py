@@ -88,6 +88,7 @@ class Job:
         self._result: EngineResult | None = None
         self._estimates: list[dict[str, Any]] | None = None
         self._lock = threading.Lock()
+        self._stop_event = threading.Event()
         self.dumpset: DumpSet | None = None
         self.connector: Connector | None = None
         self.config: PlanConfig | None = None
@@ -185,46 +186,7 @@ class Job:
             plans = plan_export(self.connector, self.operation, self.mode, config)
         else:
             plans = plan_import(self.dumpset, config)
-        # ENCRYPTION: validate the directive family once at plan time
-        # (wallet modes and DDL column scopes fail loudly here), then
-        # thread the normalized contract into each plan — the password
-        # rides plan.extra in memory only and never reaches the manifest
-        # (engine records scope/algorithm/salt, not the secret).
-        if config.encryption:
-            from .crypto import validate_encryption
-
-            enc = validate_encryption(config.encryption)
-            if enc and self.operation == Operation.EXPORT:
-                for p in plans:
-                    p.extra["encryption"] = enc
-            elif enc:
-                for p in plans:
-                    p.extra["encryption_password"] = enc["password"]
-        # CHECKSUM (Oracle DP 21c): thread the algorithm into each
-        # export plan; the engine records per-file digests post-write
-        if config.checksum and self.operation == Operation.EXPORT:
-            for p in plans:
-                p.extra["checksum_algorithm"] = config.checksum_algorithm
-        # CDC-style incremental export (INCREMENTAL_COLUMN directive):
-        # thread each table's recorded watermark from the prior manifest
-        # into its plan so the engine exports only new rows, appended.
-        if config.incremental_columns and self.operation == Operation.EXPORT:
-            prior = self.dumpset.read_manifest().tables if self.dumpset.exists() else {}
-            for p in plans:
-                col = config.incremental_columns.get(
-                    p.table, config.incremental_columns.get("*")
-                )
-                if col:
-                    p.extra["incremental_column"] = col
-                    p.extra["watermark"] = prior.get(p.source_key, {}).get(
-                        "watermark"
-                    )
-                    # carry the snapshot history forward so the append
-                    # run's manifest keeps every prior version readable
-                    # via AS_OF_VERSION
-                    p.extra["snapshots"] = prior.get(p.source_key, {}).get(
-                        "snapshots"
-                    )
+        self._thread_plan_extras(plans, config)
         if not plans:
             # Oracle raises ORA-39165 for a schema that matches nothing; a
             # vacuous job completing silently would hide typos.
@@ -285,14 +247,23 @@ class Job:
         def _execute() -> None:
             result = run_plans(
                 spark, self.connector, self.dumpset, plans, config,
-                self.operation.value,
+                self.operation.value, stop_event=self._stop_event,
             )
             self._result = result
-            self._set_state(JobState.COMPLETING)
+            self._set_state(
+                JobState.STOPPING
+                if result.state == JobState.STOPPED
+                else JobState.COMPLETING
+            )
 
             if self.operation == Operation.EXPORT:
-                # enrich manifest with per-table outcomes
+                # enrich manifest with per-table outcomes; not-run tables
+                # (cooperative STOP before their boundary) stay out — the
+                # manifest describes what the dump set actually holds,
+                # and restart() re-plans the remainder from directives
                 for r in result.tables:
+                    if r.detail.get("not_run"):
+                        continue
                     meta.tables[r.plan.source_key] = {
                         "rows": None if not r.ok else r.rows,
                         "row_count": r.rows,
@@ -353,6 +324,51 @@ class Job:
         self._worker = t
         t.start()
         return self.get_status()
+
+    def _thread_plan_extras(self, plans: list, config: Any) -> None:
+        """Thread directive-derived per-plan extras (shared by run and
+        restart, which re-plans from the manifest's directive list).
+
+        ENCRYPTION: validate the directive family once at plan time
+        (wallet modes and DDL column scopes fail loudly here), then
+        thread the normalized contract into each plan — the password
+        rides plan.extra in memory only and never reaches the manifest
+        (engine records scope/algorithm/salt, not the secret).
+        CHECKSUM (Oracle DP 21c): thread the algorithm into each export
+        plan; the engine records per-file digests post-write.
+        INCREMENTAL_COLUMN: thread each table's recorded watermark from
+        the prior manifest so the engine exports only new rows, appended.
+        """
+        if config.encryption:
+            from .crypto import validate_encryption
+
+            enc = validate_encryption(config.encryption)
+            if enc and self.operation == Operation.EXPORT:
+                for p in plans:
+                    p.extra["encryption"] = enc
+            elif enc:
+                for p in plans:
+                    p.extra["encryption_password"] = enc["password"]
+        if config.checksum and self.operation == Operation.EXPORT:
+            for p in plans:
+                p.extra["checksum_algorithm"] = config.checksum_algorithm
+        if config.incremental_columns and self.operation == Operation.EXPORT:
+            prior = self.dumpset.read_manifest().tables if self.dumpset.exists() else {}
+            for p in plans:
+                col = config.incremental_columns.get(
+                    p.table, config.incremental_columns.get("*")
+                )
+                if col:
+                    p.extra["incremental_column"] = col
+                    p.extra["watermark"] = prior.get(p.source_key, {}).get(
+                        "watermark"
+                    )
+                    # carry the snapshot history forward so the append
+                    # run's manifest keeps every prior version readable
+                    # via AS_OF_VERSION
+                    p.extra["snapshots"] = prior.get(p.source_key, {}).get(
+                        "snapshots"
+                    )
 
     def _capture_constraints(self, schemas: list[str]) -> dict[str, list[str]]:
         """FK adjacency per schema (connector introspection) → manifest, so
@@ -439,6 +455,200 @@ class Job:
     def estimates(self) -> list[dict[str, Any]] | None:
         return self._estimates
 
+    # -- stop / restart (Oracle STOP_JOB → START_JOB; reference declares
+    # the state machine at status.py:32-47 and the START_JOB command at
+    # commands.py:113-119 but never drives them locally) ------------------
+    def stop(self) -> JobStatusInfo:
+        """STOP_JOB analog: request a cooperative stop at the next table
+        boundary. In-flight tables complete (a table is the atomic unit of
+        restartability); not-yet-started tables are recorded as not-run
+        and the job lands in STOPPED — restartable via ``restart()``.
+
+        State walk mirrors the reference's machine (status.py:32-47):
+        EXECUTING → STOP_PENDING (this call) → STOPPING (engine
+        acknowledges at the first skipped boundary) → STOPPED (JOB_DONE).
+        """
+        from .base import TERMINAL_STATES
+
+        if self._state in TERMINAL_STATES or self._state in (
+            JobState.UNDEFINED,
+            JobState.NOT_RUNNING,
+        ):
+            raise UsageError(
+                f"Job {self.job_name!r} is not running "
+                f"(state={self._state.value}); only a DEFINING/EXECUTING "
+                "job can be stopped"
+            )
+        self._stop_event.set()
+        self._set_state(JobState.STOP_PENDING)
+        if self.dumpset is not None:
+            self.dumpset.log_event(
+                "JOB_STOP_PENDING", job_name=self.job_name
+            )
+        return self.get_status()
+
+    def restart(
+        self,
+        connection: Any = None,
+        spark: SparkSession | None = None,
+    ) -> JobStatusInfo:
+        """START_JOB analog: resume a STOPPED export from its manifest —
+        the dump set's manifest/event log plays Oracle's master table.
+
+        Re-plans the ORIGINAL job from the manifest's recorded directive
+        list (so FLASHBACK/as-of, CHECKSUM, COMPRESSION, filters and
+        remaps are all re-applied verbatim), then skips every table whose
+        dump is already complete: manifest entry ok, data files present,
+        and — when CHECKSUM digests were recorded — the recomputed
+        per-file digests match (a tampered or truncated table is
+        re-exported, TABLE_RESUME_RECHECK_FAILED). Only the remaining
+        tables run; the manifest is merged, never rebuilt, so completed
+        tables keep their original entries byte-for-byte.
+
+        IMPORT jobs have an existing idempotent path — re-run with
+        TABLE_EXISTS_ACTION('SKIP') — so restart() refuses them loudly
+        rather than duplicating those semantics.
+        """
+        if self.dumpset is None:
+            raise UsageError("restart requires a job with a dump set")
+        info = status_from_events(self.dumpset)
+        if (
+            self._state != JobState.STOPPED
+            and info.job_state != JobState.STOPPED.value
+        ):
+            raise UsageError(
+                f"Only a STOPPED job can restart (START_JOB); "
+                f"state={self._state.value}/{info.job_state}"
+            )
+        meta = self.dumpset.read_manifest()
+        if Operation(meta.operation) != Operation.EXPORT:
+            raise UsageError(
+                "restart() supports EXPORT jobs; re-run the IMPORT with "
+                "TABLE_EXISTS_ACTION('SKIP') for resume-equivalent "
+                "semantics"
+            )
+        if connection is not None:
+            self.connection = connection
+        if self.connection is None:
+            raise UsageError("connection required to restart")
+        self.operation = Operation(meta.operation)
+        self.mode = JobMode(meta.mode)
+        self.job_name = meta.job_name
+        self.connector = resolve_connector(self.connection)
+        spark = spark or get_spark()
+        self.job_date = utc_now()
+        self.directives = [
+            DirectiveBase.from_dict(d) for d in meta.directives
+        ]
+        config = compile_directives(self.directives, mode=self.mode.value)
+        self.config = config
+        plans = plan_export(self.connector, self.operation, self.mode, config)
+        self._thread_plan_extras(plans, config)
+        remaining, skipped = [], []
+        for p in plans:
+            entry = meta.tables.get(p.source_key)
+            if (
+                entry
+                and entry.get("ok")
+                and self._resume_intact(spark, p, entry)
+            ):
+                skipped.append(p)
+            else:
+                remaining.append(p)
+        self.dumpset.log_event(
+            "JOB_RESTART",
+            job_name=self.job_name,
+            skipped=[p.source_key for p in skipped],
+            remaining=[p.source_key for p in remaining],
+        )
+        for p in skipped:
+            self.dumpset.log_event("TABLE_RESUME_SKIP", table=p.source_key)
+        self._stop_event = threading.Event()  # restart is itself stoppable
+        self._set_state(JobState.EXECUTING)
+        register_job(self.job_name, self)
+        try:
+            result = (
+                run_plans(
+                    spark, self.connector, self.dumpset, remaining, config,
+                    self.operation.value, stop_event=self._stop_event,
+                )
+                if remaining
+                else EngineResult(state=JobState.COMPLETED)
+            )
+            self._result = result
+            for r in result.tables:
+                if r.detail.get("not_run"):
+                    continue
+                meta.tables[r.plan.source_key] = {
+                    "rows": None if not r.ok else r.rows,
+                    "row_count": r.rows,
+                    "bytes": r.bytes,
+                    "files": r.files,
+                    "ok": r.ok,
+                    **r.detail,
+                }
+            meta.dumpfiles = [
+                p.replace(self.dumpset.root + "/", "")
+                for p in self.dumpset.dumpfiles()
+            ]
+            if config.include_metadata:
+                self.dumpset.write_manifest(meta)
+            self.dumpset.log_event(
+                "JOB_DONE",
+                state=result.state.value,
+                dumpfiles=self.dumpset.dumpfiles(),
+                errors=result.error_count,
+            )
+            self._set_state(result.state)
+            return self.get_status()
+        finally:
+            deregister_job(self.job_name)
+
+    def _resume_intact(self, spark: SparkSession, plan, entry: dict) -> bool:
+        """Is a manifest-complete table's dump physically intact? Files
+        must exist; when the original run recorded CHECKSUM digests they
+        are recomputed (executor fan-out, same as VERIFY_CHECKSUM) and
+        compared — the digest map is the proof of completeness, so a
+        tampered file forces a re-export rather than a silent skip."""
+        import os
+
+        tdir = self.dumpset.table_dir(plan.schema, plan.table)
+        n_files = 0
+        for dirpath, dirnames, filenames in os.walk(tdir):
+            dirnames[:] = [
+                d for d in dirnames if not d.startswith(("_", "."))
+            ]
+            n_files += sum(
+                1 for f in filenames if not f.startswith(("_", "."))
+            )
+        if n_files == 0:
+            self.dumpset.log_event(
+                "TABLE_RESUME_RECHECK_FAILED",
+                table=plan.source_key,
+                reason="no data files on disk",
+            )
+            return False
+        cks = entry.get("checksums")
+        if cks:
+            fresh = self.dumpset.file_digests(
+                spark, tdir, cks.get("algorithm", "SHA256")
+            )
+            if fresh != cks.get("files"):
+                self.dumpset.log_event(
+                    "TABLE_RESUME_RECHECK_FAILED",
+                    table=plan.source_key,
+                    reason="checksum mismatch",
+                )
+                return False
+        elif entry.get("files") and n_files != entry["files"]:
+            self.dumpset.log_event(
+                "TABLE_RESUME_RECHECK_FAILED",
+                table=plan.source_key,
+                reason=f"file count {n_files} != recorded {entry['files']}",
+            )
+            return False
+        return True
+
     # -- attach (reference job.py:330-349, commands.py:69-89) --------------
     @classmethod
     def attach(cls, job_name: str, dumpdir: str | None = None) -> "Job":
@@ -467,6 +677,7 @@ class Job:
         job._result = None
         job._estimates = None
         job._lock = threading.Lock()
+        job._stop_event = threading.Event()
         job.dumpset = ds
         job.connector = None
         job.config = None

@@ -1800,3 +1800,173 @@ SELECT *, TRUE AS reimport_noop, TRUE AS was_skipped
 FROM nation
 ORDER BY n_nationkey
 """
+
+
+def datapump_roundtrip_stop_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STOP_JOB → START_JOB lifecycle under the driver hash (Oracle Data
+    Pump's public stop/restart contract; the reference models the state
+    machine — status.py:32-47 — and the START_JOB command —
+    commands.py:113-119 — but never drives either locally; the dump-set
+    manifest/event log is our master table).
+
+    A 3-table export with CHECKSUM is stopped cooperatively from within
+    table 1's read: table 1 completes WHOLE (a table is the atomic unit
+    of restartability), tables 2–3 are recorded not-run, the job lands
+    STOPPED (``stopped_early``). ``Job.attach(...).restart()`` re-plans
+    from the manifest's recorded directives, digest-verifies table 1 and
+    skips it (``resume_skipped_completed`` — exactly one
+    TABLE_RESUME_SKIP, and exactly one TABLE_EXPORT_DONE per table across
+    both runs proves nothing was redone), then exports the remainder to
+    COMPLETED. Negative proof (``tamper_reexported``): a second stopped
+    lifecycle has one byte of the completed table's dump flipped; restart
+    recomputes the recorded digests, refuses the silent skip
+    (TABLE_RESUME_RECHECK_FAILED) and re-exports the table. The final
+    import round-trips ``nation`` with exact per-table counts — restart
+    resumed, it did not duplicate. At 100 TB the skip decision costs one
+    executor-distributed digest pass over the completed tables only;
+    resumed work is exactly the unfinished remainder."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..base import JobState
+    from ..dumpset import DumpSet
+
+    tables = ["region", "nation", "supplier"]
+
+    class _StopOnFirstRead(ParquetConnector):
+        def __init__(self, root: str):
+            super().__init__(root)
+            self.job = None
+            self.reads = 0
+
+        def read_table(self, spark, schema, table, **kwargs):
+            self.reads += 1
+            if self.reads == 1 and self.job is not None:
+                self.job.stop()
+            return super().read_table(spark, schema, table, **kwargs)
+
+    def _stopped_export(stage: str, dump: str) -> Job:
+        src = _StopOnFirstRead(stage)
+        job = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main")]
+            + [D.INCLUDE_TABLE(t) for t in tables]
+            + [D.CHECKSUM(True), D.CHECKSUM_ALGORITHM("SHA256")],
+        )
+        src.job = job
+        st = job.run(wait=True, connection=src, spark=spark)
+        if st.job_state != JobState.STOPPED.value:
+            raise RuntimeError(f"stop did not land STOPPED: {st.job_state}")
+        return job
+
+    stage = tempfile.mkdtemp(prefix="dp_sr_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_sr_dump_")
+    dump2 = tempfile.mkdtemp(prefix="dp_sr_dump2_")
+    wh = tempfile.mkdtemp(prefix="dp_sr_wh_")
+    try:
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+                _os.path.join(stage, f"{t}.parquet")
+            )
+
+        # -- lifecycle A: stop → restart skips the completed table -------
+        job = _stopped_export(stage, dump)
+        evs = list(DumpSet(dump).read_events())
+        done1 = [e["table"] for e in evs if e["event"] == "TABLE_EXPORT_DONE"]
+        stopped_early = (
+            len(done1) == 1
+            and sum(1 for e in evs if e["event"] == "TABLE_EXPORT_NOT_RUN") == 2
+            and any(e["event"] == "JOB_STOP_PENDING" for e in evs)
+            and any(e["event"] == "JOB_STOPPING" for e in evs)
+        )
+        st = Job.attach(job.job_name, dumpdir=dump).restart(
+            connection=ParquetConnector(stage), spark=spark
+        )
+        evs = list(DumpSet(dump).read_events())
+        skips = [e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"]
+        all_done = [e["table"] for e in evs if e["event"] == "TABLE_EXPORT_DONE"]
+        resume_skipped_completed = (
+            st.job_state == JobState.COMPLETED.value
+            and skips == done1
+            and sorted(all_done) == sorted(f"main.{t}" for t in tables)
+        )
+
+        # -- lifecycle B: tampered digest forces a re-export --------------
+        job2 = _stopped_export(stage, dump2)
+        ds2 = DumpSet(dump2)
+        first2 = [
+            e["table"]
+            for e in ds2.read_events()
+            if e["event"] == "TABLE_EXPORT_DONE"
+        ][0]
+        tdir = ds2.table_dir(*first2.split("."))
+        part = sorted(
+            p for p in _os.listdir(tdir) if not p.startswith(("_", "."))
+        )[0]
+        p = _os.path.join(tdir, part)
+        raw = bytearray(open(p, "rb").read())
+        raw[len(raw) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+        st2 = Job.attach(job2.job_name, dumpdir=dump2).restart(
+            connection=ParquetConnector(stage), spark=spark
+        )
+        evs2 = list(ds2.read_events())
+        tamper_reexported = (
+            st2.job_state == JobState.COMPLETED.value
+            and [
+                e["table"]
+                for e in evs2
+                if e["event"] == "TABLE_RESUME_RECHECK_FAILED"
+            ]
+            == [first2]
+            and not any(e["event"] == "TABLE_RESUME_SKIP" for e in evs2)
+        )
+
+        # -- import the resumed dump; exact counts prove no duplication ---
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.VERIFY_CHECKSUM(True),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != JobState.COMPLETED.value:
+            raise RuntimeError(f"verified import failed: {st.error}")
+        out = ParquetConnector(wh)
+        n_region = out.read_table(spark, "main", "region").count()
+        n_supplier = out.read_table(spark, "main", "supplier").count()
+        return (
+            out.read_table(spark, "main", "nation")
+            .withColumn("stopped_early", F.lit(bool(stopped_early)))
+            .withColumn(
+                "resume_skipped_completed",
+                F.lit(bool(resume_skipped_completed)),
+            )
+            .withColumn("tamper_reexported", F.lit(bool(tamper_reexported)))
+            .withColumn("region_rows", F.lit(int(n_region)).cast("long"))
+            .withColumn("supplier_rows", F.lit(int(n_supplier)).cast("long"))
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(dump2, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ROUNDTRIP_STOP_RESTART_SQL = """
+SELECT n.*, TRUE AS stopped_early, TRUE AS resume_skipped_completed,
+       TRUE AS tamper_reexported,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS region_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS supplier_rows
+FROM nation n
+ORDER BY n_nationkey
+"""

@@ -1,0 +1,269 @@
+"""STOP_JOB → START_JOB lifecycle (Oracle Data Pump's public
+stop/restart contract; reference status.py:32-47 declares the state
+machine, commands.py:113-119 the START_JOB command — neither is driven
+locally by the reference).
+
+Semantics under test:
+- stop() is cooperative at a TABLE boundary: the in-flight table
+  completes, not-yet-started tables are recorded as not-run, job lands
+  STOPPED (restartable), dump set holds only whole tables.
+- restart() re-plans from the manifest's recorded directives, skips
+  tables whose dump is complete (digest-verified when CHECKSUM was on),
+  runs the remainder, and merges the manifest.
+- negative proofs: a tampered completed table is RE-exported on restart;
+  restart refuses non-STOPPED jobs and IMPORT jobs; stop refuses
+  not-running jobs.
+"""
+
+import json
+import os
+import time
+
+import pytest
+
+from oracledb_datapump_spark.base import JobState
+from oracledb_datapump_spark.catalog import ParquetConnector
+from oracledb_datapump_spark.directives import DirectiveBase as D
+from oracledb_datapump_spark.dumpset import DumpSet
+from oracledb_datapump_spark.exceptions import UsageError
+from oracledb_datapump_spark.job import Job
+
+TABLES = ["region", "nation", "supplier"]
+
+
+class StopOnFirstRead(ParquetConnector):
+    """Source connector that requests a cooperative stop from within the
+    FIRST table's read — deterministic with PARALLEL=1: table 1 completes
+    (stop is boundary-cooperative), tables 2 and 3 are not run."""
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self.job: Job | None = None
+        self.reads = 0
+
+    def read_table(self, spark, schema, table, **kwargs):
+        self.reads += 1
+        if self.reads == 1 and self.job is not None:
+            self.job.stop()
+        return super().read_table(spark, schema, table, **kwargs)
+
+
+def _stage(spark, sf_dir, tmp_path) -> str:
+    stage = str(tmp_path / "stage")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+            os.path.join(stage, f"{t}.parquet")
+        )
+    return stage
+
+
+def _events(dump: str) -> list[dict]:
+    return list(DumpSet(dump).read_events())
+
+
+def _export_directives(checksum: bool = False):
+    d = [D.INCLUDE_SCHEMA("main")] + [D.INCLUDE_TABLE(t) for t in TABLES]
+    if checksum:
+        d += [D.CHECKSUM(True), D.CHECKSUM_ALGORITHM("SHA256")]
+    return d
+
+
+def _stopped_export(spark, stage, dump, checksum: bool = False) -> Job:
+    src = StopOnFirstRead(stage)
+    job = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=_export_directives(checksum),
+    )
+    src.job = job
+    st = job.run(wait=True, connection=src, spark=spark)
+    assert st.job_state == JobState.STOPPED.value, st.job_state
+    return job
+
+
+def test_stop_lands_stopped_with_whole_tables_only(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    _stopped_export(spark, stage, dump)
+
+    evs = _events(dump)
+    types = [e["event"] for e in evs]
+    # state walk: STOP_PENDING (stop()) → STOPPING (engine boundary ack)
+    # → JOB_DONE STOPPED
+    assert "JOB_STOP_PENDING" in types
+    assert "JOB_STOPPING" in types
+    assert types.index("JOB_STOP_PENDING") < types.index("JOB_STOPPING")
+    done = [e for e in evs if e["event"] == "JOB_DONE"]
+    assert done[-1]["state"] == "STOPPED"
+    # exactly one table exported whole; the other two recorded not-run
+    exported = [e["table"] for e in evs if e["event"] == "TABLE_EXPORT_DONE"]
+    not_run = [e["table"] for e in evs if e["event"] == "TABLE_EXPORT_NOT_RUN"]
+    assert len(exported) == 1 and len(not_run) == 2
+    assert set(exported) | set(not_run) == {f"main.{t}" for t in TABLES}
+    # manifest describes only what the dump holds
+    meta = DumpSet(dump).read_manifest()
+    assert set(meta.tables) == set(exported)
+    assert all(v["ok"] for v in meta.tables.values())
+
+
+def test_restart_skips_completed_and_finishes(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_export(spark, stage, dump)
+    first = [
+        e["table"] for e in _events(dump) if e["event"] == "TABLE_EXPORT_DONE"
+    ][0]
+
+    att = Job.attach(job.job_name, dumpdir=dump)
+    assert att.state == JobState.STOPPED
+    st = att.restart(connection=ParquetConnector(stage), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value, st.error
+
+    evs = _events(dump)
+    skipped = [e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"]
+    assert skipped == [first]  # the completed table was skipped, not redone
+    restart_ev = [e for e in evs if e["event"] == "JOB_RESTART"][0]
+    assert set(restart_ev["skipped"]) == {first}
+    assert len(restart_ev["remaining"]) == 2
+    # exactly one TABLE_EXPORT_DONE per table across BOTH runs — the
+    # completed table was never re-exported
+    done_tables = [
+        e["table"] for e in evs if e["event"] == "TABLE_EXPORT_DONE"
+    ]
+    assert sorted(done_tables) == sorted(f"main.{t}" for t in TABLES)
+    # final dump is complete and import-roundtrips with exact counts
+    meta = DumpSet(dump).read_manifest()
+    assert set(meta.tables) == {f"main.{t}" for t in TABLES}
+    wh = str(tmp_path / "wh")
+    st = Job(
+        "IMPORT", "TABLE", dumpfiles=dump,
+        directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+    ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    for t in TABLES:
+        n_src = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        n_out = ParquetConnector(wh).read_table(spark, "main", t).count()
+        assert n_src == n_out, t
+
+
+def test_restart_reexports_tampered_table(spark, sf_dir, tmp_path):
+    """Digest negative proof: flip one byte of the COMPLETED table's dump
+    and restart — the recorded checksum no longer matches, so restart
+    re-exports it instead of silently trusting the manifest."""
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_export(spark, stage, dump, checksum=True)
+    first = [
+        e["table"] for e in _events(dump) if e["event"] == "TABLE_EXPORT_DONE"
+    ][0]
+    schema, table = first.split(".")
+    tdir = DumpSet(dump).table_dir(schema, table)
+    part = sorted(
+        p for p in os.listdir(tdir) if not p.startswith(("_", "."))
+    )[0]
+    p = os.path.join(tdir, part)
+    raw = bytearray(open(p, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(p, "wb").write(bytes(raw))
+
+    att = Job.attach(job.job_name, dumpdir=dump)
+    st = att.restart(connection=ParquetConnector(stage), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value, st.error
+
+    evs = _events(dump)
+    rechecks = [
+        e for e in evs if e["event"] == "TABLE_RESUME_RECHECK_FAILED"
+    ]
+    assert [e["table"] for e in rechecks] == [first]
+    assert "checksum" in rechecks[0]["reason"]
+    assert not any(e["event"] == "TABLE_RESUME_SKIP" for e in evs)
+    # all three tables re-exported (tampered one redone), data intact
+    restart_ev = [e for e in evs if e["event"] == "JOB_RESTART"][0]
+    assert restart_ev["skipped"] == [] and len(restart_ev["remaining"]) == 3
+    n_src = spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    n_dump = spark.read.parquet(tdir).count()
+    assert n_src == n_dump
+
+
+def test_restart_skip_is_digest_verified_when_checksummed(
+    spark, sf_dir, tmp_path
+):
+    """Healthy checksummed dump: restart recomputes digests and they
+    match, so the completed table is skipped (the skip is a verified
+    claim, not a manifest read)."""
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_export(spark, stage, dump, checksum=True)
+    att = Job.attach(job.job_name, dumpdir=dump)
+    st = att.restart(connection=ParquetConnector(stage), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    evs = _events(dump)
+    assert sum(1 for e in evs if e["event"] == "TABLE_RESUME_SKIP") == 1
+    # every table's checksums recorded (skipped one kept, new ones added)
+    meta = DumpSet(dump).read_manifest()
+    for t in TABLES:
+        assert meta.tables[f"main.{t}"]["checksums"]["files"], t
+
+
+def test_stop_refuses_not_running(spark, sf_dir, tmp_path):
+    job = Job("EXPORT", "TABLE", dumpfiles=str(tmp_path / "d"),
+              directives=[D.INCLUDE_SCHEMA("main")])
+    with pytest.raises(UsageError, match="not running"):
+        job.stop()
+
+
+def test_restart_refuses_completed_job(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = Job("EXPORT", "TABLE", dumpfiles=dump,
+              directives=_export_directives())
+    st = job.run(wait=True, connection=ParquetConnector(stage), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value
+    att = Job.attach(job.job_name, dumpdir=dump)
+    with pytest.raises(UsageError, match="Only a STOPPED job"):
+        att.restart(connection=ParquetConnector(stage), spark=spark)
+
+
+def test_restart_refuses_import_jobs(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_export(spark, stage, dump)
+    # rewrite the manifest operation to IMPORT: restart must refuse and
+    # point at the existing idempotent path
+    mpath = DumpSet(dump).manifest_path
+    m = json.load(open(mpath))
+    m["operation"] = "IMPORT"
+    json.dump(m, open(mpath, "w"))
+    att = Job.attach(job.job_name, dumpdir=dump)
+    with pytest.raises(UsageError, match="TABLE_EXISTS_ACTION"):
+        att.restart(connection=ParquetConnector(stage), spark=spark)
+
+
+def test_stop_async_job_from_another_thread(spark, sf_dir, tmp_path):
+    """The async path: wait=False, stop issued from the caller's thread
+    while the worker executes; poll lands on STOPPED."""
+
+    class SlowRead(ParquetConnector):
+        def read_table(self, spark, schema, table, **kwargs):
+            time.sleep(0.4)
+            return super().read_table(spark, schema, table, **kwargs)
+
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = Job("EXPORT", "TABLE", dumpfiles=dump,
+              directives=_export_directives())
+    job.run(wait=False, connection=SlowRead(stage), spark=spark)
+    deadline = time.monotonic() + 30
+    while job.state != JobState.EXECUTING and time.monotonic() < deadline:
+        time.sleep(0.01)
+    job.stop()
+    assert job.state in (
+        JobState.STOP_PENDING, JobState.STOPPING, JobState.STOPPED,
+    )
+    st = job.poll_for_completion(rate=0.05)
+    assert st.job_state == JobState.STOPPED.value
+    evs = _events(dump)
+    assert any(e["event"] == "TABLE_EXPORT_NOT_RUN" for e in evs)
+    # restartable to completion afterwards
+    att = Job.attach(job.job_name, dumpdir=dump)
+    st = att.restart(connection=ParquetConnector(stage), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value, st.error
