@@ -449,7 +449,7 @@ class SqliteConnector:
         rdf = spark.createDataFrame(ranges, "xlo long, ihi long").repartition(
             n, "xlo"
         )
-        path, ts_fmt = self.path, self._TS_FMT
+        path = self.path
         ts_cols = [c for c, t in info if "TIMESTAMP" in t or "DATE" in t]
         pred_sql = f" AND ({predicate})" if predicate else ""
 
@@ -473,9 +473,20 @@ class SqliteConnector:
                             )
                         out = pd.read_sql_query(q, con)
                         for c in ts_cols:
-                            out[c] = pd.to_datetime(
-                                out[c], format=ts_fmt
-                            ).astype("datetime64[us]")
+                            # ISO8601 accepts every precision SQLite
+                            # stores ('YYYY-MM-DD[ HH:MM:SS[.ffffff]]'),
+                            # so externally-created databases with
+                            # second-precision or bare-date text read
+                            # fine; 'mixed' is the last-resort fallback
+                            # for heterogeneous columns.
+                            try:
+                                out[c] = pd.to_datetime(
+                                    out[c], format="ISO8601"
+                                ).astype("datetime64[us]")
+                            except ValueError:
+                                out[c] = pd.to_datetime(
+                                    out[c], format="mixed"
+                                ).astype("datetime64[us]")
                         yield out
             finally:
                 con.close()

@@ -152,6 +152,16 @@ def validate_encryption(enc: dict) -> dict:
         )
     scope = enc.get("scope") or ("ALL" if enc.get("password") else "NONE")
     if scope == "NONE":
+        if enc.get("columns"):
+            # ENCRYPTION_COLUMNS supplied alone: silently discarding it
+            # would ship the named columns UNENCRYPTED — the one failure
+            # mode an encryption directive must never have.
+            raise UsageError(
+                "ENCRYPTION_COLUMNS was supplied without an encryption "
+                "scope or password; add "
+                "ENCRYPTION('ENCRYPTED_COLUMNS_ONLY') and "
+                "ENCRYPTION_PASSWORD to seal the named columns"
+            )
         return {}
     columns = enc.get("columns")
     if scope == "ENCRYPTED_COLUMNS_ONLY":

@@ -220,7 +220,11 @@ def export_table(
             # incremental watermark slice, before REMAP_DATA (the policy
             # judges raw values; the remap rewrites the survivors). One
             # shuffle on the key; the pre-dedup count is a column-pruned
-            # count-star so the recorded drop is attributable.
+            # count-star so the recorded drop is attributable. The count
+            # is a SECOND scan of the same plan: exact for snapshot-stable
+            # sources (parquet, as-of reads); on a live RDBMS source rows
+            # can change between the count and the write, so the manifest
+            # rows_dropped is best-effort there (clamped at 0 below).
             from pyspark.sql import functions as F
             from pyspark.sql.window import Window
 
@@ -362,7 +366,9 @@ def export_table(
             detail["encryption"] = enc_detail
         if plan.dedup_keep_best:
             key, score, tie = plan.dedup_keep_best
-            rows_dropped = int(n_before_dedup - run_rows)
+            # best-effort on live (non-snapshot) sources — see the count
+            # note above; never negative in the manifest
+            rows_dropped = max(0, int(n_before_dedup - run_rows))
             detail["dedup_keep_best"] = {
                 "key": key,
                 "score": score,

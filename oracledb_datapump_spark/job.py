@@ -352,6 +352,24 @@ class Job:
         if config.checksum and self.operation == Operation.EXPORT:
             for p in plans:
                 p.extra["checksum_algorithm"] = config.checksum_algorithm
+        if (
+            config.table_dedup_keep_best
+            and config.incremental_columns
+            and self.operation == Operation.EXPORT
+        ):
+            # DEDUP_KEEP_BEST promises exactly one row per key in the
+            # exported dump; an incremental append runs the keep-best
+            # window only over the post-watermark slice, so a key already
+            # dumped in a prior increment could gain a second row. Refuse
+            # the composition loudly (same posture as the
+            # ENCRYPTION×INCREMENTAL guard in engine.export_table).
+            raise UsageError(
+                "DEDUP_KEEP_BEST cannot be combined with "
+                "INCREMENTAL_COLUMN: the keep-best window sees only the "
+                "post-watermark slice, so appended survivors could "
+                "duplicate keys already in the dump and break the "
+                "one-row-per-key contract"
+            )
         if config.incremental_columns and self.operation == Operation.EXPORT:
             prior = self.dumpset.read_manifest().tables if self.dumpset.exists() else {}
             for p in plans:

