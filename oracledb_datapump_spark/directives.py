@@ -109,6 +109,9 @@ class PlanConfig:
     compression_algorithm: str = "BASIC"
     dump_format: str = "PARQUET"
     encryption: dict[str, str] = field(default_factory=dict)
+    # FILESIZE (public Oracle DP parameter the reference never wraps):
+    # target bytes per dump part-file; None = Spark's natural splits
+    filesize: int | None = None
 
     # estimation / dry-run
     estimate: str | None = None
@@ -617,6 +620,60 @@ class Parallel(Parameter, name="PARALLEL"):
 
     def apply(self, config: PlanConfig) -> None:
         config.parallel = self.value
+
+
+class Filesize(Parameter, name="FILESIZE"):
+    """Target size of each dump part-file (public Oracle Data Pump
+    parameter — utilities guide, FILESIZE=integer[B|KB|MB|GB|TB]; the
+    reference never wraps it). Oracle caps each dump file and rolls to
+    the next %U file; the Spark analog maps the target to
+    ``maxRecordsPerFile`` on the dump write via an estimate-derived
+    bytes/row, with a post-write corrective rewrite (observed bytes/row,
+    atomic swap — DumpSet.compact's target-size discipline) when the
+    estimate overshot. Accepts an int (bytes) or a string with a
+    B/KB/MB/GB/TB suffix."""
+
+    _UNITS = {
+        "B": 1,
+        "K": 1 << 10,
+        "KB": 1 << 10,
+        "M": 1 << 20,
+        "MB": 1 << 20,
+        "G": 1 << 30,
+        "GB": 1 << 30,
+        "T": 1 << 40,
+        "TB": 1 << 40,
+    }
+
+    def _coerce(self, value):
+        import re as _re
+
+        if isinstance(value, bool):
+            raise InvalidDirective("FILESIZE takes a size, not a boolean")
+        if isinstance(value, (int, float)):
+            n = int(value)
+        else:
+            m = _re.fullmatch(
+                r"\s*(\d+)\s*([A-Za-z]{0,2})\s*", str(value)
+            )
+            if not m or (
+                m.group(2) and m.group(2).upper() not in self._UNITS
+            ):
+                raise InvalidDirective(
+                    f"FILESIZE {value!r} is not integer[B|KB|MB|GB|TB]"
+                )
+            n = int(m.group(1)) * self._UNITS.get(
+                (m.group(2) or "B").upper(), 1
+            )
+        if n < 64 * 1024:
+            raise InvalidDirective(
+                "FILESIZE must be at least 64KB (a smaller cap than one "
+                "parquet row group cannot be honored)"
+            )
+        return n
+
+    def apply(self, config: PlanConfig) -> None:
+        config.filesize = self.value
 
 
 class Compression(_EnumParameter, name="COMPRESSION"):

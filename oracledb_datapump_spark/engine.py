@@ -18,6 +18,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import json as _json
 import os
+import shutil
 import threading
 import traceback
 from dataclasses import dataclass, field
@@ -138,6 +139,41 @@ def _count_dump_rows(path: str, fmt: str = "parquet", spark=None) -> tuple[int, 
 # backwards-compatible alias (parquet default) for existing callers/tests
 def _count_parquet_rows(path: str) -> tuple[int, int, int]:
     return _count_dump_rows(path, "parquet")
+
+
+# FILESIZE estimate: schema byte widths (uncompressed logical size — the
+# on-disk parquet file is smaller, so a cap derived from this errs toward
+# under-full files, never oversized ones)
+_FIXED_TYPE_BYTES = {
+    "long": 8, "integer": 4, "short": 2, "byte": 1, "double": 8,
+    "float": 4, "boolean": 1, "date": 4, "timestamp": 8,
+    "timestamp_ntz": 8,
+}
+
+
+def _estimate_row_bytes(schema) -> int:
+    total = 0
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t in _FIXED_TYPE_BYTES:
+            total += _FIXED_TYPE_BYTES[t]
+        elif t == "string":
+            total += 24
+        elif t == "decimal":
+            total += 16
+        else:  # binary / array / map / struct
+            total += 64
+    return max(1, total)
+
+
+def _max_data_file_bytes(path: str) -> int:
+    mx = 0
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+        for name in filenames:
+            if not name.startswith(("_", ".")):
+                mx = max(mx, os.path.getsize(os.path.join(dirpath, name)))
+    return mx
 
 
 def export_table(
@@ -342,6 +378,16 @@ def export_table(
             writer = df.write.mode(write_mode).option(
                 "compression", _map_codec(fmt, plan.codec)
             )
+            filesize = plan.extra.get("filesize_bytes")
+            if filesize:
+                # FILESIZE (Oracle DP): target bytes per dump part-file.
+                # First pass: estimate-derived records/file from schema
+                # byte widths (parquet compression makes on-disk smaller,
+                # so the estimate errs toward under-full files — the safe
+                # direction for a size cap); the corrective pass below
+                # uses the OBSERVED bytes/row when the estimate overshot.
+                est_rpf = max(1, filesize // _estimate_row_bytes(df.schema))
+                writer = writer.option("maxRecordsPerFile", est_rpf)
             if plan.partition_by:
                 # hive-partitioned dump layout (EXPORT_PARTITION_BY
                 # extension); enables partition pruning on import and
@@ -353,6 +399,49 @@ def export_table(
                 writer = writer.option("header", "false")
             writer.format(fmt).save(out_dir)
             rows, size, nfiles = _count_dump_rows(out_dir, fmt, spark)
+            if (
+                filesize
+                and rows > 0
+                and write_mode == "overwrite"
+                and not plan.partition_by
+                and _max_data_file_bytes(out_dir) > filesize * 1.05
+            ):
+                # corrective rewrite with the observed bytes/row — the
+                # atomic tmp→swap discipline of DumpSet.compact. Runs
+                # BEFORE checksum digests are recorded so the integrity
+                # map covers the final layout. Appends and hive layouts
+                # keep the estimate-only cap (a rewrite would invalidate
+                # snapshot file lists / pruning layout).
+                obs_rpf = max(1, int(filesize * 0.9 * rows / size))
+                reader = spark.read.schema(df.schema)
+                if fmt == "csv":
+                    reader = reader.option("header", "false").option(
+                        "multiLine", "true"
+                    )
+                tmp = out_dir + ".filesize_tmp"
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    reader.format(fmt)
+                    .load(out_dir)
+                    .write.mode("overwrite")
+                    .option("compression", _map_codec(fmt, plan.codec))
+                    .option("maxRecordsPerFile", obs_rpf)
+                    .format(fmt)
+                    .save(tmp)
+                )
+                old = out_dir + ".filesize_old"
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(out_dir, old)
+                os.rename(tmp, out_dir)
+                shutil.rmtree(old)
+                rows, size, nfiles = _count_dump_rows(out_dir, fmt, spark)
+                dumpset.log_event(
+                    "TABLE_FILESIZE_ENFORCED",
+                    table=plan.source_key,
+                    target_bytes=filesize,
+                    records_per_file=obs_rpf,
+                    n_files=nfiles,
+                )
         # Manifest fields stay cumulative (they describe the dump set);
         # the TABLE_EXPORT_DONE event reports this run's delta so CDC
         # status/metrics aren't inflated by prior increments.
@@ -364,6 +453,11 @@ def export_table(
         }
         if enc_detail:
             detail["encryption"] = enc_detail
+        if plan.extra.get("filesize_bytes"):
+            detail["filesize"] = {
+                "target_bytes": plan.extra["filesize_bytes"],
+                "max_file_bytes": _max_data_file_bytes(out_dir),
+            }
         if plan.dedup_keep_best:
             key, score, tie = plan.dedup_keep_best
             # best-effort on live (non-snapshot) sources — see the count

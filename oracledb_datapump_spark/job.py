@@ -352,6 +352,17 @@ class Job:
         if config.checksum and self.operation == Operation.EXPORT:
             for p in plans:
                 p.extra["checksum_algorithm"] = config.checksum_algorithm
+        if config.filesize and self.operation == Operation.EXPORT:
+            if config.encryption:
+                # the encrypted writer owns its file layout (one sealed
+                # file per mapInPandas partition); a records-per-file cap
+                # on top would silently not be honored
+                raise UsageError(
+                    "FILESIZE cannot be combined with ENCRYPTION: the "
+                    "encrypted writer controls its own file layout"
+                )
+            for p in plans:
+                p.extra["filesize_bytes"] = config.filesize
         if (
             config.table_dedup_keep_best
             and config.incremental_columns
