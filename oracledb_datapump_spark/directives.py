@@ -112,6 +112,9 @@ class PlanConfig:
     # FILESIZE (public Oracle DP parameter the reference never wraps):
     # target bytes per dump part-file; None = Spark's natural splits
     filesize: int | None = None
+    # NETWORK_LINK (public Oracle DP parameter): source connection URI
+    # for a direct connector→connector IMPORT, no dump materialized
+    network_link: str | None = None
 
     # estimation / dry-run
     estimate: str | None = None
@@ -620,6 +623,28 @@ class Parallel(Parameter, name="PARALLEL"):
 
     def apply(self, config: PlanConfig) -> None:
         config.parallel = self.value
+
+
+class NetworkLink(Parameter, name="NETWORK_LINK"):
+    """Direct source→target transfer with NO intermediate dump set
+    (public Oracle Data Pump parameter: impdp NETWORK_LINK names a
+    database link and loads straight from the source database; the
+    reference never wraps it). Value is a connection URI the engine can
+    resolve (``parquet://dir``, ``duckdb://file``, ``sqlite://file``,
+    ``jdbc:...``). IMPORT-side only: the job's dumpfiles root holds the
+    event log and manifest, and zero data files are ever produced —
+    each table is read from the source (as-of, predicate, columns,
+    SAMPLE all apply) and piped through the import write half
+    (REMAP_SCHEMA, TABLE_EXISTS_ACTION incl. the MERGE family)."""
+
+    def _coerce(self, value):
+        v = str(value)
+        if not v:
+            raise InvalidDirective("NETWORK_LINK requires a connection URI")
+        return v
+
+    def apply(self, config: PlanConfig) -> None:
+        config.network_link = self.value
 
 
 class Filesize(Parameter, name="FILESIZE"):

@@ -588,6 +588,295 @@ def _verify_dump_checksums(
     )
 
 
+def _write_import_df(
+    spark: SparkSession,
+    connector: Connector,
+    dumpset: DumpSet,
+    plan: TablePlan,
+    config: PlanConfig,
+    df,
+):
+    """The import-side write half, shared by import_table (dump -> 
+    target) and transfer_table (NETWORK_LINK: source -> target with no
+    intermediate dump): TABLE_EXISTS_ACTION incl. the MERGE family
+    (MERGE_KEY/ORDER/DELETE_COL/PRUNE), schema evolution, and the
+    final connector write. Returns the (possibly merged) frame that
+    was written."""
+    mode = plan.write_mode
+    pruned_written = False
+    if mode == "merge":
+        # TABLE_EXISTS_ACTION(MERGE): newest-wins upsert by
+        # MERGE_KEY. One window over existing ∪ incoming (incoming
+        # tagged higher precedence), then a full rewrite — the plan a
+        # native-MERGE table format would also execute, minus its
+        # file-level pruning. The shuffle is on the merge key, so
+        # it scales like any keyed aggregation.
+        from .exceptions import UsageError
+
+        if not plan.merge_key:
+            raise UsageError(
+                "TABLE_EXISTS_ACTION(MERGE) requires MERGE_KEY(<cols>)"
+            )
+        keys = [c.strip() for c in plan.merge_key.split(",") if c.strip()]
+        # MERGE_DELETE_COL(<col>): boolean tombstone on the INCOMING
+        # side — a row with it true deletes its key instead of
+        # upserting. Applied AFTER survivor selection, so a tombstone
+        # only takes effect when it is the winning version (a stale
+        # late delete under MERGE_ORDER loses to newer state, exactly
+        # like a stale late upsert). The column is transport
+        # metadata and never lands in the stored table.
+        del_col = plan.merge_delete_col
+        if del_col:
+            from .exceptions import UsageError
+
+            if del_col not in df.columns:
+                raise UsageError(
+                    f"MERGE_DELETE_COL column {del_col!r} missing from "
+                    "the incoming dump"
+                )
+            if del_col in keys:
+                raise UsageError(
+                    "MERGE_DELETE_COL cannot be a MERGE_KEY column"
+                )
+        if connector.table_exists(plan.target_schema, plan.target_table):
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+
+            # MERGE_PRUNE: zone-map file pruning — rewrite only the
+            # files whose footer [min,max] on the merge key contains
+            # an incoming key; every file CONTAINING an incoming key
+            # is inside its own min/max, so pruning can only add
+            # false-positive rewrites, never miss one. Falls back to
+            # the full rewrite when the capability is unavailable
+            # (see directives.MergePrune). NULL incoming keys force
+            # the fallback: parquet zone maps don't locate nulls, so
+            # a stored null-key row in an untouched file would escape
+            # the survivor window.
+            prune_touched = None
+            prune_total = 0
+            if (
+                plan.merge_prune
+                and len(keys) == 1
+                and not config.allow_schema_evolution
+            ):
+                fr = getattr(connector, "table_file_ranges", None)
+                ranges = (
+                    fr(plan.target_schema, plan.target_table, keys[0])
+                    if fr
+                    else None
+                )
+                if ranges:
+                    try:
+                        has_null = (
+                            df.filter(F.col(keys[0]).isNull())
+                            .limit(1)
+                            .count()
+                            > 0
+                        )
+                        if not has_null:
+                            rng_df = spark.createDataFrame(
+                                [(p, mn, mx) for p, mn, mx in ranges],
+                                ["__path", "__mn", "__mx"],
+                            )
+                            inc = (
+                                df.select(F.col(keys[0]).alias("__k"))
+                                .distinct()
+                            )
+                            prune_touched = sorted(
+                                r["__path"]
+                                for r in inc.join(
+                                    F.broadcast(rng_df),
+                                    (F.col("__k") >= F.col("__mn"))
+                                    & (F.col("__k") <= F.col("__mx")),
+                                )
+                                .select("__path")
+                                .distinct()
+                                .collect()  # bounded by the file count
+                            )
+                            prune_total = len(ranges)
+                            if len(prune_touched) == prune_total:
+                                prune_touched = None  # nothing skipped
+                    except Exception:
+                        prune_touched = None  # capability mismatch
+            if prune_touched is None:
+                existing = connector.read_table(
+                    spark, plan.target_schema, plan.target_table
+                )
+            elif prune_touched:
+                existing = spark.read.parquet(*prune_touched)
+            else:
+                # all incoming keys are new: no stored file overlaps,
+                # but the survivor window must still dedup the batch
+                existing = connector.read_table(
+                    spark, plan.target_schema, plan.target_table
+                ).limit(0)
+            # DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION): by-name drift
+            # between the target and the dump resolves to the union
+            # of columns, null-filling either side; off = the strict
+            # by-name union (AnalysisException on drift) stands.
+            # The merge-key columns themselves may NEVER be
+            # null-filled: a side missing the key would collapse to
+            # one all-null-key partition and row_number()==1 would
+            # silently keep a single survivor — mass data loss where
+            # the strict path fails loudly.
+            if config.allow_schema_evolution:
+                from .exceptions import UsageError
+
+                for side, cols in (
+                    ("target", existing.columns),
+                    ("dump", df.columns),
+                ):
+                    miss = [k for k in keys if k not in cols]
+                    if miss:
+                        raise UsageError(
+                            f"MERGE_KEY column(s) {miss} missing from "
+                            f"the {side} side; schema evolution cannot "
+                            "null-fill a merge key"
+                        )
+            if del_col and del_col not in existing.columns:
+                # target rows are never-deleted; null-fill the
+                # transport column so the union lines up by name
+                existing = existing.withColumn(
+                    del_col, F.lit(None).cast(df.schema[del_col].dataType)
+                )
+            merged = existing.withColumn("__src", F.lit(0)).unionByName(
+                df.withColumn("__src", F.lit(1)),
+                allowMissingColumns=config.allow_schema_evolution,
+            )
+            # survivor order: incoming beats existing; duplicate keys
+            # WITHIN a side resolve by the 64-bit hash of the row's
+            # hashable columns, so repeated runs pick the same
+            # survivor (ties only between rows identical in those
+            # columns) — the job-hash determinism contract extends to
+            # MERGE. Columns whose type tree contains a MapType
+            # ANYWHERE (top-level, struct field, array element) are
+            # excluded: Spark's hash()/xxhash64() rejects maps at any
+            # nesting depth, and a map-typed tiebreak would turn a
+            # working merge into an AnalysisException.
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            def _has_map(dt) -> bool:
+                if isinstance(dt, MapType):
+                    return True
+                if isinstance(dt, ArrayType):
+                    return _has_map(dt.elementType)
+                if isinstance(dt, StructType):
+                    return any(_has_map(f.dataType) for f in dt.fields)
+                return False
+
+            hashable = [
+                f.name
+                for f in merged.schema.fields
+                if f.name != "__src" and not _has_map(f.dataType)
+            ]
+            # MERGE_ORDER(<cols>): last-writer-by-version — the highest
+            # (col1, col2, ...) tuple wins across existing ∪ incoming,
+            # so a late-arriving batch carrying an OLDER version can
+            # never clobber newer warehouse state (out-of-order CDC).
+            # Without it, incoming beats existing (arrival order).
+            # nulls_last: a side null-filled by schema evolution never
+            # beats a row that actually carries the version column.
+            order_cols = []
+            if plan.merge_order:
+                from .exceptions import UsageError
+
+                for c in plan.merge_order.split(","):
+                    c = c.strip()
+                    if not c:
+                        continue
+                    if c not in merged.columns:
+                        raise UsageError(
+                            f"MERGE_ORDER column {c!r} missing from both "
+                            "the target and the dump"
+                        )
+                    order_cols.append(F.desc_nulls_last(c))
+            w = Window.partitionBy(*keys).orderBy(
+                *order_cols, F.desc("__src"), F.xxhash64(*hashable)
+            )
+            df = (
+                merged.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
+            if del_col:
+                # drop keys whose WINNING version is a tombstone;
+                # shed the transport column from the stored table
+                df = df.filter(
+                    ~F.coalesce(
+                        F.col(del_col).cast("boolean"), F.lit(False)
+                    )
+                ).drop(del_col)
+            # materialize BEFORE the overwrite: with a lazy connector
+            # (parquet/JDBC) the plan still reads the target being
+            # replaced — evaluating it after the truncate silently
+            # drops every non-matching existing row (or Spark refuses
+            # to overwrite a path it is reading). localCheckpoint
+            # severs the lineage to the target's files.
+            df = df.localCheckpoint(eager=True)
+            if prune_touched is not None:
+                written = connector.merge_pruned_write(
+                    df,
+                    plan.target_schema,
+                    plan.target_table,
+                    prune_touched,
+                )
+                dumpset.log_event(
+                    "TABLE_MERGE_PRUNED",
+                    table=plan.target_key,
+                    files_total=prune_total,
+                    files_touched=len(prune_touched),
+                    files_written=written,
+                )
+                pruned_written = True
+        elif del_col:
+            # first merge into a fresh table: a tombstone for a key
+            # that never existed is a no-op row, not an error
+            from pyspark.sql import functions as F
+
+            df = df.filter(
+                ~F.coalesce(F.col(del_col).cast("boolean"), F.lit(False))
+            ).drop(del_col)
+        mode = "overwrite"
+    elif (
+        mode == "append"
+        and config.allow_schema_evolution
+        and connector.table_exists(plan.target_schema, plan.target_table)
+    ):
+        # APPEND evolution: narrow incoming (missing target columns)
+        # null-fills and stays a true append; widening incoming (new
+        # columns) must rewrite the target once so existing rows gain
+        # the new nulls — the same one-time widening a table format's
+        # ALTER ADD COLUMN amortizes.
+        from pyspark.sql import functions as F
+
+        existing = connector.read_table(
+            spark, plan.target_schema, plan.target_table
+        )
+        in_cols, ex_cols = set(df.columns), set(existing.columns)
+        if in_cols - ex_cols:
+            df = existing.unionByName(
+                df, allowMissingColumns=True
+            ).localCheckpoint(eager=True)
+            mode = "overwrite"
+        elif ex_cols - in_cols:
+            for fld in existing.schema.fields:
+                if fld.name not in in_cols:
+                    df = df.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+            df = df.select(*existing.columns)
+    if not pruned_written:
+        connector.write_table(
+            df,
+            plan.target_schema,
+            plan.target_table,
+            mode=mode,
+            truncate=plan.truncate,
+            options=plan.writer_options,
+        )
+    return df
+
+
 def import_table(
     spark: SparkSession,
     connector: Connector,
@@ -801,278 +1090,7 @@ def import_table(
             df = df.filter(plan.predicate)
         if plan.columns and (enc_meta is None or plan.predicate):
             df = df.select(*plan.columns)
-        mode = plan.write_mode
-        pruned_written = False
-        if mode == "merge":
-            # TABLE_EXISTS_ACTION(MERGE): newest-wins upsert by
-            # MERGE_KEY. One window over existing ∪ incoming (incoming
-            # tagged higher precedence), then a full rewrite — the plan a
-            # native-MERGE table format would also execute, minus its
-            # file-level pruning. The shuffle is on the merge key, so
-            # it scales like any keyed aggregation.
-            from .exceptions import UsageError
-
-            if not plan.merge_key:
-                raise UsageError(
-                    "TABLE_EXISTS_ACTION(MERGE) requires MERGE_KEY(<cols>)"
-                )
-            keys = [c.strip() for c in plan.merge_key.split(",") if c.strip()]
-            # MERGE_DELETE_COL(<col>): boolean tombstone on the INCOMING
-            # side — a row with it true deletes its key instead of
-            # upserting. Applied AFTER survivor selection, so a tombstone
-            # only takes effect when it is the winning version (a stale
-            # late delete under MERGE_ORDER loses to newer state, exactly
-            # like a stale late upsert). The column is transport
-            # metadata and never lands in the stored table.
-            del_col = plan.merge_delete_col
-            if del_col:
-                from .exceptions import UsageError
-
-                if del_col not in df.columns:
-                    raise UsageError(
-                        f"MERGE_DELETE_COL column {del_col!r} missing from "
-                        "the incoming dump"
-                    )
-                if del_col in keys:
-                    raise UsageError(
-                        "MERGE_DELETE_COL cannot be a MERGE_KEY column"
-                    )
-            if connector.table_exists(plan.target_schema, plan.target_table):
-                from pyspark.sql import Window
-                from pyspark.sql import functions as F
-
-                # MERGE_PRUNE: zone-map file pruning — rewrite only the
-                # files whose footer [min,max] on the merge key contains
-                # an incoming key; every file CONTAINING an incoming key
-                # is inside its own min/max, so pruning can only add
-                # false-positive rewrites, never miss one. Falls back to
-                # the full rewrite when the capability is unavailable
-                # (see directives.MergePrune). NULL incoming keys force
-                # the fallback: parquet zone maps don't locate nulls, so
-                # a stored null-key row in an untouched file would escape
-                # the survivor window.
-                prune_touched = None
-                prune_total = 0
-                if (
-                    plan.merge_prune
-                    and len(keys) == 1
-                    and not config.allow_schema_evolution
-                ):
-                    fr = getattr(connector, "table_file_ranges", None)
-                    ranges = (
-                        fr(plan.target_schema, plan.target_table, keys[0])
-                        if fr
-                        else None
-                    )
-                    if ranges:
-                        try:
-                            has_null = (
-                                df.filter(F.col(keys[0]).isNull())
-                                .limit(1)
-                                .count()
-                                > 0
-                            )
-                            if not has_null:
-                                rng_df = spark.createDataFrame(
-                                    [(p, mn, mx) for p, mn, mx in ranges],
-                                    ["__path", "__mn", "__mx"],
-                                )
-                                inc = (
-                                    df.select(F.col(keys[0]).alias("__k"))
-                                    .distinct()
-                                )
-                                prune_touched = sorted(
-                                    r["__path"]
-                                    for r in inc.join(
-                                        F.broadcast(rng_df),
-                                        (F.col("__k") >= F.col("__mn"))
-                                        & (F.col("__k") <= F.col("__mx")),
-                                    )
-                                    .select("__path")
-                                    .distinct()
-                                    .collect()  # bounded by the file count
-                                )
-                                prune_total = len(ranges)
-                                if len(prune_touched) == prune_total:
-                                    prune_touched = None  # nothing skipped
-                        except Exception:
-                            prune_touched = None  # capability mismatch
-                if prune_touched is None:
-                    existing = connector.read_table(
-                        spark, plan.target_schema, plan.target_table
-                    )
-                elif prune_touched:
-                    existing = spark.read.parquet(*prune_touched)
-                else:
-                    # all incoming keys are new: no stored file overlaps,
-                    # but the survivor window must still dedup the batch
-                    existing = connector.read_table(
-                        spark, plan.target_schema, plan.target_table
-                    ).limit(0)
-                # DATA_OPTIONS(ALLOW_SCHEMA_EVOLUTION): by-name drift
-                # between the target and the dump resolves to the union
-                # of columns, null-filling either side; off = the strict
-                # by-name union (AnalysisException on drift) stands.
-                # The merge-key columns themselves may NEVER be
-                # null-filled: a side missing the key would collapse to
-                # one all-null-key partition and row_number()==1 would
-                # silently keep a single survivor — mass data loss where
-                # the strict path fails loudly.
-                if config.allow_schema_evolution:
-                    from .exceptions import UsageError
-
-                    for side, cols in (
-                        ("target", existing.columns),
-                        ("dump", df.columns),
-                    ):
-                        miss = [k for k in keys if k not in cols]
-                        if miss:
-                            raise UsageError(
-                                f"MERGE_KEY column(s) {miss} missing from "
-                                f"the {side} side; schema evolution cannot "
-                                "null-fill a merge key"
-                            )
-                if del_col and del_col not in existing.columns:
-                    # target rows are never-deleted; null-fill the
-                    # transport column so the union lines up by name
-                    existing = existing.withColumn(
-                        del_col, F.lit(None).cast(df.schema[del_col].dataType)
-                    )
-                merged = existing.withColumn("__src", F.lit(0)).unionByName(
-                    df.withColumn("__src", F.lit(1)),
-                    allowMissingColumns=config.allow_schema_evolution,
-                )
-                # survivor order: incoming beats existing; duplicate keys
-                # WITHIN a side resolve by the 64-bit hash of the row's
-                # hashable columns, so repeated runs pick the same
-                # survivor (ties only between rows identical in those
-                # columns) — the job-hash determinism contract extends to
-                # MERGE. Columns whose type tree contains a MapType
-                # ANYWHERE (top-level, struct field, array element) are
-                # excluded: Spark's hash()/xxhash64() rejects maps at any
-                # nesting depth, and a map-typed tiebreak would turn a
-                # working merge into an AnalysisException.
-                from pyspark.sql.types import ArrayType, MapType, StructType
-
-                def _has_map(dt) -> bool:
-                    if isinstance(dt, MapType):
-                        return True
-                    if isinstance(dt, ArrayType):
-                        return _has_map(dt.elementType)
-                    if isinstance(dt, StructType):
-                        return any(_has_map(f.dataType) for f in dt.fields)
-                    return False
-
-                hashable = [
-                    f.name
-                    for f in merged.schema.fields
-                    if f.name != "__src" and not _has_map(f.dataType)
-                ]
-                # MERGE_ORDER(<cols>): last-writer-by-version — the highest
-                # (col1, col2, ...) tuple wins across existing ∪ incoming,
-                # so a late-arriving batch carrying an OLDER version can
-                # never clobber newer warehouse state (out-of-order CDC).
-                # Without it, incoming beats existing (arrival order).
-                # nulls_last: a side null-filled by schema evolution never
-                # beats a row that actually carries the version column.
-                order_cols = []
-                if plan.merge_order:
-                    from .exceptions import UsageError
-
-                    for c in plan.merge_order.split(","):
-                        c = c.strip()
-                        if not c:
-                            continue
-                        if c not in merged.columns:
-                            raise UsageError(
-                                f"MERGE_ORDER column {c!r} missing from both "
-                                "the target and the dump"
-                            )
-                        order_cols.append(F.desc_nulls_last(c))
-                w = Window.partitionBy(*keys).orderBy(
-                    *order_cols, F.desc("__src"), F.xxhash64(*hashable)
-                )
-                df = (
-                    merged.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn", "__src")
-                )
-                if del_col:
-                    # drop keys whose WINNING version is a tombstone;
-                    # shed the transport column from the stored table
-                    df = df.filter(
-                        ~F.coalesce(
-                            F.col(del_col).cast("boolean"), F.lit(False)
-                        )
-                    ).drop(del_col)
-                # materialize BEFORE the overwrite: with a lazy connector
-                # (parquet/JDBC) the plan still reads the target being
-                # replaced — evaluating it after the truncate silently
-                # drops every non-matching existing row (or Spark refuses
-                # to overwrite a path it is reading). localCheckpoint
-                # severs the lineage to the target's files.
-                df = df.localCheckpoint(eager=True)
-                if prune_touched is not None:
-                    written = connector.merge_pruned_write(
-                        df,
-                        plan.target_schema,
-                        plan.target_table,
-                        prune_touched,
-                    )
-                    dumpset.log_event(
-                        "TABLE_MERGE_PRUNED",
-                        table=plan.target_key,
-                        files_total=prune_total,
-                        files_touched=len(prune_touched),
-                        files_written=written,
-                    )
-                    pruned_written = True
-            elif del_col:
-                # first merge into a fresh table: a tombstone for a key
-                # that never existed is a no-op row, not an error
-                from pyspark.sql import functions as F
-
-                df = df.filter(
-                    ~F.coalesce(F.col(del_col).cast("boolean"), F.lit(False))
-                ).drop(del_col)
-            mode = "overwrite"
-        elif (
-            mode == "append"
-            and config.allow_schema_evolution
-            and connector.table_exists(plan.target_schema, plan.target_table)
-        ):
-            # APPEND evolution: narrow incoming (missing target columns)
-            # null-fills and stays a true append; widening incoming (new
-            # columns) must rewrite the target once so existing rows gain
-            # the new nulls — the same one-time widening a table format's
-            # ALTER ADD COLUMN amortizes.
-            from pyspark.sql import functions as F
-
-            existing = connector.read_table(
-                spark, plan.target_schema, plan.target_table
-            )
-            in_cols, ex_cols = set(df.columns), set(existing.columns)
-            if in_cols - ex_cols:
-                df = existing.unionByName(
-                    df, allowMissingColumns=True
-                ).localCheckpoint(eager=True)
-                mode = "overwrite"
-            elif ex_cols - in_cols:
-                for fld in existing.schema.fields:
-                    if fld.name not in in_cols:
-                        df = df.withColumn(
-                            fld.name, F.lit(None).cast(fld.dataType)
-                        )
-                df = df.select(*existing.columns)
-        if not pruned_written:
-            connector.write_table(
-                df,
-                plan.target_schema,
-                plan.target_table,
-                mode=mode,
-                truncate=plan.truncate,
-                options=plan.writer_options,
-            )
+        df = _write_import_df(spark, connector, dumpset, plan, config, df)
         if enc_meta:
             # sealed footers (ALL/METADATA_ONLY) need the key for the
             # zero-scan accounting; the plain counter would fall back to
@@ -1116,6 +1134,74 @@ def import_table(
             # SKIP_CONST_ERR: continue-on-error, count it
             # (reference DATA_OPTIONS, directives.py:227-238)
             return TableResult(plan, ok=False, error=str(e))
+        return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
+
+
+def transfer_table(
+    spark: SparkSession,
+    src_connector: Connector,
+    tgt_connector: Connector,
+    dumpset: DumpSet,
+    plan: TablePlan,
+    config: PlanConfig,
+) -> TableResult:
+    """NETWORK_LINK: one table read from the SOURCE connector and piped
+    straight into the import write half — no dump file ever touches disk
+    (Oracle's impdp NETWORK_LINK contract). The dump set participates
+    only as the event log / manifest. Source-side semantics match an
+    export scan (as-of, pushed predicate/columns, engine-side SAMPLE);
+    target-side semantics match an import (_write_import_df: exists
+    action, MERGE family, schema evolution). At 100 TB this halves the
+    I/O of a migrate (one read + one write instead of read + dump write
+    + dump read + write) at the cost of not having a restartable dump."""
+    dumpset.log_event("TABLE_TRANSFER_START", table=plan.source_key)
+    try:
+        if plan.write_mode == "ignore" and tgt_connector.table_exists(
+            plan.target_schema, plan.target_table
+        ):
+            dumpset.log_event(
+                "TABLE_TRANSFER_SKIP_EXISTS", table=plan.target_key
+            )
+            dumpset.log_event(
+                "TABLE_TRANSFER_DONE", table=plan.target_key, rows=0
+            )
+            return TableResult(plan, ok=True, rows=0, skipped=True)
+        df = src_connector.read_table(
+            spark,
+            plan.schema,
+            plan.table,
+            as_of=plan.as_of,
+            parallel=plan.parallel,
+            predicate=plan.predicate,
+            columns=plan.columns,
+        )
+        if plan.sample:
+            from .functions.text import hash64
+            from pyspark.sql import functions as F
+
+            ppm, col = plan.sample
+            df = df.filter(
+                F.col(col).isNotNull()
+                & (hash64(F.col(col).cast("string")) % 1_000_000 < ppm)
+            )
+        if plan.remap_data:
+            from .functions.remap_data import apply_remaps
+
+            df = apply_remaps(df, plan.remap_data)
+        df = _write_import_df(spark, tgt_connector, dumpset, plan, config, df)
+        rows = tgt_connector.read_table(
+            spark, plan.target_schema, plan.target_table
+        ).count()
+        dumpset.log_event(
+            "TABLE_TRANSFER_DONE", table=plan.target_key, rows=rows
+        )
+        return TableResult(
+            plan, ok=True, rows=rows, detail={"network_link": True}
+        )
+    except Exception as e:
+        dumpset.log_event(
+            "TABLE_TRANSFER_ERROR", table=plan.target_key, error=str(e)
+        )
         return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
 
 
@@ -1206,4 +1292,9 @@ def _run_one(
 ) -> TableResult:
     if operation == "EXPORT":
         return export_table(spark, connector, dumpset, plan)
+    if operation == "TRANSFER":
+        return transfer_table(
+            spark, plan.extra["src_connector"], connector, dumpset, plan,
+            config,
+        )
     return import_table(spark, connector, dumpset, plan, config)

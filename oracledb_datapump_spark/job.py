@@ -39,7 +39,12 @@ from .directives import (
 from .dumpset import DumpSet
 from .engine import EngineResult, run_plans
 from .exceptions import JobNotFound, UsageError
-from .planner import estimate_plan, plan_export, plan_import
+from .planner import (
+    estimate_plan,
+    plan_export,
+    plan_import,
+    plan_network_transfer,
+)
 from .session import get_spark
 from .status import (
     JobStatusInfo,
@@ -182,8 +187,35 @@ class Job:
     def _run_registered(
         self, wait: bool, spark: SparkSession, config: Any
     ) -> JobStatusInfo:
+        engine_op = self.operation.value
         if self.operation == Operation.EXPORT:
             plans = plan_export(self.connector, self.operation, self.mode, config)
+        elif config.network_link:
+            # NETWORK_LINK (public Oracle DP parameter, IMPORT side):
+            # plan against the SOURCE catalog, pipe straight to the
+            # target — no dump set is materialized; this dumpfiles root
+            # holds only the event log and manifest.
+            if config.verify_checksum or config.verify_only:
+                raise UsageError(
+                    "VERIFY_CHECKSUM/VERIFY_ONLY audit a dump set; a "
+                    "NETWORK_LINK transfer produces none"
+                )
+            if config.as_of_version is not None:
+                raise UsageError(
+                    "AS_OF_VERSION reads dump snapshot history; a "
+                    "NETWORK_LINK transfer has no dump — use "
+                    "FLASHBACK_SCN/FLASHBACK_TIME against the source"
+                )
+            if config.encryption:
+                raise UsageError(
+                    "ENCRYPTION applies to dump files; a NETWORK_LINK "
+                    "transfer produces none"
+                )
+            src = resolve_connector(config.network_link)
+            plans = plan_network_transfer(src, self.mode, config)
+            for p in plans:
+                p.extra["src_connector"] = src
+            engine_op = "TRANSFER"
         else:
             plans = plan_import(self.dumpset, config)
         self._thread_plan_extras(plans, config)
@@ -207,6 +239,10 @@ class Job:
             parallel=config.parallel,
             schemas=schemas,
         )
+        if engine_op == "TRANSFER":
+            self.dumpset.log_event(
+                "NETWORK_TRANSFER", source=config.network_link
+            )
 
         # metadata sidecar (reference job.py:235-259, commands.py:234-244)
         meta = JobMetaData(
@@ -230,7 +266,12 @@ class Job:
         )
 
         if config.estimate_only:
-            self._estimates = estimate_plan(self.connector, plans, spark)
+            est_connector = (
+                plans[0].extra["src_connector"]
+                if engine_op == "TRANSFER"
+                else self.connector
+            )
+            self._estimates = estimate_plan(est_connector, plans, spark)
             self.dumpset.log_event("JOB_ESTIMATE", estimates=self._estimates)
             self.dumpset.log_event("JOB_DONE", state=JobState.COMPLETED.value)
             self._set_state(JobState.COMPLETED)
@@ -247,7 +288,7 @@ class Job:
         def _execute() -> None:
             result = run_plans(
                 spark, self.connector, self.dumpset, plans, config,
-                self.operation.value, stop_event=self._stop_event,
+                engine_op, stop_event=self._stop_event,
             )
             self._result = result
             self._set_state(
@@ -256,7 +297,7 @@ class Job:
                 else JobState.COMPLETING
             )
 
-            if self.operation == Operation.EXPORT:
+            if self.operation == Operation.EXPORT or engine_op == "TRANSFER":
                 # enrich manifest with per-table outcomes; not-run tables
                 # (cooperative STOP before their boundary) stay out — the
                 # manifest describes what the dump set actually holds,

@@ -2064,3 +2064,97 @@ SELECT *, TRUE AS multi_file, TRUE AS filesize_enveloped,
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def datapump_roundtrip_network_link(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NETWORK_LINK lifecycle under the driver hash (public Oracle Data
+    Pump parameter: impdp NETWORK_LINK loads straight from the source
+    over a dblink, no dump set — the reference never wraps it). The SAME
+    plan (orders, REMAP_SCHEMA main→hr, REPLACE) runs twice: once
+    through the classic dump-set roundtrip (EXPORT → dump → IMPORT) and
+    once as a direct connector→connector transfer. Sentinels:
+    ``zero_dump_files`` — the link job's dumpfiles root holds events +
+    manifest and NOT ONE data file (no TABLE_EXPORT/TABLE_IMPORT events
+    either, only TABLE_TRANSFER); ``paths_identical`` — the two
+    warehouses are row-multiset equal (exceptAll both ways is empty), so
+    skipping the dump changed nothing but the I/O. At 100 TB the link
+    path halves a migration's bytes moved (one read + one write instead
+    of read + dump write + dump read + write)."""
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    dump = tempfile.mkdtemp(prefix="dp_nl_dump_")
+    events = tempfile.mkdtemp(prefix="dp_nl_ev_")
+    wh1 = tempfile.mkdtemp(prefix="dp_nl_wh1_")
+    wh2 = tempfile.mkdtemp(prefix="dp_nl_wh2_")
+    try:
+        # path A: classic dump-set roundtrip
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("orders")],
+        ).run(wait=True, connection=ParquetConnector(sf_dir), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"dump-path export failed: {st.error}")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "hr"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh1), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"dump-path import failed: {st.error}")
+        # path B: the same plan over the link — no dump materialized
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=events,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE("orders"),
+                D.NETWORK_LINK(f"parquet://{sf_dir}"),
+                D.REMAP_SCHEMA("main", "hr"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh2), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"network transfer failed: {st.error}")
+        ds = DumpSet(events)
+        evs = [e["event"] for e in ds.read_events()]
+        zero_dump_files = (
+            ds.dumpfiles() == []
+            and "NETWORK_TRANSFER" in evs
+            and "TABLE_TRANSFER_DONE" in evs
+            and not any(e.startswith(("TABLE_EXPORT", "TABLE_IMPORT")) for e in evs)
+        )
+        a = ParquetConnector(wh1).read_table(spark, "hr", "orders")
+        b = ParquetConnector(wh2).read_table(spark, "hr", "orders")
+        paths_identical = (
+            a.exceptAll(b).limit(1).count() == 0
+            and b.exceptAll(a).limit(1).count() == 0
+        )
+        return (
+            b.withColumn("zero_dump_files", F.lit(bool(zero_dump_files)))
+            .withColumn("paths_identical", F.lit(bool(paths_identical)))
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(events, ignore_errors=True)
+        shutil.rmtree(wh1, ignore_errors=True)
+        shutil.rmtree(wh2, ignore_errors=True)
+
+
+ROUNDTRIP_NETWORK_LINK_SQL = """
+SELECT *, TRUE AS zero_dump_files, TRUE AS paths_identical
+FROM orders
+ORDER BY o_orderkey
+"""

@@ -176,6 +176,34 @@ def plan_export(
     return plans
 
 
+def plan_network_transfer(
+    connector: Connector,
+    mode: JobMode,
+    config: PlanConfig,
+) -> list[TablePlan]:
+    """NETWORK_LINK planning: enumerate the SOURCE catalog like an export
+    (so mode/filters/as-of/SAMPLE apply to the source), then graft the
+    import-side contract onto each plan (schema remap, exists-action,
+    MERGE family) — the plan a dump-set roundtrip would execute, minus
+    the dump."""
+    plans = plan_export(connector, Operation.IMPORT, mode, config)
+    wmode, truncate = config.write_mode()
+    for p in plans:
+        p.target_schema = config.remap_schema.get(p.schema, p.schema)
+        p.write_mode = wmode
+        p.truncate = truncate
+        p.merge_order = config.table_merge_order.get(
+            p.table, config.table_merge_order.get("*")
+        )
+        p.merge_delete_col = config.table_merge_delete_col.get(
+            p.table, config.table_merge_delete_col.get("*")
+        )
+        p.merge_prune = config.table_merge_prune.get(
+            p.table, config.table_merge_prune.get("*", False)
+        )
+    return plans
+
+
 def plan_import(
     dumpset: DumpSet,
     config: PlanConfig,
