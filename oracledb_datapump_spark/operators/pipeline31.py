@@ -270,3 +270,193 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS rnk
 WHERE rnk <= {BPE_TOP}
 ORDER BY rnk
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE train-and-encode loop: k merges + corpus re-encode (r11 verdict ask #6)
+# ---------------------------------------------------------------------------
+
+BPE_CURVE_K = 6
+
+
+def _bpe_seq_tokens(col):
+    """Tokens of a double-space-delimited sequence string."""
+    return F.split(F.trim(col), "  ")
+
+
+def bpe_encode_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, merged_pair, total_tokens, fertility_ppm): the actual BPE
+    TRAINING LOOP for {BPE_CURVE_K} merges, with the corpus re-encoded
+    after every merge — closes the tokenizer story bpe_merge_candidates
+    opens (that op ranks round-1 candidates; this one runs the rounds).
+
+    Sennrich-style: train on the WORD-FREQUENCY table (unique word +
+    corpus count), not the raw stream — the state a 100 TB corpus
+    reduces to one Zipf-bounded vocabulary table, so the k-round loop
+    iterates over thousands of rows while the counts carry full corpus
+    weight. Each round: adjacent-pair frequencies weighted by word
+    count (one partial-aggregated groupBy), argmax with freq-desc /
+    pair-asc tie-break (a one-row collect — the training loop is
+    inherently iterative, like kmeans centroids), then greedy
+    left-to-right NON-OVERLAPPING merge application.
+
+    Merge application is a LITERAL string replace under a double-space
+    token-boundary representation: a sequence is ' t1  t2  ...  tn '
+    (two spaces between tokens, one at each end), the pair (a,b)
+    becomes the pattern ' a  b ' → ' ab '. Adjacent occurrences then
+    overlap by ZERO characters (single-space joints would share the
+    delimiter and silently skip every second merge site), so the
+    engines' shared replace-all semantics — scan left to right, never
+    rescan replaced output — IS greedy BPE. Spark F.replace and DuckDB
+    replace() agree exactly, which is what the cross-engine hash pins.
+
+    fertility_ppm = tokens per word × 1e6 (integer DIV; monotonically
+    non-increasing in k). The k=0 row is the un-merged character
+    baseline."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(
+        F.split(F.lower("text"), TOKEN_SPLIT_RE_31), lambda w: F.length(w) >= 2
+    )
+    wc = (
+        d.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "seq",
+            F.concat(
+                F.lit(" "),
+                F.array_join(
+                    F.expr(
+                        "transform(sequence(1, length(w)), "
+                        "i -> substring(w, i, 1))"
+                    ),
+                    "  ",
+                ),
+                F.lit(" "),
+            ),
+        )
+        # the vocabulary table is the loop state: tiny (Zipf-bounded),
+        # re-read k+1 times — pin it once
+        .localCheckpoint(eager=True)
+    )
+    total_words = wc.agg(F.sum("cnt")).collect()[0][0]
+
+    def totals(frame):
+        row = frame.agg(
+            F.sum(
+                F.col("cnt") * F.size(_bpe_seq_tokens(F.col("seq")))
+            ).alias("t")
+        ).collect()[0]
+        return int(row["t"])
+
+    curve = [(0, "", totals(wc))]
+    cur = wc
+    for k in range(1, BPE_CURVE_K + 1):
+        toks = _bpe_seq_tokens(F.col("seq"))
+        pair_rows = (
+            cur.select(F.col("cnt"), toks.alias("__t"))
+            .filter(F.size("__t") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(__t) - 1), "
+                        "i -> concat(element_at(__t, i), ' ', "
+                        "element_at(__t, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_rows:  # corpus fully merged before k rounds
+            break
+        pair = pair_rows[0]["pair"]
+        pat = " " + pair.replace(" ", "  ") + " "
+        rep = " " + pair.replace(" ", "") + " "
+        cur = cur.withColumn(
+            "seq", F.replace(F.col("seq"), F.lit(pat), F.lit(rep))
+        )
+        curve.append((k, pair, totals(cur)))
+    out = spark.createDataFrame(
+        [
+            (k, p, t, t * 1_000_000 // total_words)
+            for k, p, t in curve
+        ],
+        "k long, merged_pair string, total_tokens long, fertility_ppm long",
+    )
+    return out.orderBy("k")
+
+
+def _bpe_encode_curve_sql() -> str:
+    """ONE emitter unrolls the k-round loop into a CTE chain (the
+    kcore_peel_curve oracle pattern): step k picks its best pair with a
+    scalar cross join and re-encodes with the same double-space literal
+    replace the Spark side uses."""
+    sql = [
+        f"""
+WITH wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+         ' ' || array_to_string(
+             list_transform(range(len(w)), i -> substr(w, i + 1, 1)),
+             '  ') || ' ' AS seq
+  FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(text), '{TOKEN_SPLIT_RE_31}'),
+             x -> len(x) >= 2)) AS w
+    FROM documents
+  )
+  GROUP BY w
+), tw AS (SELECT SUM(cnt) AS total_words FROM wc),
+s0 AS (SELECT cnt, seq FROM wc),
+r0 AS (
+  SELECT 0 AS k, '' AS merged_pair,
+         CAST(SUM(cnt * len(string_split(trim(seq), '  '))) AS BIGINT)
+           AS total_tokens
+  FROM s0
+)"""
+    ]
+    for k in range(1, BPE_CURVE_K + 1):
+        sql.append(
+            f""",
+p{k} AS (
+  SELECT unnest(list_transform(range(len(t) - 1),
+                               i -> t[i + 1] || ' ' || t[i + 2])) AS pair,
+         cnt
+  FROM (SELECT string_split(trim(seq), '  ') AS t, cnt FROM s{k - 1})
+  WHERE len(t) >= 2
+), b{k} AS (
+  SELECT pair FROM (
+    SELECT pair, SUM(cnt) AS freq FROM p{k} GROUP BY pair
+  ) ORDER BY freq DESC, pair ASC LIMIT 1
+), s{k} AS (
+  SELECT cnt,
+         replace(seq, ' ' || replace(pair, ' ', '  ') || ' ',
+                      ' ' || replace(pair, ' ', '') || ' ') AS seq
+  FROM s{k - 1} CROSS JOIN b{k}
+), r{k} AS (
+  SELECT {k} AS k, (SELECT pair FROM b{k}) AS merged_pair,
+         CAST(SUM(cnt * len(string_split(trim(seq), '  '))) AS BIGINT)
+           AS total_tokens
+  FROM s{k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM r{k}" for k in range(0, BPE_CURVE_K + 1)
+    )
+    sql.append(
+        f"""
+SELECT CAST(k AS BIGINT) AS k, merged_pair, total_tokens,
+       CAST(total_tokens * 1000000 // (SELECT total_words FROM tw)
+            AS BIGINT) AS fertility_ppm
+FROM ({union})
+ORDER BY k
+"""
+    )
+    return "".join(sql)
+
+
+BPE_ENCODE_CURVE_SQL = _bpe_encode_curve_sql()

@@ -99,3 +99,64 @@ def test_bpe_candidates_python_reference(spark, sf_dir):
     got = bpe_merge_candidates(spark, sf_dir).collect()
     assert [(r.pair, r.freq) for r in got] == expect
     assert [r.rnk for r in got] == list(range(1, len(expect) + 1))
+
+
+def test_bpe_double_space_merge_semantics(spark):
+    """The double-space boundary representation makes literal replace
+    exactly greedy non-overlapping BPE: consecutive disjoint pair sites
+    ALL merge in one pass ('abab' -> 'ab ab'), overlapping sites merge
+    left-to-right only ('aaa' -> 'aa a'), and multi-char tokens never
+    false-match inside other tokens."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(" a  b  a  b ",), (" a  a  a ",), (" xa  b ",)], "seq string"
+    )
+    out = [
+        r["m"]
+        for r in df.select(
+            F.replace(F.col("seq"), F.lit(" a  b "), F.lit(" ab ")).alias("m")
+        ).collect()
+    ]
+    assert out[0] == " ab  ab "   # both disjoint sites merged
+    assert out[1] == " a  a  a "  # pair (a,b) absent — untouched
+    assert out[2] == " xa  b "    # 'xa' does not false-match 'a'
+    out2 = [
+        r["m"]
+        for r in df.select(
+            F.replace(F.col("seq"), F.lit(" a  a "), F.lit(" aa ")).alias("m")
+        ).collect()
+    ]
+    assert out2[1] == " aa  a "   # greedy left-to-right, no rescan
+    # DuckDB replace agrees on all of it (the cross-engine contract)
+    import duckdb
+
+    con = duckdb.connect()
+    for seq, pat, rep, want in [
+        (" a  b  a  b ", " a  b ", " ab ", " ab  ab "),
+        (" a  a  a ", " a  a ", " aa ", " aa  a "),
+        (" xa  b ", " a  b ", " ab ", " xa  b "),
+    ]:
+        got = con.sql(
+            "SELECT replace(?, ?, ?)", params=[seq, pat, rep]
+        ).fetchone()[0]
+        assert got == want, (seq, got)
+
+
+def test_bpe_encode_curve_monotone(spark, sf_dir):
+    from oracledb_datapump_spark.operators.pipeline31 import (
+        BPE_CURVE_K,
+        bpe_encode_curve,
+    )
+
+    rows = bpe_encode_curve(spark, sf_dir).collect()
+    assert rows[0]["k"] == 0 and rows[0]["merged_pair"] == ""
+    assert len(rows) == BPE_CURVE_K + 1
+    toks = [r["total_tokens"] for r in rows]
+    ferts = [r["fertility_ppm"] for r in rows]
+    # every merge strictly reduces the corpus token count
+    assert all(a > b for a, b in zip(toks, toks[1:]))
+    assert all(a >= b for a, b in zip(ferts, ferts[1:]))
+    # merged pairs are distinct (a pair can win at most one round)
+    pairs = [r["merged_pair"] for r in rows[1:]]
+    assert len(set(pairs)) == len(pairs)
