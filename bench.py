@@ -98,6 +98,7 @@ EXCLUDED = {
     "datapump_roundtrip_stop_restart": "five job lifecycles (two deliberately stopped) + digest recheck passes over 3 tiny tables; lifecycle machinery dominates, same family as datapump_roundtrip_checksum (EXCLUDED)",
     "datapump_roundtrip_filesize": "same export->verify->import lifecycle as datapump_roundtrip_checksum (EXCLUDED); the maxRecordsPerFile cap adds no plan shape, it splits the write",
     "datapump_roundtrip_network_link": "three job lifecycles (dump path + link path) plus a two-way exceptAll identity check; lifecycle machinery dominates, same family as datapump_roundtrip_checksum (EXCLUDED)",
+    "datapump_roundtrip_partition_scoped": "a partitionBy staging write + two job lifecycles; the scoped scan itself reads ONE hive leaf (pinned by sentinel, not timing) — same lifecycle family as datapump_roundtrip_checksum (EXCLUDED)",
     "markov_top1_accuracy": "same user-keyed lag-window dominant shape as event_transition_gaps (benched); the argmax/accuracy stage runs over a <=|types|^2 aggregate",
     "bigram_lift_topk": "same tokenize+bigram-count dominant shape as bigram_surprise (benched); adds only marginal joins over the Zipf-bounded aggregate",
     "sq8_quant_error": "same posexplode + per-dim aggregate shape as pq_subspace_error (benched), with row-local integer arithmetic instead of codebook joins",

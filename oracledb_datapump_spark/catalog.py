@@ -163,6 +163,7 @@ class ParquetConnector:
         parallel: int = 1,
         predicate: str | None = None,
         columns: list[str] | None = None,
+        partition: str | None = None,
     ) -> DataFrame:
         path = self._path(schema, table)
         if not os.path.exists(path):
@@ -173,7 +174,26 @@ class ParquetConnector:
         reader = spark.read
         if self.fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
-        df = reader.format(self.fmt).load(path)
+        if partition:
+            # TABLE:PARTITION scope — scan ONLY the named hive leaf
+            # (connector-level file pruning: the other partitions' files
+            # are never listed, let alone read). basePath keeps the
+            # partition column in the schema, like Oracle's
+            # partition-scoped export keeping the full column set.
+            leaf = os.path.join(path, partition)
+            if not os.path.isdir(leaf):
+                avail = sorted(
+                    n
+                    for n in os.listdir(path)
+                    if os.path.isdir(os.path.join(path, n)) and "=" in n
+                )
+                raise FileError(
+                    f"No partition {partition!r} in {schema}.{table} "
+                    f"(available: {avail or 'none — table is unpartitioned'})"
+                )
+            df = reader.option("basePath", path).format(self.fmt).load(leaf)
+        else:
+            df = reader.format(self.fmt).load(path)
         if predicate:
             df = df.filter(predicate)  # pushed to the parquet scan by Catalyst
         if columns:

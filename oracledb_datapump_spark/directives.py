@@ -78,6 +78,8 @@ class PlanConfig:
     table_predicates: dict[str, str] = field(default_factory=dict)
     table_columns: dict[str, list[str]] = field(default_factory=dict)
     table_partition_by: dict[str, str] = field(default_factory=dict)
+    # TABLE:PARTITION scope (Oracle TABLES syntax): table -> 'col=value'
+    table_partition_scope: dict[str, str] = field(default_factory=dict)
     table_sort_by: dict[str, str] = field(default_factory=dict)
     table_zorder_by: dict[str, str] = field(default_factory=dict)
     table_merge_key: dict[str, str] = field(default_factory=dict)
@@ -276,10 +278,31 @@ class IncludeSchema(Filter, name="INCLUDE_SCHEMA"):
 
 
 class IncludeTable(Filter, name="INCLUDE_TABLE"):
-    """NAME_EXPR IN ('NAME'), object_path=TABLE (reference directives.py:167-180)."""
+    """NAME_EXPR IN ('NAME'), object_path=TABLE (reference directives.py:167-180).
+
+    Partition scope: Oracle's TABLES syntax accepts ``TABLE:PARTITION``
+    (export one named partition as the job scope — utilities guide,
+    expdp TABLES). The hive analog of a partition name is the leaf
+    directory ``col=value``, so ``INCLUDE_TABLE('orders:o_pri=HIGH')``
+    scopes the job to that leaf: the scan reads ONLY the named
+    partition's files (connector-level file pruning, evidenced in the
+    TABLE_EXPORT_PARTITION_SCOPED event) and composes with
+    EXPORT_PARTITION_BY on export and PARTITION_OPTIONS on import."""
 
     def apply(self, config: PlanConfig) -> None:
-        config.include_tables.append(str(self.value))
+        v = str(self.value)
+        if ":" in v:
+            table, _, part = v.partition(":")
+            if "=" not in part:
+                raise InvalidDirective(
+                    f"INCLUDE_TABLE partition scope {part!r} must be the "
+                    "hive leaf form 'column=value' (the partition-name "
+                    "analog of Oracle's TABLE:PARTITION)"
+                )
+            config.include_tables.append(table)
+            config.table_partition_scope[table] = part
+        else:
+            config.include_tables.append(v)
 
 
 class ViewsAsTables(Filter, name="VIEWS_AS_TABLES"):

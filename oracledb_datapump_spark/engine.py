@@ -176,6 +176,52 @@ def _max_data_file_bytes(path: str) -> int:
     return mx
 
 
+def _read_source(
+    spark: SparkSession, connector: Connector, dumpset: DumpSet, plan: TablePlan
+):
+    """Source scan for EXPORT / TRANSFER, honoring the TABLE:PARTITION
+    scope (Oracle TABLES syntax): the named hive leaf is the only data
+    listed or read, and the pruning evidence (files scanned vs. the
+    table's total) is recorded in a TABLE_EXPORT_PARTITION_SCOPED event
+    so the job log proves the scan was partition-pruned."""
+    part = plan.extra.get("partition_scope")
+    kwargs: dict[str, Any] = dict(
+        as_of=plan.as_of,
+        parallel=plan.parallel,
+        predicate=plan.predicate,
+        columns=plan.columns,
+    )
+    if part:
+        import inspect
+
+        from .exceptions import UsageError
+
+        if "partition" not in inspect.signature(
+            connector.read_table
+        ).parameters:
+            raise UsageError(
+                f"{type(connector).__name__} does not support "
+                "TABLE:PARTITION scope — hive-layout file sources only"
+            )
+        kwargs["partition"] = part
+    df = connector.read_table(spark, plan.schema, plan.table, **kwargs)
+    if part:
+        files_scanned = len(df.inputFiles())
+        files_total = len(
+            connector.read_table(
+                spark, plan.schema, plan.table
+            ).inputFiles()
+        )
+        dumpset.log_event(
+            "TABLE_EXPORT_PARTITION_SCOPED",
+            table=plan.source_key,
+            partition=part,
+            files_scanned=files_scanned,
+            files_total=files_total,
+        )
+    return df
+
+
 def export_table(
     spark: SparkSession,
     connector: Connector,
@@ -213,15 +259,7 @@ def export_table(
                 plan, ok=True, rows=0, bytes=0, files=0,
                 detail={"spark_schema": df.schema.json(), "metadata_only": True},
             )
-        df = connector.read_table(
-            spark,
-            plan.schema,
-            plan.table,
-            as_of=plan.as_of,
-            parallel=plan.parallel,
-            predicate=plan.predicate,
-            columns=plan.columns,
-        )
+        df = _read_source(spark, connector, dumpset, plan)
         schema_json = df.schema.json()
         if plan.sample:
             # SAMPLE is evaluated engine-side on the scanned DataFrame —
@@ -1166,15 +1204,7 @@ def transfer_table(
                 "TABLE_TRANSFER_DONE", table=plan.target_key, rows=0
             )
             return TableResult(plan, ok=True, rows=0, skipped=True)
-        df = src_connector.read_table(
-            spark,
-            plan.schema,
-            plan.table,
-            as_of=plan.as_of,
-            parallel=plan.parallel,
-            predicate=plan.predicate,
-            columns=plan.columns,
-        )
+        df = _read_source(spark, src_connector, dumpset, plan)
         if plan.sample:
             from .functions.text import hash64
             from pyspark.sql import functions as F

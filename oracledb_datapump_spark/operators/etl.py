@@ -2158,3 +2158,105 @@ SELECT *, TRUE AS zero_dump_files, TRUE AS paths_identical
 FROM orders
 ORDER BY o_orderkey
 """
+
+
+def datapump_roundtrip_partition_scoped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TABLE:PARTITION job scope under the driver hash (Oracle expdp
+    TABLES syntax 'schema.table:partition_name' — utilities guide; the
+    reference never wraps it). A hive-partitioned staging of ``orders``
+    (partitionBy o_orderpriority) is exported with
+    INCLUDE_TABLE('orders:o_orderpriority=1-URGENT'): the scan lists and
+    reads ONLY the named leaf's files — connector-level file pruning,
+    proven by the TABLE_EXPORT_PARTITION_SCOPED event
+    (``partition_pruned`` sentinel: files_scanned < files_total).
+    Composed with EXPORT_PARTITION_BY the dump keeps a hive layout with
+    exactly ONE leaf (``single_leaf_dump``), and PARTITION_OPTIONS
+    (DEPARTITION) on import promotes it to a standalone table with the
+    full column set. Hash equality against the WHERE-filtered source
+    pins row fidelity. At 100 TB, partition-scoped jobs are how you
+    re-export one day of a date-partitioned corpus without listing the
+    other 3,650 leaves."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    part_col, part_val = "o_orderpriority", "1-URGENT"
+    part = f"{part_col}={part_val}"
+    stage = tempfile.mkdtemp(prefix="dp_ps_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_ps_dump_")
+    wh = tempfile.mkdtemp(prefix="dp_ps_wh_")
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .write.partitionBy(part_col)
+            .parquet(_os.path.join(stage, "orders.parquet"))
+        )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.INCLUDE_TABLE(f"orders:{part}"),
+                D.EXPORT_PARTITION_BY(part_col),
+            ],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"scoped export failed: {st.error}")
+        ds = DumpSet(dump)
+        evs = [
+            e
+            for e in ds.read_events()
+            if e["event"] == "TABLE_EXPORT_PARTITION_SCOPED"
+        ]
+        partition_pruned = (
+            len(evs) == 1
+            and evs[0]["partition"] == part
+            and 1 <= evs[0]["files_scanned"] < evs[0]["files_total"]
+        )
+        tdir = ds.table_dir("main", "orders")
+        single_leaf_dump = [
+            d for d in _os.listdir(tdir) if "=" in d
+        ] == [part]
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.PARTITION_OPTIONS("DEPARTITION"),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"departition import failed: {st.error}")
+        target = f"orders_{part_col}_{part_val}".lower()
+        out = ParquetConnector(wh).read_table(spark, "main", target)
+        # restore the source column order (partitionBy moved the
+        # partition column last); the driver compare sorts by name, but
+        # a stable projection keeps the schema check meaningful
+        src_cols = spark.read.parquet(f"{sf_dir}/orders.parquet").columns
+        return (
+            out.select(*src_cols)
+            .withColumn("partition_pruned", F.lit(bool(partition_pruned)))
+            .withColumn(
+                "single_leaf_dump", F.lit(bool(single_leaf_dump))
+            )
+            .orderBy("o_orderkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ROUNDTRIP_PARTITION_SCOPED_SQL = """
+SELECT *, TRUE AS partition_pruned, TRUE AS single_leaf_dump
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY o_orderkey
+"""

@@ -139,7 +139,18 @@ def plan_export(
                     dedup_keep_best=config.table_dedup_keep_best.get(
                         table, config.table_dedup_keep_best.get("*")
                     ),
-                    extra={"dump_format": config.dump_format.lower()},
+                    extra={
+                        "dump_format": config.dump_format.lower(),
+                        **(
+                            {
+                                "partition_scope": config.table_partition_scope[
+                                    table
+                                ]
+                            }
+                            if table in config.table_partition_scope
+                            else {}
+                        ),
+                    },
                 )
             )
     # VIEWS_AS_TABLES: materialize named source views as exported tables
