@@ -89,6 +89,9 @@ EXCLUDED = {
     "video_decode_features": "same synth-generate + mapInPandas decode shape as audio_decode_features (benched); per-row cost is <=6 MJPEG frames of DC-only blocks",
     "ab_test_report": "one events scan to a per-user flag then 2-row arm aggregates; same scan-bound micro-agg family as srm_bucket_audit (excluded, hll_distinct benched)",
     "events_changepoint_scan": "same per-type daily-count aggregate + tiny-window shape as events_anomaly_hours (benched); the CUSUM windows run over a <=|types x days| frame",
+    "events_runs_test": "same per-type daily rollup + lag-window shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched); the runs reduce is over a <=|types| frame",
+    "kendall_tau_daily": "day-level rollup then an O(days^2) join over the tiny aggregate — same rollup-dominated family as events_changepoint_scan (EXCLUDED); the orders scan shape is q1_pricing_summary (benched)",
+    "dedup_pair_degree_histogram": "rides the memoized verified-pair table like dedup_group_size_histogram; one union + two tiny groupBys — the dominant cost (LSH verify) is benched via dedup_minhash_verified",
     "events_value_trend": "same per-type daily aggregate + tiny reduction shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched)",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
     "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",
@@ -440,6 +443,7 @@ HEADLINE = [
     "hilbert_skip_compare",
     "chi2_independence_matrix",
     "exact_percentile_two_pass",
+    "mw_u_segments",
     # three-micro-batch ingestion dedup: per-batch band join against a
     # growing parquet index + candidate-verify — the streaming LSH shape
     "streaming_dedup_incremental",
