@@ -117,6 +117,9 @@ class PlanConfig:
     # NETWORK_LINK (public Oracle DP parameter): source connection URI
     # for a direct connector→connector IMPORT, no dump materialized
     network_link: str | None = None
+    # REUSE_DUMPFILES (public Oracle DP parameter, default NO): permit
+    # an EXPORT to overwrite a table dir that already holds data files
+    reuse_dumpfiles: bool = False
 
     # estimation / dry-run
     estimate: str | None = None
@@ -646,6 +649,23 @@ class Parallel(Parameter, name="PARALLEL"):
 
     def apply(self, config: PlanConfig) -> None:
         config.parallel = self.value
+
+
+class ReuseDumpfiles(Parameter, name="REUSE_DUMPFILES"):
+    """Overwrite existing dump files on EXPORT (public Oracle Data Pump
+    parameter, default NO: expdp raises ORA-27038 'file already exists'
+    rather than clobbering a dump — the reference never wraps it). Our
+    analog: with the default NO, an EXPORT whose table dir already
+    holds data files refuses at plan time; REUSE_DUMPFILES('YES')
+    permits the overwrite. Incremental appends (INCREMENTAL_COLUMN) are
+    exempt — appending past a watermark is the append contract, not a
+    clobber."""
+
+    def _coerce(self, value):
+        return coerce_bool(value)
+
+    def apply(self, config: PlanConfig) -> None:
+        config.reuse_dumpfiles = self.value
 
 
 class NetworkLink(Parameter, name="NETWORK_LINK"):

@@ -219,6 +219,28 @@ class Job:
         else:
             plans = plan_import(self.dumpset, config)
         self._thread_plan_extras(plans, config)
+        if self.operation == Operation.EXPORT and not config.reuse_dumpfiles:
+            # REUSE_DUMPFILES default NO (Oracle parity: expdp raises
+            # ORA-27038 'file already exists' rather than clobbering a
+            # dump). Incremental appends are exempt — appending past the
+            # watermark is the append contract, not a clobber.
+            import os as _os
+
+            for p in plans:
+                if p.extra.get("incremental_column") is not None:
+                    continue
+                tdir = self.dumpset.table_dir(p.schema, p.table)
+                if _os.path.isdir(tdir) and any(
+                    not n.startswith(("_", "."))
+                    for _dp, _dn, fn in _os.walk(tdir)
+                    for n in fn
+                ):
+                    deregister_job(self.job_name)
+                    raise UsageError(
+                        f"dump for {p.source_key} already exists at "
+                        f"{tdir} (ORA-27038 analog); set "
+                        "REUSE_DUMPFILES('YES') to overwrite it"
+                    )
         if not plans:
             # Oracle raises ORA-39165 for a schema that matches nothing; a
             # vacuous job completing silently would hide typos.

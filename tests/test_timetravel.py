@@ -39,6 +39,11 @@ def _export(spark, stage, dump, incremental=True):
     directives = [D.INCLUDE_SCHEMA("main"), D.INCLUDE_TABLE("tx")]
     if incremental:
         directives.append(D.INCREMENTAL_COLUMN("id", object_path="tx"))
+    else:
+        # a non-incremental export onto an existing dump is the clobber
+        # REUSE_DUMPFILES(NO) refuses by default (Oracle ORA-27038
+        # parity); this flow overwrites deliberately
+        directives.append(D.REUSE_DUMPFILES(True))
     st = Job(
         Operation.EXPORT,
         JobMode.TABLE,
