@@ -92,6 +92,9 @@ EXCLUDED = {
     "events_runs_test": "same per-type daily rollup + lag-window shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched); the runs reduce is over a <=|types| frame",
     "kendall_tau_daily": "day-level rollup then an O(days^2) join over the tiny aggregate — same rollup-dominated family as events_changepoint_scan (EXCLUDED); the orders scan shape is q1_pricing_summary (benched)",
     "dedup_pair_degree_histogram": "rides the memoized verified-pair table like dedup_group_size_histogram; one union + two tiny groupBys — the dominant cost (LSH verify) is benched via dedup_minhash_verified",
+    "dedup_savings_report": "one groupBy over the memoized dedup_groups labels (dominant cost benched via connected_components_sizes); the ROI reduce is over |groups| rows",
+    "template_prefix_histogram": "row-local prefix extract + count-of-counts — same shape as session_length_histogram (benched) / k_anonymity_report (EXCLUDED)",
+    "span_corruption_plan": "row-local integer arithmetic over the token count — same scan-bound projection shape as token_count (benched)",
     "events_value_trend": "same per-type daily aggregate + tiny reduction shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched)",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
     "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",
@@ -444,6 +447,7 @@ HEADLINE = [
     "chi2_independence_matrix",
     "exact_percentile_two_pass",
     "mw_u_segments",
+    "coherent_sample_counts",
     # three-micro-batch ingestion dedup: per-batch band join against a
     # growing parquet index + candidate-verify — the streaming LSH shape
     "streaming_dedup_incremental",
