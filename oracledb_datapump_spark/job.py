@@ -579,6 +579,37 @@ class Job:
             )
         return self.get_status()
 
+    def kill(self, timeout: float = 600.0) -> None:
+        """KILL_JOB analog (Oracle's interactive-mode command /
+        DBMS_DATAPUMP.STOP_JOB with immediate stop and the master table
+        dropped): request a cooperative stop, wait for the worker to
+        land terminal, then DELETE the entire dump set — data files,
+        manifest and event log (Oracle drops the master table, so a
+        killed job is not attachable and not restartable; files written
+        so far are discarded). Contrast stop(): STOPPED keeps every
+        artifact and restart() resumes from them."""
+        from .base import TERMINAL_STATES
+
+        if self.dumpset is None:
+            raise UsageError("Job has no dump set yet (not started)")
+        if self._state not in TERMINAL_STATES and self._state not in (
+            JobState.UNDEFINED,
+            JobState.NOT_RUNNING,
+        ):
+            self._stop_event.set()
+            self._set_state(JobState.STOP_PENDING)
+            worker = getattr(self, "_worker", None)
+            if worker is not None and worker.is_alive():
+                worker.join(timeout=timeout)
+                if worker.is_alive():
+                    raise UsageError(
+                        f"kill(): worker did not reach a table boundary "
+                        f"within {timeout}s; the job is still stopping"
+                    )
+        self.dumpset.delete()
+        deregister_job(self.job_name)
+        self._set_state(JobState.NOT_RUNNING)
+
     def restart(
         self,
         connection: Any = None,

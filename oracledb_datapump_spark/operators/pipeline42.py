@@ -358,3 +358,84 @@ ORDER BY doc_id
 
 
 DEDUP_SAVINGS_REPORT_SQL = _dedup_savings_sql()
+
+
+SHUFFLE_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+
+
+def training_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(epoch, shard, n_docs, sum_chars, top_source_share_ppm): the
+    per-epoch reshuffle a training loader runs — every epoch assigns
+    each document to a shard by hash(doc_id:epoch) so consecutive
+    epochs see DIFFERENT shard compositions (epoch-varying salt),
+    without any global permutation materialized. The report per
+    (epoch, shard): document count, character budget, and the largest
+    single-source share — the well-mixedness check (a shard dominated
+    by one source trains a biased step). Row-local hash + two
+    partial-aggregated groupBys; at 100 TB the assignment is a
+    projection riding the corpus scan, and the loader derives it
+    independently on every worker from (doc_id, epoch) alone."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    epochs = spark.range(SHUFFLE_EPOCHS).select(
+        F.col("id").cast("long").alias("epoch")
+    )
+    assigned = d.crossJoin(F.broadcast(epochs)).withColumn(
+        "shard",
+        (
+            hash64(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("epoch").cast("string"),
+                )
+            )
+            % SHUFFLE_SHARDS
+        ).cast("long"),
+    )
+    per_source = assigned.groupBy("epoch", "shard", "source").agg(
+        F.count(F.lit(1)).alias("sc"), F.sum("n_chars").alias("ch")
+    )
+    return (
+        per_source.groupBy("epoch", "shard")
+        .agg(
+            F.sum("sc").alias("n_docs"),
+            F.sum("ch").alias("sum_chars"),
+            F.max("sc").alias("top_sc"),
+        )
+        .select(
+            "epoch",
+            "shard",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+            F.expr("top_sc * 1000000 div n_docs")
+            .cast("long")
+            .alias("top_source_share_ppm"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+TRAINING_SHUFFLE_PLAN_SQL = f"""
+WITH assigned AS (
+  SELECT d.doc_id, d.source, d.n_chars, e.epoch,
+         {sql_hash64("CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)")}
+           % {SHUFFLE_SHARDS} AS shard
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({SHUFFLE_EPOCHS})) AS epoch) e
+), per_source AS (
+  SELECT epoch, shard, source,
+         CAST(COUNT(*) AS BIGINT) AS sc, SUM(n_chars) AS ch
+  FROM assigned GROUP BY epoch, shard, source
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       CAST(SUM(sc) AS BIGINT) AS n_docs,
+       CAST(SUM(ch) AS BIGINT) AS sum_chars,
+       CAST(MAX(sc) * 1000000 // SUM(sc) AS BIGINT)
+         AS top_source_share_ppm
+FROM per_source
+GROUP BY epoch, shard
+ORDER BY epoch, shard
+"""

@@ -54,3 +54,24 @@ def test_span_plan_arithmetic(spark, sf_dir):
             assert r["n_spans"] <= r["n_corrupted"]
         else:
             assert r["targets_len"] == 0 and r["inputs_len"] == r["n_tokens"]
+
+
+def test_training_shuffle_reshuffles_across_epochs(spark, sf_dir):
+    from oracledb_datapump_spark.operators.pipeline42 import (
+        SHUFFLE_EPOCHS,
+        SHUFFLE_SHARDS,
+        training_shuffle_plan,
+    )
+
+    rows = training_shuffle_plan(spark, sf_dir).collect()
+    assert len(rows) == SHUFFLE_EPOCHS * SHUFFLE_SHARDS
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for e in range(SHUFFLE_EPOCHS):
+        per_epoch = [r for r in rows if r["epoch"] == e]
+        assert sum(r["n_docs"] for r in per_epoch) == n_docs
+    # the epoch salt actually reshuffles: shard compositions differ
+    e0 = tuple(r["n_docs"] for r in rows if r["epoch"] == 0)
+    e1 = tuple(r["n_docs"] for r in rows if r["epoch"] == 1)
+    assert e0 != e1 or n_docs < SHUFFLE_SHARDS
+    for r in rows:
+        assert 0 < r["top_source_share_ppm"] <= 1_000_000

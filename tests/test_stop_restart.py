@@ -267,3 +267,43 @@ def test_stop_async_job_from_another_thread(spark, sf_dir, tmp_path):
     att = Job.attach(job.job_name, dumpdir=dump)
     st = att.restart(connection=ParquetConnector(stage), spark=spark)
     assert st.job_state == JobState.COMPLETED.value, st.error
+
+
+def test_kill_deletes_all_artifacts(spark, sf_dir, tmp_path):
+    """KILL_JOB contrast with STOP_JOB: the dump set (data, manifest,
+    events — the master table) is deleted, the job is neither
+    attachable nor restartable."""
+
+    class SlowRead(ParquetConnector):
+        def read_table(self, spark, schema, table, **kwargs):
+            time.sleep(0.4)
+            return super().read_table(spark, schema, table, **kwargs)
+
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = Job("EXPORT", "TABLE", dumpfiles=dump,
+              directives=_export_directives())
+    job.run(wait=False, connection=SlowRead(stage), spark=spark)
+    deadline = time.monotonic() + 30
+    while job.state != JobState.EXECUTING and time.monotonic() < deadline:
+        time.sleep(0.01)
+    job.kill()
+    assert job.state == JobState.NOT_RUNNING
+    assert not os.path.exists(dump)
+    with pytest.raises(Exception, match="No job artifacts|not running"):
+        Job.attach(job.job_name, dumpdir=dump)
+
+
+def test_kill_stopped_job_discards_artifacts(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_export(spark, stage, dump)
+    job.kill()
+    assert not os.path.exists(dump)
+
+
+def test_kill_unstarted_job_refuses(tmp_path):
+    job = Job("EXPORT", "TABLE", dumpfiles=str(tmp_path / "d"),
+              directives=_export_directives())
+    with pytest.raises(UsageError, match="not started"):
+        job.kill()
