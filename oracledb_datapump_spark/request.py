@@ -172,6 +172,67 @@ class PollHandler(RequestHandler, request_type="POLL"):
         )
 
 
+class StopHandler(RequestHandler, request_type="STOP"):
+    """STOP_JOB over the JSON protocol (public DBMS_DATAPUMP.STOP_JOB —
+    the reference's request surface stops at SUBMIT/STATUS/POLL).
+    Cooperative table-boundary stop; the response reports the state at
+    request time (STOP_PENDING/STOPPING) — poll for STOPPED."""
+
+    def handle(self, payload: dict[str, Any], connection: Any, spark=None) -> Response:
+        job_name = payload.get("job_name")
+        if not job_name:
+            raise UsageError("STOP payload requires job_name")
+        job = Job.attach(job_name)  # live jobs only: a done job can't stop
+        info = job.stop()
+        return Response(
+            request="STOP",
+            job_name=job_name,
+            job_owner=job.job_owner,
+            state=info.job_state,
+            detail=info,
+        )
+
+
+class RestartHandler(RequestHandler, request_type="RESTART"):
+    """START_JOB over the JSON protocol (public DBMS_DATAPUMP START_JOB:
+    resume a STOPPED job from its master table — here, the dump-set
+    manifest). Synchronous: responds when the resumed job lands."""
+
+    def handle(self, payload: dict[str, Any], connection: Any, spark=None) -> Response:
+        job_name = payload.get("job_name")
+        dumpdir = payload.get("dumpdir") or (payload.get("dumpfiles") or [None])[0]
+        if not job_name:
+            raise UsageError("RESTART payload requires job_name")
+        job = Job.attach(job_name, dumpdir=dumpdir)
+        info = job.restart(connection=connection, spark=spark)
+        return Response(
+            request="RESTART",
+            job_name=job_name,
+            job_owner=job.job_owner,
+            state=info.job_state,
+            detail=info,
+        )
+
+
+class KillHandler(RequestHandler, request_type="KILL"):
+    """KILL_JOB over the JSON protocol: stop + delete the whole dump
+    set (master table dropped — not attachable, not restartable)."""
+
+    def handle(self, payload: dict[str, Any], connection: Any, spark=None) -> Response:
+        job_name = payload.get("job_name")
+        dumpdir = payload.get("dumpdir") or (payload.get("dumpfiles") or [None])[0]
+        if not job_name:
+            raise UsageError("KILL payload requires job_name")
+        job = Job.attach(job_name, dumpdir=dumpdir)
+        job.kill()
+        return Response(
+            request="KILL",
+            job_name=job_name,
+            job_owner=job.job_owner,
+            state=job.state.value,
+        )
+
+
 def handle_request(request: str | dict[str, Any], spark=None) -> Response:
     """Entry point: JSON string or dict → dispatch → Response
     (reference DataPump.submit, client.py:21-27; payload-type consistency

@@ -307,3 +307,102 @@ def test_kill_unstarted_job_refuses(tmp_path):
               directives=_export_directives())
     with pytest.raises(UsageError, match="not started"):
         job.kill()
+
+
+def test_protocol_stop_restart_kill(spark, sf_dir, tmp_path):
+    """The JSON protocol drives the full interactive-command family:
+    STOP a live job, RESTART the stopped one to completion, KILL a
+    second stopped job (dump set deleted)."""
+    from oracledb_datapump_spark.request import handle_request
+
+    stage = _stage(spark, sf_dir, tmp_path)
+    for leg in ("restart", "kill"):
+        dump = str(tmp_path / f"dump_{leg}")
+
+        class SlowRead(ParquetConnector):
+            def read_table(self, spark, schema, table, **kwargs):
+                time.sleep(0.4)
+                return super().read_table(spark, schema, table, **kwargs)
+
+        job = Job("EXPORT", "TABLE", dumpfiles=dump,
+                  directives=_export_directives())
+        job.run(wait=False, connection=SlowRead(stage), spark=spark)
+        deadline = time.monotonic() + 30
+        while job.state != JobState.EXECUTING and time.monotonic() < deadline:
+            time.sleep(0.01)
+        resp = handle_request(
+            {"request": "STOP", "payload": {"job_name": job.job_name}},
+            spark=spark,
+        )
+        assert resp.state in ("STOP_PENDING", "STOPPING", "STOPPED")
+        job.poll_for_completion(rate=0.05)
+        assert job.state == JobState.STOPPED
+        if leg == "restart":
+            resp = handle_request(
+                {
+                    "request": "RESTART",
+                    "payload": {"job_name": job.job_name, "dumpdir": dump},
+                    "connection": f"parquet://{stage}",
+                },
+                spark=spark,
+            )
+            assert resp.state == "COMPLETED", resp.error
+            meta = DumpSet(dump).read_manifest()
+            assert set(meta.tables) == {f"main.{t}" for t in TABLES}
+        else:
+            resp = handle_request(
+                {
+                    "request": "KILL",
+                    "payload": {"job_name": job.job_name, "dumpdir": dump},
+                },
+                spark=spark,
+            )
+            assert resp.state == "NOT_RUNNING"
+            assert not os.path.exists(dump)
+
+
+def test_stop_restart_preserves_incremental_watermark(spark, tmp_path):
+    """Composition: a 2-table INCREMENTAL export stopped mid-cycle and
+    restarted yields the same dump as an uninterrupted cycle, and a
+    LATER incremental cycle still appends only past-watermark rows."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    stage = str(tmp_path / "stage")
+    dump = str(tmp_path / "dump")
+    for t in ("ta", "tb"):
+        spark.range(10).select(
+            F.col("id"), F.col("id").cast("long").alias("ver")
+        ).write.parquet(_os.path.join(stage, f"{t}.parquet"))
+    dirs = [
+        D.INCLUDE_SCHEMA("main"),
+        D.INCLUDE_TABLE("ta"),
+        D.INCLUDE_TABLE("tb"),
+        D.INCREMENTAL_COLUMN("ver"),
+    ]
+
+    src = StopOnFirstRead(stage)
+    job = Job("EXPORT", "TABLE", dumpfiles=dump, directives=dirs)
+    src.job = job
+    st = job.run(wait=True, connection=src, spark=spark)
+    assert st.job_state == JobState.STOPPED.value
+    st = Job.attach(job.job_name, dumpdir=dump).restart(
+        connection=ParquetConnector(stage), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    meta = DumpSet(dump).read_manifest()
+    assert {m["watermark"] for m in meta.tables.values()} == {9}
+    # grow both sources; the next cycle appends exactly the delta
+    for t in ("ta", "tb"):
+        spark.range(10, 15).select(
+            F.col("id"), F.col("id").cast("long").alias("ver")
+        ).write.mode("append").parquet(_os.path.join(stage, f"{t}.parquet"))
+    st = Job("EXPORT", "TABLE", dumpfiles=dump, directives=dirs).run(
+        wait=True, connection=ParquetConnector(stage), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    meta = DumpSet(dump).read_manifest()
+    for m in meta.tables.values():
+        assert m["watermark"] == 14 and m["rows_this_run"] == 5
+        assert m["row_count"] == 15
