@@ -96,6 +96,7 @@ EXCLUDED = {
     "template_prefix_histogram": "row-local prefix extract + count-of-counts — same shape as session_length_histogram (benched) / k_anonymity_report (EXCLUDED)",
     "span_corruption_plan": "row-local integer arithmetic over the token count — same scan-bound projection shape as token_count (benched)",
     "training_shuffle_plan": "row-local epoch-salted hash + two partial-aggregated groupBys over a 3x-broadcast-exploded documents scan — same shape as source_lang_matrix (benched)",
+    "embedding_dim_energy_curve": "posexplode + 64-row per-dimension aggregate — same shape as sq8_quant_error / pq_subspace_error (family benched); the cumulative window runs over 64 rows",
     "events_value_trend": "same per-type daily aggregate + tiny reduction shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched)",
     "streaming_dedup_compacted": "same two availableNow drains as streaming_dedup_incremental (benched) plus a coalesce compaction of the band index between them; the added cost is streaming restart machinery, not a new query shape",
     "datapump_roundtrip_dedup_export": "two export lifecycles + one import over a 9/8-size staged orders copy; the added keep-best window is one key shuffle, same family as the benched datapump_roundtrip_merge",

@@ -439,3 +439,71 @@ FROM per_source
 GROUP BY epoch, shard
 ORDER BY epoch, shard
 """
+
+
+ENERGY_PREFIX_KS = (1, 2, 4, 8, 16, 32, 64)
+ENERGY_QUANT = 10_000  # 1e4 quantizer keeps every sum inside int64
+
+
+def embedding_dim_energy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, energy_ppm): share of the corpus's total embedding energy
+    (Σ v²) captured by the FIRST k dimensions, for k in
+    {ENERGY_PREFIX_KS} — the truncatability audit behind
+    Matryoshka-style dimension cuts (a front-loaded curve means a k-dim
+    prefix index is nearly free; a flat one means truncation costs
+    recall). Integer-exact: values quantize at 1e4 (after the mandatory
+    FLOAT→DOUBLE cast — single-precision multiply diverges between
+    engines), q² sums stay inside int64 at every scale here, and the
+    ppm share is integer division. One posexplode + one 64-row
+    per-dimension aggregate; the curve is a 7-row reduce."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.floor(
+        F.col("v").cast("double") * ENERGY_QUANT
+    ).cast("long")
+    per_dim = (
+        e.select(F.posexplode("embedding").alias("dim", "v"))
+        .select("dim", q.alias("q"))
+        .groupBy("dim")
+        .agg(F.sum(F.col("q") * F.col("q")).alias("energy"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("dim").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_dim.withColumn("cum", F.sum("energy").over(w))
+    total = per_dim.agg(F.sum("energy")).collect()[0][0]
+    ks = spark.createDataFrame(
+        [(k,) for k in ENERGY_PREFIX_KS], "k long"
+    )
+    return (
+        cum.join(F.broadcast(ks), cum.dim == ks.k - 1)
+        .select(
+            "k",
+            F.expr(f"cum * 1000000 div {int(total)}")
+            .cast("long")
+            .alias("energy_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+EMBEDDING_DIM_ENERGY_SQL = f"""
+WITH vals AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {ENERGY_QUANT})
+              AS BIGINT) AS q
+  FROM embeddings
+), per_dim AS (
+  SELECT dim, SUM(q * q) AS energy FROM vals GROUP BY dim
+), cum AS (
+  SELECT dim, SUM(energy) OVER (ORDER BY dim) AS cum
+  FROM per_dim
+)
+SELECT CAST(dim + 1 AS BIGINT) AS k,
+       CAST(cum * 1000000 // (SELECT SUM(energy) FROM per_dim) AS BIGINT)
+         AS energy_ppm
+FROM cum
+WHERE dim + 1 IN {ENERGY_PREFIX_KS}
+ORDER BY k
+"""

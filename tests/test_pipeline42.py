@@ -75,3 +75,17 @@ def test_training_shuffle_reshuffles_across_epochs(spark, sf_dir):
     assert e0 != e1 or n_docs < SHUFFLE_SHARDS
     for r in rows:
         assert 0 < r["top_source_share_ppm"] <= 1_000_000
+
+
+def test_energy_curve_monotone_to_full(spark, sf_dir):
+    from oracledb_datapump_spark.operators.pipeline42 import (
+        ENERGY_PREFIX_KS,
+        embedding_dim_energy_curve,
+    )
+
+    rows = embedding_dim_energy_curve(spark, sf_dir).collect()
+    assert [r["k"] for r in rows] == list(ENERGY_PREFIX_KS)
+    shares = [r["energy_ppm"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))  # cumulative
+    assert shares[-1] == 1_000_000  # k=64 is the whole vector
+    assert 0 < shares[0] < 1_000_000
