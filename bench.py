@@ -450,6 +450,7 @@ HEADLINE = [
     "exact_percentile_two_pass",
     "mw_u_segments",
     "coherent_sample_counts",
+    "matryoshka_recall_curve",
     # three-micro-batch ingestion dedup: per-batch band join against a
     # growing parquet index + candidate-verify — the streaming LSH shape
     "streaming_dedup_incremental",

@@ -507,3 +507,150 @@ FROM cum
 WHERE dim + 1 IN {ENERGY_PREFIX_KS}
 ORDER BY k
 """
+
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+MATRYOSHKA_TOPK = 5
+MATRYOSHKA_PROBE_STRIDE = 31  # deterministic probe set: vec_id % 31 == 0
+
+
+def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dims, n_probes, recall_ppm): top-{MATRYOSHKA_TOPK} recall of
+    TRUNCATED-dimension cosine search against the full-64-dim truth,
+    for prefix lengths {MATRYOSHKA_DIMS} — the measurement that turns
+    embedding_dim_energy_curve's energy shares into an actual retrieval
+    verdict (Matryoshka-style indexes serve the k-dim prefix; this is
+    what that costs in recall@k). dims=64 is the identity row
+    (recall_ppm = 1e6), which pins the harness itself under the hash.
+
+    Probe-set bounded, never all-pairs: a deterministic ~3% probe set
+    (vec_id % {MATRYOSHKA_PROBE_STRIDE} == 0) broadcast-joins against
+    the corpus — O(N·probes), the exact-rerank cost an IVF/LSH pipeline
+    pays per query batch. Integer-exact ranking: values quantize at 1e4
+    (FLOAT→DOUBLE first), scores are sign·(|dot|·1e6 DIV (isqrt(na·nb)+1))
+    with the correctly-rounded IEEE isqrt both engines share; ties
+    break on candidate id."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, "
+            f"v -> CAST(floor(CAST(v AS DOUBLE) * {ENERGY_QUANT}) AS BIGINT))"
+        ).alias("q"),
+    )
+    probes = e.filter(
+        F.col("vec_id") % MATRYOSHKA_PROBE_STRIDE == 0
+    ).select(F.col("vec_id").alias("pid"), F.col("q").alias("pq"))
+    dims = spark.createDataFrame(
+        [(d,) for d in MATRYOSHKA_DIMS], "dims long"
+    )
+    pairs = (
+        e.join(F.broadcast(probes), F.col("vec_id") != F.col("pid"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "pid",
+            "dims",
+            F.col("vec_id").alias("cand"),
+            F.expr(
+                "aggregate(zip_with(slice(pq, 1, dims), slice(q, 1, dims),"
+                " (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+            F.expr(
+                "aggregate(slice(pq, 1, dims), 0L,"
+                " (acc, x) -> acc + x * x)"
+            ).alias("na"),
+            F.expr(
+                "aggregate(slice(q, 1, dims), 0L,"
+                " (acc, x) -> acc + x * x)"
+            ).alias("nb"),
+        )
+        .withColumn(
+            "score",
+            F.expr(
+                "CAST(SIGN(dot) AS BIGINT) * (ABS(dot) * 1000000 DIV"
+                " (CAST(FLOOR(SQRT(CAST(na AS DOUBLE)"
+                " * CAST(nb AS DOUBLE))) AS BIGINT) + 1))"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid", "dims").orderBy(
+        F.desc("score"), F.asc("cand")
+    )
+    topk = pairs.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= MATRYOSHKA_TOPK
+    )
+    truth = topk.filter(F.col("dims") == 64).select(
+        "pid", F.col("cand").alias("tcand")
+    )
+    n_probes = probes.count()
+    hits = (
+        topk.join(
+            truth,
+            (topk.pid == truth.pid) & (topk.cand == truth.tcand),
+        )
+        .groupBy("dims")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    denom = MATRYOSHKA_TOPK * int(n_probes)
+    return (
+        hits.select(
+            "dims",
+            F.lit(int(n_probes)).cast("long").alias("n_probes"),
+            F.expr(f"n_hits * 1000000 div {denom}")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("dims")
+    )
+
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(floor(CAST(v AS DOUBLE) * {ENERGY_QUANT}) AS BIGINT))
+           AS q
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS pid, q AS pq FROM e
+  WHERE vec_id % {MATRYOSHKA_PROBE_STRIDE} = 0
+), pairs AS (
+  SELECT p.pid, d.dims, e.vec_id AS cand,
+         list_sum(list_transform(range({0}, d.dims),
+           i -> p.pq[i + 1] * e.q[i + 1])) AS dot,
+         list_sum(list_transform(range({0}, d.dims),
+           i -> p.pq[i + 1] * p.pq[i + 1])) AS na,
+         list_sum(list_transform(range({0}, d.dims),
+           i -> e.q[i + 1] * e.q[i + 1])) AS nb
+  FROM e CROSS JOIN probes p
+  CROSS JOIN (SELECT unnest([{", ".join(str(d) for d in MATRYOSHKA_DIMS)}])
+              AS dims) d
+  WHERE e.vec_id != p.pid
+), scored AS (
+  SELECT pid, dims, cand,
+         CAST(CASE WHEN dot >= 0 THEN 1 ELSE -1 END AS BIGINT)
+           * (ABS(dot) * 1000000
+              // (CAST(FLOOR(SQRT(CAST(na AS DOUBLE)
+                                  * CAST(nb AS DOUBLE))) AS BIGINT) + 1))
+           AS score
+  FROM pairs
+), topk AS (
+  SELECT * FROM (
+    SELECT pid, dims, cand,
+           ROW_NUMBER() OVER (PARTITION BY pid, dims
+                              ORDER BY score DESC, cand) AS rk
+    FROM scored
+  ) WHERE rk <= {MATRYOSHKA_TOPK}
+), truth AS (
+  SELECT pid, cand AS tcand FROM topk WHERE dims = 64
+)
+SELECT CAST(t.dims AS BIGINT) AS dims,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+       CAST(COUNT(*) * 1000000
+            // ({MATRYOSHKA_TOPK} * (SELECT COUNT(*) FROM probes))
+            AS BIGINT) AS recall_ppm
+FROM topk t JOIN truth ON t.pid = truth.pid AND t.cand = truth.tcand
+GROUP BY t.dims
+ORDER BY dims
+"""

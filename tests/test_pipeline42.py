@@ -89,3 +89,17 @@ def test_energy_curve_monotone_to_full(spark, sf_dir):
     assert all(a <= b for a, b in zip(shares, shares[1:]))  # cumulative
     assert shares[-1] == 1_000_000  # k=64 is the whole vector
     assert 0 < shares[0] < 1_000_000
+
+
+def test_matryoshka_recall_monotone_and_identity(spark, sf_dir):
+    from oracledb_datapump_spark.operators.pipeline42 import (
+        MATRYOSHKA_DIMS,
+        matryoshka_recall_curve,
+    )
+
+    rows = matryoshka_recall_curve(spark, sf_dir).collect()
+    assert [r["dims"] for r in rows] == list(MATRYOSHKA_DIMS)
+    assert rows[-1]["recall_ppm"] == 1_000_000  # full-dim identity row
+    for r in rows:
+        assert 0 <= r["recall_ppm"] <= 1_000_000
+        assert r["n_probes"] >= 10
