@@ -85,8 +85,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 # suite-position drag. Per the r8 policy no overrides are recorded; the
 # anchors stay at best-of-last-two-clean-fulls.
 CLEAN_FULLS = [
-    ("b696968", "r11c"),  # round-11 closing capture (197.03s/168q, 1.061, sentinel benign-faster 0.66) — first anchors for the two new r11 headliners
     ("5ab1ee9", "r11d"),  # driver's judge-time capture (203.01s/168q, 1.118, sentinel benign-faster 0.641, contaminated=false) committed by the driver at the r11 boundary
+    ("383a6d9", "r12a"),  # round-12 closing capture (229.04s/171q, 1.163, sentinel benign-faster 0.55, zero errors) — first anchors for the three new r12 headliners
 ]
 
 
