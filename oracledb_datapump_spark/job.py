@@ -135,16 +135,22 @@ class Job:
     ) -> JobStatusInfo:
         if connection is not None:
             self.connection = connection
-        if self.connection is None:
-            raise UsageError("connection required")
         if self.operation == Operation.SQL_FILE:
             return self._run_sql_file(spark)
-        self.connector = resolve_connector(self.connection)
-        spark = spark or get_spark()
-
         self.job_date = utc_now()
         config = compile_directives(self.directives, mode=self.mode.value)
         self.config = config
+        if self.operation == Operation.EXPORT and config.network_link:
+            # expdp-side NETWORK_LINK (public Oracle parameter on BOTH
+            # utilities): the named link IS the export's source, so no
+            # local connection is required — the dump lands locally
+            # exactly as if the source were the job connection.
+            self.connector = resolve_connector(config.network_link)
+        else:
+            if self.connection is None:
+                raise UsageError("connection required")
+            self.connector = resolve_connector(self.connection)
+        spark = spark or get_spark()
         if self.job_name is None:
             self.job_name = self._derive_name(config)
 
@@ -652,18 +658,24 @@ class Job:
             )
         if connection is not None:
             self.connection = connection
-        if self.connection is None:
-            raise UsageError("connection required to restart")
         self.operation = Operation(meta.operation)
         self.mode = JobMode(meta.mode)
         self.job_name = meta.job_name
-        self.connector = resolve_connector(self.connection)
         spark = spark or get_spark()
         self.job_date = utc_now()
         self.directives = [
             DirectiveBase.from_dict(d) for d in meta.directives
         ]
         config = compile_directives(self.directives, mode=self.mode.value)
+        if config.network_link:
+            # expdp-side NETWORK_LINK rides the manifest's directive
+            # list, so the resumed export re-resolves its source from
+            # the link — no connection needed, same as the original run
+            self.connector = resolve_connector(config.network_link)
+        elif self.connection is None:
+            raise UsageError("connection required to restart")
+        else:
+            self.connector = resolve_connector(self.connection)
         self.config = config
         plans = plan_export(self.connector, self.operation, self.mode, config)
         self._thread_plan_extras(plans, config)

@@ -149,3 +149,100 @@ def test_transfer_estimate_only(spark, sf_dir, tmp_path):
     assert st.job_state == "COMPLETED"
     assert job.estimates and job.estimates[0]["estimated_rows"] == 25
     assert not os.path.isdir(os.path.join(wh, "main"))  # nothing moved
+
+
+def test_export_side_network_link(spark, sf_dir, tmp_path):
+    """expdp NETWORK_LINK: the link names the export SOURCE; no local
+    connection is needed and the dump lands locally as usual."""
+    dump = str(tmp_path / "dump")
+    st = Job(
+        Operation.EXPORT, JobMode.TABLE, dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("main"),
+            D.INCLUDE_TABLE("nation"),
+            D.NETWORK_LINK(f"parquet://{sf_dir}"),
+        ],
+    ).run(wait=True, spark=spark)  # note: no connection argument
+    assert st.job_state == "COMPLETED", st.error
+    ds = DumpSet(dump)
+    n = spark.read.parquet(ds.table_dir("main", "nation")).count()
+    assert n == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # and a stopped link export restarts from the manifest like any other
+    wh = str(tmp_path / "wh")
+    st = Job(
+        Operation.IMPORT, JobMode.TABLE, dumpfiles=dump,
+        directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+    ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+    assert st.job_state == "COMPLETED"
+
+
+def test_export_link_stop_restart_without_connection(spark, sf_dir, tmp_path):
+    """A stopped expdp-NETWORK_LINK export restarts WITHOUT a connection:
+    the link rides the manifest's directive list."""
+    import time
+
+    class StopOnFirstRead(ParquetConnector):
+        def __init__(self, root):
+            super().__init__(root)
+            self.job = None
+            self.reads = 0
+
+        def read_table(self, spark, schema, table, **kwargs):
+            self.reads += 1
+            if self.reads == 1 and self.job is not None:
+                self.job.stop()
+            return super().read_table(spark, schema, table, **kwargs)
+
+    # stage two tables so the stop leaves one behind
+    stage = str(tmp_path / "stage")
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+            os.path.join(stage, f"{t}.parquet")
+        )
+    dump = str(tmp_path / "dump")
+    # the engine reads through the LINK connector (resolved from the
+    # directive), so the stop must come from the wrapper the link
+    # resolves to — monkeypatch resolve via a scheme-less trick: run
+    # with an explicit connection-free link pointing at the stage, and
+    # issue the stop from a watcher thread at the first event instead.
+    import threading
+
+    from oracledb_datapump_spark.dumpset import DumpSet as DS
+
+    job = Job(
+        Operation.EXPORT, JobMode.TABLE, dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("main"),
+            D.INCLUDE_TABLE("region"),
+            D.INCLUDE_TABLE("nation"),
+            D.NETWORK_LINK(f"parquet://{stage}"),
+        ],
+    )
+
+    def stop_at_first_table():
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            try:
+                if any(
+                    e["event"] == "TABLE_EXPORT_START"
+                    for e in DS(dump).read_events()
+                ):
+                    job.stop()
+                    return
+            except Exception:
+                pass
+            time.sleep(0.005)
+
+    t = threading.Thread(target=stop_at_first_table)
+    t.start()
+    st = job.run(wait=True, spark=spark)
+    t.join()
+    # the stop may land after 1 or 2 tables depending on timing; either
+    # way the state walk and the restart contract must hold
+    if st.job_state == "STOPPED":
+        st = Job.attach(job.job_name, dumpdir=dump).restart(spark=spark)
+    assert st.job_state == "COMPLETED", st.error
+    ds = DumpSet(dump)
+    for t_ in ("region", "nation"):
+        n = spark.read.parquet(ds.table_dir("main", t_)).count()
+        assert n == spark.read.parquet(f"{sf_dir}/{t_}.parquet").count()
