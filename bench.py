@@ -91,6 +91,9 @@ EXCLUDED = {
     "events_changepoint_scan": "same per-type daily-count aggregate + tiny-window shape as events_anomaly_hours (benched); the CUSUM windows run over a <=|types x days| frame",
     "events_runs_test": "same per-type daily rollup + lag-window shape as events_changepoint_scan (EXCLUDED; family anchor events_anomaly_hours benched); the runs reduce is over a <=|types| frame",
     "kendall_tau_daily": "day-level rollup then an O(days^2) join over the tiny aggregate — same rollup-dominated family as events_changepoint_scan (EXCLUDED); the orders scan shape is q1_pricing_summary (benched)",
+    "spearman_rho_daily": "same day-level rollup family as kendall_tau_daily (EXCLUDED); two windows over the <=|days| aggregate",
+    "dow_seasonality_chi2": "same per-type small-bucket rollup family as events_anomaly_hours (benched); the chi-square reduce is over <=|types x 7| rows",
+    "gini_source_chars": "per-source rollup (<=20 rows) + one tiny window — same source-aggregate family as source_quality_report (benched)",
     "dedup_pair_degree_histogram": "rides the memoized verified-pair table like dedup_group_size_histogram; one union + two tiny groupBys — the dominant cost (LSH verify) is benched via dedup_minhash_verified",
     "dedup_savings_report": "one groupBy over the memoized dedup_groups labels (dominant cost benched via connected_components_sizes); the ROI reduce is over |groups| rows",
     "template_prefix_histogram": "row-local prefix extract + count-of-counts — same shape as session_length_histogram (benched) / k_anonymity_report (EXCLUDED)",

@@ -1,0 +1,64 @@
+"""Batch-43 property tests."""
+
+import pytest
+
+from oracledb_datapump_spark.operators.pipeline43 import (
+    dow_seasonality_chi2,
+    gini_source_chars,
+    spearman_rho_daily,
+)
+
+
+def test_spearman_bounds(spark, sf_dir):
+    r = spearman_rho_daily(spark, sf_dir).collect()[0]
+    assert -1_000_000 <= r["rho_ppm"] <= 1_000_000
+    assert r["sum_d2"] >= 0 and r["n_days"] > 2
+    # volume and revenue are strongly rank-correlated in TPC-H-ish data
+    assert r["rho_ppm"] > 0
+
+
+def test_spearman_perfect_on_identical_ranks(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    tmp = str(tmp_path / "o")
+    # strictly increasing revenue with volume: rho == 1e6 exactly
+    df = spark.range(1, 101).select(
+        F.expr("date_add(DATE'2024-01-01', CAST(id AS INT))").alias(
+            "o_orderdate"
+        ),
+        (F.col("id") * 1.0).alias("o_totalprice"),
+    )
+    df.write.parquet(os.path.join(tmp, "orders.parquet"))
+    r = spearman_rho_daily(spark, tmp).collect()[0]
+    assert r["sum_d2"] == 0 and r["rho_ppm"] == 1_000_000
+
+
+def test_dow_peak_in_range(spark, sf_dir):
+    rows = dow_seasonality_chi2(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["peak_dow"] <= 6
+        assert r["n_events"] > 0
+
+
+def test_gini_bounds_and_uniform_zero(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    r = gini_source_chars(spark, sf_dir).collect()[0]
+    assert 0 <= r["gini_ppm"] < 1_000_000
+    # perfectly uniform sources → gini 0
+    tmp = str(tmp_path / "d")
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias(
+            "source"
+        ),
+        F.lit(100).alias("n_chars"),
+    )
+    df.write.parquet(os.path.join(tmp, "documents.parquet"))
+    r = gini_source_chars(spark, tmp).collect()[0]
+    assert r["gini_ppm"] == 0 and r["n_sources"] == 4
