@@ -195,3 +195,67 @@ SELECT n_sources, total_chars,
          AS gini_ppm
 FROM agg
 """
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_pairs): verified near-dup pairs broken
+    down by the PROVIDER pair — the provenance question behind a dedup
+    pass ("which feeds mirror each other?"). Within-source cells
+    (source_a = source_b) measure internal redundancy; off-diagonal
+    cells expose syndication/mirroring between feeds, which changes the
+    dedup policy (drop the mirrored feed wholesale instead of pairwise
+    deduping forever). Unordered provider pairs canonicalize as
+    source_a <= source_b. Rides the memoized verified-pair table; the
+    matrix is two broadcast-able doc_id→source joins + one ≤|sources|²
+    groupBy."""
+    from .dedup import verified_pairs_cached
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    pairs = verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    joined = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _cross_source_dup_sql() -> str:
+    from .dedup import DEDUP_MINHASH_VERIFIED_SQL
+
+    base = DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH pairs AS ({base})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+CROSS_SOURCE_DUP_SQL = _cross_source_dup_sql()

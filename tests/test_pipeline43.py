@@ -62,3 +62,18 @@ def test_gini_bounds_and_uniform_zero(spark, sf_dir, tmp_path):
     df.write.parquet(os.path.join(tmp, "documents.parquet"))
     r = gini_source_chars(spark, tmp).collect()[0]
     assert r["gini_ppm"] == 0 and r["n_sources"] == 4
+
+
+def test_cross_source_matrix_accounts_every_pair(spark, sf_dir):
+    from oracledb_datapump_spark.operators.dedup import (
+        verified_pairs_cached,
+    )
+    from oracledb_datapump_spark.operators.pipeline43 import (
+        cross_source_dup_matrix,
+    )
+
+    rows = cross_source_dup_matrix(spark, sf_dir).collect()
+    n_pairs = verified_pairs_cached(spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"] and r["n_pairs"] >= 1
