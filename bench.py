@@ -95,6 +95,7 @@ EXCLUDED = {
     "dow_seasonality_chi2": "same per-type small-bucket rollup family as events_anomaly_hours (benched); the chi-square reduce is over <=|types x 7| rows",
     "gini_source_chars": "per-source rollup (<=20 rows) + one tiny window — same source-aggregate family as source_quality_report (benched)",
     "cross_source_dup_matrix": "two doc_id->source joins over the memoized verified-pair table + a <=|sources|^2 groupBy; the dominant cost (LSH verify) is benched via dedup_minhash_verified",
+    "user_type_entropy_bands": "two user-keyed partial-aggregated groupBys + a tiny histogram — same shape as dau_wau_stickiness (benched)",
     "dedup_pair_degree_histogram": "rides the memoized verified-pair table like dedup_group_size_histogram; one union + two tiny groupBys — the dominant cost (LSH verify) is benched via dedup_minhash_verified",
     "dedup_savings_report": "one groupBy over the memoized dedup_groups labels (dominant cost benched via connected_components_sizes); the ROI reduce is over |groups| rows",
     "template_prefix_histogram": "row-local prefix extract + count-of-counts — same shape as session_length_histogram (benched) / k_anonymity_report (EXCLUDED)",

@@ -259,3 +259,65 @@ ORDER BY source_a, source_b
 
 
 CROSS_SOURCE_DUP_SQL = _cross_source_dup_sql()
+
+
+def user_type_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(entropy_proxy, n_users): how concentrated each user's behavior
+    is across event types, as a histogram over the integer entropy
+    PROXY Σᵢ cᵢ·(bitlen(N) − bitlen(cᵢ)) — the bitlen(x) = ⌊log₂x⌋+1
+    Shannon surrogate the engine uses wherever a log would break
+    cross-engine exactness (lmscore, gap histograms). 0 means every
+    event is one type (pure specialist); larger means an even spread
+    over many types. The proxy is monotone-comparable, never a float.
+    Two partial-aggregated groupBys (user×type, then user) + a small
+    histogram — the user-keyed shuffle any behavioral profile pays."""
+    from ..events_source import load_events
+
+    e = load_events(spark, sf_dir)
+    per_ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # join-free: Σ c·bitlen(c) aggregates alongside N, then the proxy
+    # combines with N·bitlen(N) at the user level
+    per_user = (
+        per_ut.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(
+                F.col("c") * F.expr("CAST(length(bin(c)) AS BIGINT)")
+            ).alias("sum_c_bitlen"),
+        )
+        .select(
+            (
+                F.col("n") * F.expr("CAST(length(bin(n)) AS BIGINT)")
+                - F.col("sum_c_bitlen")
+            ).alias("entropy_proxy")
+        )
+    )
+    return (
+        per_user.groupBy("entropy_proxy")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("entropy_proxy").cast("long").alias("entropy_proxy"),
+            "n_users",
+        )
+        .orderBy("entropy_proxy")
+    )
+
+
+USER_TYPE_ENTROPY_BANDS_SQL = """
+WITH per_ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), per_user AS (
+  SELECT user_id, SUM(c) AS n,
+         SUM(c * CAST(length(bin(c)) AS BIGINT)) AS sum_c_bitlen
+  FROM per_ut GROUP BY user_id
+)
+SELECT CAST(n * CAST(length(bin(n)) AS BIGINT) - sum_c_bitlen AS BIGINT)
+         AS entropy_proxy,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user
+GROUP BY 1
+ORDER BY entropy_proxy
+"""

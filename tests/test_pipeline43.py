@@ -77,3 +77,31 @@ def test_cross_source_matrix_accounts_every_pair(spark, sf_dir):
     assert sum(r["n_pairs"] for r in rows) == n_pairs
     for r in rows:
         assert r["source_a"] <= r["source_b"] and r["n_pairs"] >= 1
+
+
+def test_entropy_bands_specialists_at_zero(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oracledb_datapump_spark.operators.pipeline43 import (
+        user_type_entropy_bands,
+    )
+
+    rows = user_type_entropy_bands(spark, sf_dir).collect()
+    assert rows and all(r["entropy_proxy"] >= 0 for r in rows)
+    # synthetic: 5 pure specialists (one type each) + 1 even 2-type user
+    tmp = str(tmp_path / "ev")
+    data = [(u, "a", f"2024-01-0{u+1} 00:00:00") for u in range(5) for _ in range(4)]
+    data += [(9, t, "2024-01-09 00:00:00") for t in ("a", "b") for _ in range(4)]
+    spark.createDataFrame(
+        data, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(
+        os.path.join(tmp, "events.parquet")
+    )
+    rows = {r["entropy_proxy"]: r["n_users"] for r in
+            user_type_entropy_bands(spark, tmp).collect()}
+    # specialists: N=4,c=4 -> 4*3 - 4*3 = 0
+    assert rows.get(0) == 5
+    # even 2-type user: N=8,c=4,4 -> 8*4 - 2*(4*3) = 8
+    assert rows.get(8) == 1
