@@ -85,8 +85,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 # suite-position drag. Per the r8 policy no overrides are recorded; the
 # anchors stay at best-of-last-two-clean-fulls.
 CLEAN_FULLS = [
-    ("5ab1ee9", "r11d"),  # driver's judge-time capture (203.01s/168q, 1.118, sentinel benign-faster 0.641, contaminated=false) committed by the driver at the r11 boundary
     ("383a6d9", "r12a"),  # round-12 closing capture (229.04s/171q, 1.163, sentinel benign-faster 0.55, zero errors) — first anchors for the three new r12 headliners
+    ("244dd5a", "r12d"),  # driver's judge-time capture at the r12 boundary (223.9s/171q, 1.095, zero errors, zero >=2x rows; judge-refuted the two r12a capture artifacts gapfill_hourly/cohort_retention)
 ]
 
 
