@@ -163,7 +163,7 @@ class ParquetConnector:
         parallel: int = 1,
         predicate: str | None = None,
         columns: list[str] | None = None,
-        partition: str | None = None,
+        partition: str | list[str] | None = None,
     ) -> DataFrame:
         path = self._path(schema, table)
         if not os.path.exists(path):
@@ -175,23 +175,32 @@ class ParquetConnector:
         if self.fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
         if partition:
-            # TABLE:PARTITION scope — scan ONLY the named hive leaf
+            # TABLE:PARTITION scope — scan ONLY the named hive leaves
             # (connector-level file pruning: the other partitions' files
-            # are never listed, let alone read). basePath keeps the
+            # are never listed, let alone read). A list mirrors Oracle's
+            # TABLES=(t:p1,t:p2) multi-partition form. basePath keeps the
             # partition column in the schema, like Oracle's
             # partition-scoped export keeping the full column set.
-            leaf = os.path.join(path, partition)
-            if not os.path.isdir(leaf):
-                avail = sorted(
-                    n
-                    for n in os.listdir(path)
-                    if os.path.isdir(os.path.join(path, n)) and "=" in n
-                )
-                raise FileError(
-                    f"No partition {partition!r} in {schema}.{table} "
-                    f"(available: {avail or 'none — table is unpartitioned'})"
-                )
-            df = reader.option("basePath", path).format(self.fmt).load(leaf)
+            parts = (
+                list(partition)
+                if isinstance(partition, (list, tuple))
+                else [partition]
+            )
+            leaves = []
+            for p in parts:
+                leaf = os.path.join(path, p)
+                if not os.path.isdir(leaf):
+                    avail = sorted(
+                        n
+                        for n in os.listdir(path)
+                        if os.path.isdir(os.path.join(path, n)) and "=" in n
+                    )
+                    raise FileError(
+                        f"No partition {p!r} in {schema}.{table} "
+                        f"(available: {avail or 'none — table is unpartitioned'})"
+                    )
+                leaves.append(leaf)
+            df = reader.option("basePath", path).format(self.fmt).load(leaves)
         else:
             df = reader.format(self.fmt).load(path)
         if predicate:
@@ -199,6 +208,19 @@ class ParquetConnector:
         if columns:
             df = df.select(*columns)
         return df
+
+    def count_data_files(self, schema: str, table: str) -> int:
+        """files_total for the TABLE:PARTITION pruning-evidence event: a
+        driver-side os.walk (filesystem metadata only — no Spark reader
+        is constructed, so no scan over the unscoped table is ever
+        planned; the scoped feature's contract is that the other leaves'
+        data is never touched)."""
+        path = self._path(schema, table)
+        n = 0
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            n += sum(1 for f in filenames if not f.startswith(("_", ".")))
+        return n
 
     def write_table(
         self,

@@ -195,6 +195,17 @@ def validate_encryption(enc: dict) -> dict:
             f"ENCRYPTION({scope}) requires ENCRYPTION_PASSWORD "
             "(PASSWORD mode is the only supported ENCRYPTION_MODE)"
         )
+    if password == "***":
+        # The manifest persists EncryptionPassword as the redacted
+        # literal '***' (never the secret). Accepting it here would
+        # derive every key from a publicly-known constant — a restarted
+        # encrypted job would seal its remaining tables so the REAL
+        # password no longer opens them while anyone's '***' does.
+        raise UsageError(
+            "ENCRYPTION_PASSWORD is the redacted manifest sentinel "
+            "'***' — the secret is never persisted; re-supply the "
+            "original password (Job.restart(password=...))"
+        )
     algorithm = enc.get("algorithm", "AES256")
     out = {"password": password, "scope": scope, "algorithm": algorithm}
     if columns:

@@ -79,7 +79,7 @@ class PlanConfig:
     table_columns: dict[str, list[str]] = field(default_factory=dict)
     table_partition_by: dict[str, str] = field(default_factory=dict)
     # TABLE:PARTITION scope (Oracle TABLES syntax): table -> 'col=value'
-    table_partition_scope: dict[str, str] = field(default_factory=dict)
+    table_partition_scope: dict[str, list[str]] = field(default_factory=dict)
     table_sort_by: dict[str, str] = field(default_factory=dict)
     table_zorder_by: dict[str, str] = field(default_factory=dict)
     table_merge_key: dict[str, str] = field(default_factory=dict)
@@ -302,8 +302,15 @@ class IncludeTable(Filter, name="INCLUDE_TABLE"):
                     "hive leaf form 'column=value' (the partition-name "
                     "analog of Oracle's TABLE:PARTITION)"
                 )
-            config.include_tables.append(table)
-            config.table_partition_scope[table] = part
+            if table not in config.include_tables:
+                config.include_tables.append(table)
+            # Oracle's TABLES syntax accepts several partitions of ONE
+            # table — TABLES=(t:p1,t:p2) — so the scope is a LIST of
+            # leaves; overwriting on the second mention would silently
+            # drop p1 from the dump while the job reports COMPLETED.
+            scopes = config.table_partition_scope.setdefault(table, [])
+            if part not in scopes:
+                scopes.append(part)
         else:
             config.include_tables.append(v)
 

@@ -206,19 +206,20 @@ def _read_source(
         kwargs["partition"] = part
     df = connector.read_table(spark, plan.schema, plan.table, **kwargs)
     if part:
-        files_scanned = len(df.inputFiles())
-        files_total = len(
-            connector.read_table(
-                spark, plan.schema, plan.table
-            ).inputFiles()
-        )
-        dumpset.log_event(
-            "TABLE_EXPORT_PARTITION_SCOPED",
-            table=plan.source_key,
-            partition=part,
-            files_scanned=files_scanned,
-            files_total=files_total,
-        )
+        # Evidence event: files_total comes from a driver-side filesystem
+        # walk (count_data_files), NEVER an unscoped reader — planning a
+        # scan over every leaf to prove we pruned the leaves would be the
+        # exact O(all-partitions) listing this feature exists to avoid.
+        # Connectors without a cheap counter just omit the total.
+        evt: dict[str, Any] = {
+            "table": plan.source_key,
+            "partition": part,
+            "files_scanned": len(df.inputFiles()),
+        }
+        counter = getattr(connector, "count_data_files", None)
+        if counter is not None:
+            evt["files_total"] = counter(plan.schema, plan.table)
+        dumpset.log_event("TABLE_EXPORT_PARTITION_SCOPED", **evt)
     return df
 
 

@@ -225,11 +225,17 @@ class Job:
         else:
             plans = plan_import(self.dumpset, config)
         self._thread_plan_extras(plans, config)
-        if self.operation == Operation.EXPORT and not config.reuse_dumpfiles:
+        if (
+            self.operation == Operation.EXPORT
+            and not config.reuse_dumpfiles
+            and not config.estimate_only
+        ):
             # REUSE_DUMPFILES default NO (Oracle parity: expdp raises
             # ORA-27038 'file already exists' rather than clobbering a
             # dump). Incremental appends are exempt — appending past the
-            # watermark is the append contract, not a clobber.
+            # watermark is the append contract, not a clobber. So is
+            # ESTIMATE_ONLY: Oracle's ESTIMATE_ONLY=YES writes no dump
+            # file and performs no clobber check.
             import os as _os
 
             for p in plans:
@@ -312,8 +318,21 @@ class Job:
 
         self.dumpset.log_event("JOB_START")
         self._set_state(JobState.EXECUTING)
+        # Completion handle for kill(): the async path joins _worker, but
+        # a synchronous run(wait=True) has no thread object to join — a
+        # kill() from another thread must still wait for the executing
+        # thread to reach a boundary before deleting the dump set, or the
+        # in-flight table's event/manifest writes resurrect the deleted
+        # directory as a half-dump.
+        self._done_event = threading.Event()
 
         def _execute() -> None:
+            try:
+                _execute_core()
+            finally:
+                self._done_event.set()
+
+        def _execute_core() -> None:
             result = run_plans(
                 spark, self.connector, self.dumpset, plans, config,
                 engine_op, stop_event=self._stop_event,
@@ -612,6 +631,19 @@ class Job:
                         f"kill(): worker did not reach a table boundary "
                         f"within {timeout}s; the job is still stopping"
                     )
+            elif worker is None:
+                # synchronous run(wait=True) stopped from another thread:
+                # no thread object to join, but _done_event marks the
+                # executing thread reaching its boundary — deleting the
+                # dump set before that lets in-flight event/manifest
+                # writes recreate the directory as a half-resurrected dump
+                done = getattr(self, "_done_event", None)
+                if done is not None and not done.wait(timeout=timeout):
+                    raise UsageError(
+                        f"kill(): executing thread did not reach a table "
+                        f"boundary within {timeout}s; the job is still "
+                        "stopping"
+                    )
         self.dumpset.delete()
         deregister_job(self.job_name)
         self._set_state(JobState.NOT_RUNNING)
@@ -620,6 +652,7 @@ class Job:
         self,
         connection: Any = None,
         spark: SparkSession | None = None,
+        password: str | None = None,
     ) -> JobStatusInfo:
         """START_JOB analog: resume a STOPPED export from its manifest —
         the dump set's manifest/event log plays Oracle's master table.
@@ -666,6 +699,30 @@ class Job:
         self.directives = [
             DirectiveBase.from_dict(d) for d in meta.directives
         ]
+        # ENCRYPTION_PASSWORD persists as the redacted '***' sentinel
+        # (never the secret) — re-planning from the manifest verbatim
+        # would seal every remaining table under a key derived from a
+        # public constant. The caller must re-supply the original
+        # password, exactly as Oracle's START_JOB re-prompts for it.
+        enc_pw = [
+            d for d in self.directives
+            if getattr(d, "NAME", None) == "ENCRYPTION_PASSWORD"
+        ]
+        if enc_pw:
+            if not password or password == "***":
+                raise UsageError(
+                    "this job was exported with ENCRYPTION_PASSWORD; the "
+                    "manifest stores only the redacted sentinel, so "
+                    "restart() requires the original password: "
+                    "restart(password=...)"
+                )
+            for d in enc_pw:
+                d.value = password
+        elif password is not None:
+            raise UsageError(
+                "restart(password=...) supplied but the stopped job has "
+                "no ENCRYPTION_PASSWORD directive"
+            )
         config = compile_directives(self.directives, mode=self.mode.value)
         if config.network_link:
             # expdp-side NETWORK_LINK rides the manifest's directive
@@ -699,6 +756,7 @@ class Job:
         for p in skipped:
             self.dumpset.log_event("TABLE_RESUME_SKIP", table=p.source_key)
         self._stop_event = threading.Event()  # restart is itself stoppable
+        self._done_event = threading.Event()  # kill() boundary handle
         self._set_state(JobState.EXECUTING)
         register_job(self.job_name, self)
         try:
@@ -737,6 +795,7 @@ class Job:
             self._set_state(result.state)
             return self.get_status()
         finally:
+            self._done_event.set()
             deregister_job(self.job_name)
 
     def _resume_intact(self, spark: SparkSession, plan, entry: dict) -> bool:

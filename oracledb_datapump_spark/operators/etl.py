@@ -2215,7 +2215,7 @@ def datapump_roundtrip_partition_scoped(
         ]
         partition_pruned = (
             len(evs) == 1
-            and evs[0]["partition"] == part
+            and evs[0]["partition"] == [part]
             and 1 <= evs[0]["files_scanned"] < evs[0]["files_total"]
         )
         tdir = ds.table_dir("main", "orders")

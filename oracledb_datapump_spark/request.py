@@ -204,7 +204,14 @@ class RestartHandler(RequestHandler, request_type="RESTART"):
         if not job_name:
             raise UsageError("RESTART payload requires job_name")
         job = Job.attach(job_name, dumpdir=dumpdir)
-        info = job.restart(connection=connection, spark=spark)
+        # encrypted jobs: the manifest holds only the redacted '***'
+        # sentinel, so the caller re-supplies the password here — the
+        # protocol analog of START_JOB re-prompting for it
+        info = job.restart(
+            connection=connection,
+            spark=spark,
+            password=payload.get("encryption_password"),
+        )
         return Response(
             request="RESTART",
             job_name=job_name,

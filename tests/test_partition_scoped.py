@@ -34,9 +34,22 @@ def test_scope_parsing():
     cfg = PlanConfig()
     D.INCLUDE_TABLE(f"orders:{PART}").apply(cfg)
     assert cfg.include_tables == ["orders"]
-    assert cfg.table_partition_scope == {"orders": PART}
+    assert cfg.table_partition_scope == {"orders": [PART]}
     with pytest.raises(InvalidDirective, match="column=value"):
         D.INCLUDE_TABLE("orders:P1").apply(PlanConfig())
+
+
+def test_scope_parsing_multi_partition():
+    # Oracle's TABLES=(t:p1,t:p2): two partitions of ONE table both make
+    # the scope (overwriting would silently drop p1 from the dump)
+    cfg = PlanConfig()
+    D.INCLUDE_TABLE(f"orders:{PART}").apply(cfg)
+    D.INCLUDE_TABLE("orders:o_orderpriority=2-HIGH").apply(cfg)
+    D.INCLUDE_TABLE(f"orders:{PART}").apply(cfg)  # dup mention: no-op
+    assert cfg.include_tables == ["orders"]
+    assert cfg.table_partition_scope == {
+        "orders": [PART, "o_orderpriority=2-HIGH"]
+    }
 
 
 def test_partition_scoped_export_prunes_files(spark, sf_dir, hive_stage, tmp_path):
@@ -56,7 +69,7 @@ def test_partition_scoped_export_prunes_files(spark, sf_dir, hive_stage, tmp_pat
     ]
     assert len(evs) == 1
     ev = evs[0]
-    assert ev["partition"] == PART
+    assert ev["partition"] == [PART]
     assert 1 <= ev["files_scanned"] < ev["files_total"]  # real pruning
     # the dump holds exactly the partition's rows, full column set
     out = spark.read.parquet(ds.table_dir("main", "orders"))
@@ -122,3 +135,36 @@ def test_composes_with_departition_import(spark, sf_dir, hive_stage, tmp_path):
         .count()
     )
     assert out.count() == want
+
+
+def test_multi_partition_scoped_export(spark, sf_dir, hive_stage, tmp_path):
+    """Oracle TABLES=(t:p1,t:p2): BOTH named leaves make the dump (the
+    r12 scope map kept only the last mention — silent data loss)."""
+    dump = str(tmp_path / "dump")
+    p2 = "o_orderpriority=2-HIGH"
+    st = Job(
+        Operation.EXPORT, JobMode.TABLE, dumpfiles=dump,
+        directives=[
+            D.INCLUDE_SCHEMA("main"),
+            D.INCLUDE_TABLE(f"orders:{PART}"),
+            D.INCLUDE_TABLE(f"orders:{p2}"),
+        ],
+    ).run(wait=True, connection=ParquetConnector(hive_stage), spark=spark)
+    assert st.job_state == "COMPLETED", st.error
+    ds = DumpSet(dump)
+    evs = [
+        e for e in ds.read_events()
+        if e["event"] == "TABLE_EXPORT_PARTITION_SCOPED"
+    ]
+    assert len(evs) == 1
+    assert evs[0]["partition"] == [PART, p2]
+    assert 2 <= evs[0]["files_scanned"] < evs[0]["files_total"]
+    out = spark.read.parquet(ds.table_dir("main", "orders"))
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = src.filter(
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    ).count()
+    assert out.count() == want > 0
+    assert set(
+        r[0] for r in out.select("o_orderpriority").distinct().collect()
+    ) == {"1-URGENT", "2-HIGH"}

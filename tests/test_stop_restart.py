@@ -406,3 +406,69 @@ def test_stop_restart_preserves_incremental_watermark(spark, tmp_path):
     for m in meta.tables.values():
         assert m["watermark"] == 14 and m["rows_this_run"] == 5
         assert m["row_count"] == 15
+
+
+# ---- ENCRYPTION × restart: the manifest persists ENCRYPTION_PASSWORD
+# as the redacted literal '***' (never the secret), so a restart that
+# re-planned from it verbatim would seal every remaining table under a
+# key derived from a PUBLIC constant — the real password would no longer
+# decrypt them while anyone's '***' would. restart() must demand the
+# original password (Oracle's START_JOB re-prompts for it) and
+# validate_encryption must reject the sentinel outright.
+
+PW = "tr0ub4dor&3"
+
+
+def _stopped_encrypted_export(spark, stage, dump) -> Job:
+    src = StopOnFirstRead(stage)
+    job = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=_export_directives()
+        + [D.ENCRYPTION("ALL"), D.ENCRYPTION_PASSWORD(PW)],
+    )
+    src.job = job
+    st = job.run(wait=True, connection=src, spark=spark)
+    assert st.job_state == JobState.STOPPED.value, st.job_state
+    return job
+
+
+def test_restart_encrypted_requires_original_password(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_encrypted_export(spark, stage, dump)
+    conn = ParquetConnector(stage)
+    with pytest.raises(UsageError, match="requires the original password"):
+        job.restart(connection=conn, spark=spark)
+    with pytest.raises(UsageError, match="requires the original password"):
+        job.restart(connection=conn, spark=spark, password="***")
+    # refused attempts leave the job STOPPED and restartable
+    st = job.restart(connection=conn, spark=spark, password=PW)
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    # every table (resumed ones included) decrypts under the REAL password
+    wh = str(tmp_path / "wh")
+    st = Job(
+        "IMPORT", "TABLE", dumpfiles=dump,
+        directives=[D.TABLE_EXISTS_ACTION("REPLACE"), D.ENCRYPTION_PASSWORD(PW)],
+    ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    out = ParquetConnector(wh)
+    for t in TABLES:
+        want = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        assert out.read_table(spark, "main", t).count() == want
+
+
+def test_restart_password_on_unencrypted_job_refused(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump = str(tmp_path / "dump")
+    job = _stopped_export(spark, stage, dump)
+    with pytest.raises(UsageError, match="no ENCRYPTION_PASSWORD"):
+        job.restart(
+            connection=ParquetConnector(stage), spark=spark, password=PW
+        )
+
+
+def test_validate_encryption_rejects_redacted_sentinel():
+    from oracledb_datapump_spark.crypto import validate_encryption
+
+    with pytest.raises(UsageError, match="redacted manifest sentinel"):
+        validate_encryption({"scope": "ALL", "password": "***"})
