@@ -1176,6 +1176,23 @@ def import_table(
         return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
 
 
+def table_fingerprint(df) -> tuple[int, str]:
+    """Order-independent target-table content fingerprint for transfer
+    resume: row COUNT + XOR of per-row xxhash64 over all columns (sorted
+    by name so projection order can't change the value). One distributed
+    scan, two scalars to the driver — the transfer analog of the dump's
+    CHECKSUM digest map (there is no dump file to digest)."""
+    from pyspark.sql import functions as F
+
+    cols = [F.col(c) for c in sorted(df.columns)]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("d"),
+    ).first()
+    d = row["d"]
+    return int(row["n"]), str(0 if d is None else int(d))
+
+
 def transfer_table(
     spark: SparkSession,
     src_connector: Connector,
@@ -1192,7 +1209,10 @@ def transfer_table(
     target-side semantics match an import (_write_import_df: exists
     action, MERGE family, schema evolution). At 100 TB this halves the
     I/O of a migrate (one read + one write instead of read + dump write
-    + dump read + write) at the cost of not having a restartable dump."""
+    + dump read + write). Restartability: each completed table records a
+    target-side fingerprint (table_fingerprint) in the manifest, so a
+    stopped multi-hour transfer resumes via Job.restart() — verified
+    targets are skipped, dropped/tampered ones re-transferred."""
     dumpset.log_event("TABLE_TRANSFER_START", table=plan.source_key)
     try:
         if plan.write_mode == "ignore" and tgt_connector.table_exists(
@@ -1220,14 +1240,22 @@ def transfer_table(
 
             df = apply_remaps(df, plan.remap_data)
         df = _write_import_df(spark, tgt_connector, dumpset, plan, config, df)
-        rows = tgt_connector.read_table(
-            spark, plan.target_schema, plan.target_table
-        ).count()
+        rows, digest = table_fingerprint(
+            tgt_connector.read_table(
+                spark, plan.target_schema, plan.target_table
+            )
+        )
         dumpset.log_event(
-            "TABLE_TRANSFER_DONE", table=plan.target_key, rows=rows
+            "TABLE_TRANSFER_DONE",
+            table=plan.target_key,
+            rows=rows,
+            target_digest=digest,
         )
         return TableResult(
-            plan, ok=True, rows=rows, detail={"network_link": True}
+            plan,
+            ok=True,
+            rows=rows,
+            detail={"network_link": True, "target_digest": digest},
         )
     except Exception as e:
         dumpset.log_event(

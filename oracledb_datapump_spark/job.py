@@ -667,9 +667,15 @@ class Job:
         tables run; the manifest is merged, never rebuilt, so completed
         tables keep their original entries byte-for-byte.
 
-        IMPORT jobs have an existing idempotent path — re-run with
-        TABLE_EXISTS_ACTION('SKIP') — so restart() refuses them loudly
-        rather than duplicating those semantics.
+        NETWORK_LINK transfers (IMPORT + link) are restartable too: there
+        is no dump to digest, so completeness is verified against the
+        TARGET — each completed table recorded a row count + content
+        fingerprint (engine.table_fingerprint) at TABLE_TRANSFER_DONE,
+        and restart() recomputes both before skipping; a dropped or
+        tampered target is re-transferred with write_mode forced to
+        overwrite. Dump-set IMPORT jobs have an existing idempotent
+        path — re-run with TABLE_EXISTS_ACTION('SKIP') — so restart()
+        refuses them loudly rather than duplicating those semantics.
         """
         if self.dumpset is None:
             raise UsageError("restart requires a job with a dump set")
@@ -683,12 +689,8 @@ class Job:
                 f"state={self._state.value}/{info.job_state}"
             )
         meta = self.dumpset.read_manifest()
-        if Operation(meta.operation) != Operation.EXPORT:
-            raise UsageError(
-                "restart() supports EXPORT jobs; re-run the IMPORT with "
-                "TABLE_EXISTS_ACTION('SKIP') for resume-equivalent "
-                "semantics"
-            )
+        # Non-EXPORT: only a NETWORK_LINK transfer qualifies — detected
+        # after compile_directives below (the link lives in a directive).
         if connection is not None:
             self.connection = connection
         self.operation = Operation(meta.operation)
@@ -724,7 +726,29 @@ class Job:
                 "no ENCRYPTION_PASSWORD directive"
             )
         config = compile_directives(self.directives, mode=self.mode.value)
-        if config.network_link:
+        is_transfer = (
+            self.operation == Operation.IMPORT and bool(config.network_link)
+        )
+        if self.operation != Operation.EXPORT and not is_transfer:
+            raise UsageError(
+                "restart() supports EXPORT and NETWORK_LINK transfer "
+                "jobs; re-run a dump-set IMPORT with "
+                "TABLE_EXISTS_ACTION('SKIP') for resume-equivalent "
+                "semantics"
+            )
+        src = None
+        if is_transfer:
+            # impdp-side NETWORK_LINK: the link names the SOURCE; the
+            # connection is the transfer TARGET, exactly as the original
+            # run — both re-resolve from the manifest's directive list
+            if self.connection is None:
+                raise UsageError(
+                    "connection (the transfer TARGET) required to "
+                    "restart a NETWORK_LINK transfer"
+                )
+            self.connector = resolve_connector(self.connection)
+            src = resolve_connector(config.network_link)
+        elif config.network_link:
             # expdp-side NETWORK_LINK rides the manifest's directive
             # list, so the resumed export re-resolves its source from
             # the link — no connection needed, same as the original run
@@ -734,7 +758,16 @@ class Job:
         else:
             self.connector = resolve_connector(self.connection)
         self.config = config
-        plans = plan_export(self.connector, self.operation, self.mode, config)
+        if is_transfer:
+            plans = plan_network_transfer(src, self.mode, config)
+            for p in plans:
+                p.extra["src_connector"] = src
+            engine_op = "TRANSFER"
+        else:
+            plans = plan_export(
+                self.connector, self.operation, self.mode, config
+            )
+            engine_op = self.operation.value
         self._thread_plan_extras(plans, config)
         remaining, skipped = [], []
         for p in plans:
@@ -742,10 +775,19 @@ class Job:
             if (
                 entry
                 and entry.get("ok")
-                and self._resume_intact(spark, p, entry)
+                and (
+                    self._transfer_intact(spark, p, entry)
+                    if is_transfer
+                    else self._resume_intact(spark, p, entry)
+                )
             ):
                 skipped.append(p)
             else:
+                if is_transfer and entry and entry.get("ok"):
+                    # recheck failed on a recorded-complete table: the
+                    # target holds a tampered/partial remnant, so the
+                    # re-transfer must replace it, never append onto it
+                    p.write_mode, p.truncate = "overwrite", False
                 remaining.append(p)
         self.dumpset.log_event(
             "JOB_RESTART",
@@ -763,7 +805,7 @@ class Job:
             result = (
                 run_plans(
                     spark, self.connector, self.dumpset, remaining, config,
-                    self.operation.value, stop_event=self._stop_event,
+                    engine_op, stop_event=self._stop_event,
                 )
                 if remaining
                 else EngineResult(state=JobState.COMPLETED)
@@ -839,6 +881,57 @@ class Job:
                 "TABLE_RESUME_RECHECK_FAILED",
                 table=plan.source_key,
                 reason=f"file count {n_files} != recorded {entry['files']}",
+            )
+            return False
+        return True
+
+    def _transfer_intact(self, spark: SparkSession, plan, entry: dict) -> bool:
+        """Transfer-resume analog of _resume_intact: a NETWORK_LINK job
+        has no dump to digest, so completeness is verified against the
+        TARGET — the table must exist and its recomputed fingerprint
+        (row count + xxhash64-XOR content digest, engine.table_fingerprint)
+        must equal the values recorded at TABLE_TRANSFER_DONE. One
+        distributed scan per completed table, the same cost class as the
+        export path's digest recheck."""
+        from .engine import table_fingerprint
+
+        if not self.connector.table_exists(
+            plan.target_schema, plan.target_table
+        ):
+            self.dumpset.log_event(
+                "TABLE_RESUME_RECHECK_FAILED",
+                table=plan.source_key,
+                reason="target table missing",
+            )
+            return False
+        try:
+            rows, digest = table_fingerprint(
+                self.connector.read_table(
+                    spark, plan.target_schema, plan.target_table
+                )
+            )
+        except Exception as e:
+            # an unreadable target (all data files gone, corrupt footer)
+            # is the strongest possible "not intact" — re-transfer it
+            self.dumpset.log_event(
+                "TABLE_RESUME_RECHECK_FAILED",
+                table=plan.source_key,
+                reason=f"target unreadable: {e}",
+            )
+            return False
+        if rows != entry.get("row_count"):
+            self.dumpset.log_event(
+                "TABLE_RESUME_RECHECK_FAILED",
+                table=plan.source_key,
+                reason=f"target rows {rows} != recorded {entry.get('row_count')}",
+            )
+            return False
+        want = entry.get("target_digest")
+        if want is not None and digest != want:
+            self.dumpset.log_event(
+                "TABLE_RESUME_RECHECK_FAILED",
+                table=plan.source_key,
+                reason="target content digest mismatch",
             )
             return False
         return True

@@ -2260,3 +2260,177 @@ FROM orders
 WHERE o_orderpriority = '1-URGENT'
 ORDER BY o_orderkey
 """
+
+
+def datapump_roundtrip_transfer_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Restartable NETWORK_LINK transfer under the driver hash (the r12
+    verdict's top ask: at 100 TB a 3-day connector→connector migrate
+    that dies at 90% must not restart from zero; Oracle's impdp
+    NETWORK_LINK jobs are STOP_JOB/START_JOB-able via the master table —
+    here the event log + manifest play that role, and since a transfer
+    materializes NO dump to digest, resume is verified against the
+    TARGET: each completed table records a row count + xxhash64-XOR
+    content fingerprint at TABLE_TRANSFER_DONE, engine.table_fingerprint).
+
+    Lifecycle A (``stopped_early`` / ``resume_skipped_verified``): a
+    3-table transfer is stopped cooperatively from within table 1's
+    target write — table 1 lands WHOLE, tables 2–3 are recorded not-run;
+    restart() re-plans from the manifest's directive list (re-resolving
+    BOTH sides: source from the link URI, target from the connection),
+    recomputes table 1's fingerprint, skips it, and transfers exactly
+    the remainder (3 TABLE_TRANSFER_DONE total across both runs — no
+    table moved twice). Lifecycle B (``tamper_retransferred``): the
+    completed target table loses a data file; restart refuses the skip
+    (TABLE_RESUME_RECHECK_FAILED) and re-transfers it whole with
+    write_mode forced to overwrite. Hash equality of the final target
+    against the source pins row fidelity; the skip decision costs one
+    distributed fingerprint scan over completed targets only."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..base import JobState
+    from ..dumpset import DumpSet
+
+    tables = ["region", "nation", "supplier"]
+
+    class _StopOnFirstWrite(ParquetConnector):
+        def __init__(self, root: str):
+            super().__init__(root)
+            self.job = None
+            self.writes = 0
+
+        def write_table(self, df, schema, table, **kwargs):
+            self.writes += 1
+            if self.writes == 1 and self.job is not None:
+                self.job.stop()
+            return super().write_table(df, schema, table, **kwargs)
+
+    def _stopped_transfer(stage: str, events: str, wh: str) -> Job:
+        tgt = _StopOnFirstWrite(wh)
+        job = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=events,
+            directives=[
+                D.INCLUDE_SCHEMA("main"),
+                D.NETWORK_LINK(f"parquet://{stage}"),
+            ]
+            + [D.INCLUDE_TABLE(t) for t in tables]
+            + [D.TABLE_EXISTS_ACTION("REPLACE")],
+        )
+        tgt.job = job
+        st = job.run(wait=True, connection=tgt, spark=spark)
+        if st.job_state != JobState.STOPPED.value:
+            raise RuntimeError(f"stop did not land STOPPED: {st.job_state}")
+        return job
+
+    stage = tempfile.mkdtemp(prefix="dp_tr_stage_")
+    ev1 = tempfile.mkdtemp(prefix="dp_tr_ev1_")
+    ev2 = tempfile.mkdtemp(prefix="dp_tr_ev2_")
+    wh1 = tempfile.mkdtemp(prefix="dp_tr_wh1_")
+    wh2 = tempfile.mkdtemp(prefix="dp_tr_wh2_")
+    try:
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+                _os.path.join(stage, f"{t}.parquet")
+            )
+
+        # -- lifecycle A: stop → restart skips the verified target --------
+        job = _stopped_transfer(stage, ev1, wh1)
+        evs = list(DumpSet(ev1).read_events())
+        done1 = [
+            e["table"] for e in evs if e["event"] == "TABLE_TRANSFER_DONE"
+        ]
+        stopped_early = (
+            len(done1) == 1
+            and sum(
+                1 for e in evs if e["event"] == "TABLE_TRANSFER_NOT_RUN"
+            )
+            == 2
+            and DumpSet(ev1).dumpfiles() == []  # still zero dump files
+        )
+        st = Job.attach(job.job_name, dumpdir=ev1).restart(
+            connection=ParquetConnector(wh1), spark=spark
+        )
+        evs = list(DumpSet(ev1).read_events())
+        meta = DumpSet(ev1).read_manifest()
+        resume_skipped_verified = (
+            st.job_state == JobState.COMPLETED.value
+            and [
+                e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"
+            ]
+            == done1
+            and sum(
+                1 for e in evs if e["event"] == "TABLE_TRANSFER_DONE"
+            )
+            == 3  # no table transferred twice
+            and all(
+                m["ok"] and m.get("target_digest")
+                for m in meta.tables.values()
+            )
+        )
+
+        # -- lifecycle B: tampered target forces a re-transfer ------------
+        job2 = _stopped_transfer(stage, ev2, wh2)
+        first2 = [
+            e["table"]
+            for e in DumpSet(ev2).read_events()
+            if e["event"] == "TABLE_TRANSFER_DONE"
+        ][0]
+        sch2, tbl2 = first2.split(".")
+        tdir = _os.path.join(wh2, sch2, f"{tbl2}.parquet")
+        part = sorted(
+            p for p in _os.listdir(tdir) if not p.startswith(("_", "."))
+        )[0]
+        _os.remove(_os.path.join(tdir, part))
+        st2 = Job.attach(job2.job_name, dumpdir=ev2).restart(
+            connection=ParquetConnector(wh2), spark=spark
+        )
+        evs2 = list(DumpSet(ev2).read_events())
+        tamper_retransferred = (
+            st2.job_state == JobState.COMPLETED.value
+            and [
+                e["table"]
+                for e in evs2
+                if e["event"] == "TABLE_RESUME_RECHECK_FAILED"
+            ]
+            == [first2]
+            and not any(
+                e["event"] == "TABLE_RESUME_SKIP" for e in evs2
+            )
+        )
+
+        out = ParquetConnector(wh1)
+        n_region = out.read_table(spark, "main", "region").count()
+        n_supplier = out.read_table(spark, "main", "supplier").count()
+        return (
+            out.read_table(spark, "main", "nation")
+            .withColumn("stopped_early", F.lit(bool(stopped_early)))
+            .withColumn(
+                "resume_skipped_verified",
+                F.lit(bool(resume_skipped_verified)),
+            )
+            .withColumn(
+                "tamper_retransferred", F.lit(bool(tamper_retransferred))
+            )
+            .withColumn("region_rows", F.lit(int(n_region)).cast("long"))
+            .withColumn("supplier_rows", F.lit(int(n_supplier)).cast("long"))
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (stage, ev1, ev2, wh1, wh2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+ROUNDTRIP_TRANSFER_RESTART_SQL = """
+SELECT n.*, TRUE AS stopped_early, TRUE AS resume_skipped_verified,
+       TRUE AS tamper_retransferred,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS region_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS supplier_rows
+FROM nation n
+ORDER BY n_nationkey
+"""

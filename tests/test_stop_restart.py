@@ -472,3 +472,123 @@ def test_validate_encryption_rejects_redacted_sentinel():
 
     with pytest.raises(UsageError, match="redacted manifest sentinel"):
         validate_encryption({"scope": "ALL", "password": "***"})
+
+
+# ---- NETWORK_LINK transfer × stop/restart: a transfer has no dump to
+# digest, so resume verifies the TARGET — each completed table records a
+# row count + content fingerprint at TABLE_TRANSFER_DONE; restart()
+# recomputes both and skips verified tables; a dropped/tampered target
+# is re-transferred (write_mode forced to overwrite). At 100 TB a 3-day
+# migrate that dies at 90% must not restart from zero.
+
+
+class StopOnFirstWrite(ParquetConnector):
+    """TARGET connector that requests a cooperative stop from within the
+    FIRST table's write — the in-flight table completes (boundary
+    cooperation), the rest are recorded not-run."""
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self.job: Job | None = None
+        self.writes = 0
+
+    def write_table(self, df, schema, table, **kwargs):
+        self.writes += 1
+        if self.writes == 1 and self.job is not None:
+            self.job.stop()
+        return super().write_table(df, schema, table, **kwargs)
+
+
+def _transfer_directives(stage: str):
+    return (
+        [D.INCLUDE_SCHEMA("main"), D.NETWORK_LINK(f"parquet://{stage}")]
+        + [D.INCLUDE_TABLE(t) for t in TABLES]
+        + [D.TABLE_EXISTS_ACTION("REPLACE")]
+    )
+
+
+def _stopped_transfer(spark, stage, events, wh) -> Job:
+    tgt = StopOnFirstWrite(wh)
+    job = Job(
+        "IMPORT", "TABLE", dumpfiles=events,
+        directives=_transfer_directives(stage),
+    )
+    tgt.job = job
+    st = job.run(wait=True, connection=tgt, spark=spark)
+    assert st.job_state == JobState.STOPPED.value, st.job_state
+    return job
+
+
+def test_transfer_stop_restart_skips_verified_targets(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    events, wh = str(tmp_path / "ev"), str(tmp_path / "wh")
+    job = _stopped_transfer(spark, stage, events, wh)
+    evs = _events(events)
+    done1 = [e["table"] for e in evs if e["event"] == "TABLE_TRANSFER_DONE"]
+    assert len(done1) == 1
+    assert sum(1 for e in evs if e["event"] == "TABLE_TRANSFER_NOT_RUN") == 2
+    # the completed table's manifest entry carries the target fingerprint
+    meta = DumpSet(events).read_manifest()
+    (entry,) = meta.tables.values()
+    assert entry["ok"] and entry["target_digest"]
+
+    st = Job.attach(job.job_name, dumpdir=events).restart(
+        connection=ParquetConnector(wh), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    evs = _events(events)
+    skips = [e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"]
+    assert len(skips) == 1  # the verified-complete target, never redone
+    assert (
+        sum(1 for e in evs if e["event"] == "TABLE_TRANSFER_DONE") == 3
+    )  # 1 first run + 2 resumed = no table transferred twice
+    out = ParquetConnector(wh)
+    for t in TABLES:
+        want = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        assert out.read_table(spark, "main", t).count() == want
+    # all three recorded complete with fingerprints in the merged manifest
+    meta = DumpSet(events).read_manifest()
+    assert sorted(meta.tables) == sorted(f"main.{t}" for t in TABLES)
+    assert all(m["ok"] and m["target_digest"] for m in meta.tables.values())
+
+
+def test_transfer_restart_retransfers_tampered_target(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    events, wh = str(tmp_path / "ev"), str(tmp_path / "wh")
+    job = _stopped_transfer(spark, stage, events, wh)
+    done = [
+        e["table"] for e in _events(events)
+        if e["event"] == "TABLE_TRANSFER_DONE"
+    ][0]
+    schema, table = done.split(".")
+    # tamper the completed TARGET table: drop one data file
+    tdir = os.path.join(wh, schema, f"{table}.parquet")
+    assert os.path.isdir(tdir), tdir
+    part = sorted(
+        p for p in os.listdir(tdir) if not p.startswith(("_", "."))
+    )[0]
+    os.remove(os.path.join(tdir, part))
+    st = Job.attach(job.job_name, dumpdir=events).restart(
+        connection=ParquetConnector(wh), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value, st.error
+    evs = _events(events)
+    rechecks = [
+        e["table"] for e in evs
+        if e["event"] == "TABLE_RESUME_RECHECK_FAILED"
+    ]
+    assert rechecks == [done]
+    assert not any(e["event"] == "TABLE_RESUME_SKIP" for e in evs)
+    out = ParquetConnector(wh)
+    for t in TABLES:  # the tampered table was re-transferred whole
+        want = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        assert out.read_table(spark, "main", t).count() == want
+
+
+def test_transfer_restart_requires_target_connection(spark, sf_dir, tmp_path):
+    stage = _stage(spark, sf_dir, tmp_path)
+    events, wh = str(tmp_path / "ev"), str(tmp_path / "wh")
+    job = _stopped_transfer(spark, stage, events, wh)
+    att = Job.attach(job.job_name, dumpdir=events)
+    with pytest.raises(UsageError, match="transfer TARGET"):
+        att.restart(spark=spark)
