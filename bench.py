@@ -253,6 +253,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_minhash_verified",
+    "duplicated_spans_report",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
