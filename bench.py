@@ -254,6 +254,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_minhash_verified",
     "duplicated_spans_report",
+    "semantic_dedup_report",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
     "ann_lsh_topk",

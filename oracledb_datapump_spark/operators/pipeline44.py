@@ -179,3 +179,113 @@ top AS (
 SELECT * FROM hist UNION ALL SELECT * FROM top
 ORDER BY section, k1, k2
 """
+
+
+def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup report (public method: Abbas et al.
+    2023 — embedding-cluster-bucketed near-dup pruning): compose the
+    existing cluster-bounded semantic pair scan (clustering.dedup_semantic
+    — k-means assignment memoized per session, pair join restricted to
+    within-cluster blocks, never all-pairs) into the two numbers a corpus
+    team acts on:
+
+    - ``agreement`` rows: the confusion matrix between the semantic pair
+      set and the MinHash-verified truth (the dedup_method_agreement
+      pattern): ``both`` / ``semantic_only`` / ``minhash_only`` over the
+      union of both pair lists — a fat single-method tail names the
+      detector to audit before trusting its delete list.
+    - ``source_yield`` rows: per-source prune impact under the
+      deterministic keep-lowest-id rule (a doc is pruned when it is the
+      GREATER side of any above-threshold semantic pair): k = source,
+      n1 = docs total, n2 = docs pruned.
+
+    Plan: both pair generators are bounded (cluster-bucketed /
+    LSH-banded); the agreement join and the prune-set distinct are
+    pair-list-sized; the yield pass is one broadcast-friendly left join
+    from documents to the tiny prune set. Rides the verified-pair memo
+    and the centroid memo — no recomputation of either model."""
+    from . import clustering as C
+    from . import dedup as DD
+
+    sem = (
+        C.dedup_semantic(spark, sf_dir)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    mh = DD.verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    j = sem.withColumn("in_sem", F.lit(1)).join(
+        mh.withColumn("in_mh", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    verdict = (
+        F.when(F.col("in_sem").isNotNull() & F.col("in_mh").isNotNull(), "both")
+        .when(F.col("in_sem").isNotNull(), "semantic_only")
+        .otherwise("minhash_only")
+    )
+    agree = (
+        j.select(verdict.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+        .select(
+            F.lit("agreement").alias("section"),
+            "k",
+            "n1",
+            F.lit(0).cast("long").alias("n2"),
+        )
+    )
+    pruned = sem.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    yields = (
+        docs.join(
+            F.broadcast(pruned.withColumn("p", F.lit(1))), "doc_id", "left"
+        )
+        .groupBy(F.col("source").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n1"),
+            F.sum(
+                F.when(F.col("p").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n2"),
+        )
+        .select(F.lit("source_yield").alias("section"), "k", "n1", "n2")
+    )
+    return agree.unionByName(yields).orderBy("section", "k")
+
+
+def _semantic_dedup_report_sql() -> str:
+    from . import clustering as C
+    from . import dedup as DD
+
+    sem = C.DEDUP_SEMANTIC_SQL.replace("ORDER BY vec_a, vec_b", "")
+    mh = DD.DEDUP_MINHASH_VERIFIED_SQL.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH sem AS (
+  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ({sem})
+),
+mh AS (
+  SELECT doc_a, doc_b FROM ({mh})
+),
+agree AS (
+  SELECT CASE WHEN s.doc_a IS NOT NULL AND m.doc_a IS NOT NULL THEN 'both'
+              WHEN s.doc_a IS NOT NULL THEN 'semantic_only'
+              ELSE 'minhash_only' END AS verdict
+  FROM sem s FULL OUTER JOIN mh m ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+),
+agree_rows AS (
+  SELECT 'agreement' AS section, verdict AS k,
+         CAST(COUNT(*) AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2
+  FROM agree GROUP BY verdict
+),
+pruned AS (SELECT DISTINCT doc_b AS doc_id FROM sem),
+yield_rows AS (
+  SELECT 'source_yield' AS section, d.source AS k,
+         CAST(COUNT(*) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM documents d LEFT JOIN pruned p USING (doc_id)
+  GROUP BY d.source
+)
+SELECT * FROM agree_rows UNION ALL SELECT * FROM yield_rows
+ORDER BY section, k
+"""
+
+
+SEMANTIC_DEDUP_REPORT_SQL = _semantic_dedup_report_sql()

@@ -76,3 +76,37 @@ def test_short_docs_skipped(spark, tmp_path):
         rows, "doc_id string, text string, lang string, source string, n_chars long"
     ).write.parquet(str(tmp_path / "documents.parquet"))
     assert PL44.duplicated_spans_report(spark, str(tmp_path)).count() == 0
+
+
+def test_semantic_dedup_report_consistency(spark, sf_dir):
+    from oracledb_datapump_spark.operators import clustering as C
+
+    out = PL44.semantic_dedup_report(spark, sf_dir).collect()
+    sections = {r.section for r in out}
+    assert sections == {"agreement", "source_yield"}
+    # yields cover every doc exactly once
+    docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n1 for r in out if r.section == "source_yield") == docs_total
+    # pruned docs = distinct greater side of the semantic pair set
+    sem = C.dedup_semantic(spark, sf_dir)
+    want_pruned = sem.select("vec_b").distinct().count()
+    assert sum(r.n2 for r in out if r.section == "source_yield") == want_pruned
+    # agreement total = union of both pair sets
+    agree = {r.k: r.n1 for r in out if r.section == "agreement"}
+    n_sem = sem.count()
+    both = agree.get("both", 0)
+    assert both + agree.get("semantic_only", 0) == n_sem
+    assert all(v >= 0 for v in agree.values())
+
+
+def test_semantic_dedup_report_oracle_sf0001(spark):
+    from oracledb_datapump_spark.oracle_check import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.001"
+    r = compare(
+        PL44.semantic_dedup_report(spark, sf),
+        duckdb_con(sf),
+        PL44.SEMANTIC_DEDUP_REPORT_SQL,
+        "semantic_dedup_report",
+    )
+    assert r["values_match"], r
