@@ -10,6 +10,24 @@ exit 0 iff COMPLETED (reference cli.py:116-149).
 Connection: ``--connection URL`` (duckdb://…, parquet://…, jdbc:…), or the
 reference's Oracle quartet (--username/--password/--hostname/--database)
 assembled into a JDBC thin URL.
+
+Beyond the reference (public expdp/impdp client surface the reference
+never wraps):
+- ``--attach JOB --command {stop,restart,kill,status}`` — the
+  non-interactive form of Oracle's ATTACH=jobname interactive commands
+  (STOP_JOB / START_JOB / KILL_JOB / STATUS), routed through the same
+  JSON protocol handlers the request surface serves (request.py
+  STOP/RESTART/KILL/STATUS). ``--dumpfile`` names the dump root for
+  attaching to a job from a previous process; ``--encryption_password``
+  re-supplies the secret when restarting an encrypted export (the
+  manifest stores only the redacted sentinel).
+- ``--parfile FILE`` — Oracle's PARFILE: one ``KEY=VALUE`` per line,
+  ``#`` comments; keys are the public parameter names (SCHEMAS, TABLES,
+  FULL, DUMPFILE, PARALLEL, COMPRESSION, EXCLUDE, REMAP_SCHEMA,
+  REMAP_TABLESPACE, FLASHBACK_TIME, DIRECTIVE, CONNECTION, ATTACH,
+  COMMAND, USERNAME, PASSWORD, HOSTNAME, DATABASE,
+  ENCRYPTION_PASSWORD), comma-split where Oracle's are lists.
+  Command-line flags override parfile values, as in Oracle.
 """
 
 from __future__ import annotations
@@ -59,6 +77,69 @@ def parse_directives(
     return out
 
 
+# PARFILE key → (flag, comma_split). Values are spliced in FRONT of the
+# command line so explicit flags override parfile entries (Oracle's
+# documented precedence).
+_PARFILE_MULTI = {
+    "schemas": "--schema",
+    "schema": "--schema",
+    "tables": "--table",
+    "table": "--table",
+    "dumpfile": "--dumpfile",
+    "exclude": "--exclude",
+    "remap_schema": "--remap_schema",
+    "remap_tablespace": "--remap_tablespace",
+    "directive": "--directive",
+}
+_PARFILE_SINGLE = {
+    "parallel": "--parallel",
+    "compression": "--compression",
+    "flashback_time": "--flashback_time",
+    "connection": "--connection",
+    "attach": "--attach",
+    "command": "--command",
+    "username": "--username",
+    "password": "--password",
+    "hostname": "--hostname",
+    "database": "--database",
+    "encryption_password": "--encryption_password",
+}
+
+
+def expand_parfile(path: str) -> list[str]:
+    """PARFILE lines → argv tokens (public Oracle client surface: one
+    KEY=VALUE per line, '#' comments; list-valued parameters
+    comma-split)."""
+    from ..exceptions import UsageError
+
+    out: list[str] = []
+    with open(path) as f:
+        for ln, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            key, eq, value = line.partition("=")
+            key, value = key.strip().lower(), value.strip()
+            if not eq or not key or not value:
+                raise UsageError(
+                    f"{path}:{ln}: parfile lines are KEY=VALUE, got {raw!r}"
+                )
+            if key == "full":
+                if value.upper() in ("Y", "YES", "TRUE"):
+                    out.append("--full")
+            elif key in _PARFILE_MULTI:
+                for v in value.split(","):
+                    if v.strip():
+                        out += [_PARFILE_MULTI[key], v.strip()]
+            elif key in _PARFILE_SINGLE:
+                out += [_PARFILE_SINGLE[key], value]
+            else:
+                raise UsageError(
+                    f"{path}:{ln}: unknown parfile parameter {key.upper()!r}"
+                )
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="oracledb-datapump-spark",
@@ -66,10 +147,28 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("op_mode", choices=["import", "export", "impdp", "expdp"])
 
-    job_mode = parser.add_mutually_exclusive_group(required=True)
+    # not required at the argparse level: --attach needs no job mode, and
+    # a parfile may carry it; validated after parfile expansion below
+    job_mode = parser.add_mutually_exclusive_group()
     job_mode.add_argument("--schema", action="append", default=[])
     job_mode.add_argument("--full", action="store_true")
     job_mode.add_argument("--table", action="append", default=[])
+    parser.add_argument(
+        "--attach", metavar="JOB",
+        help="attach to an existing job by name (Oracle ATTACH=jobname)",
+    )
+    parser.add_argument(
+        "--command", choices=["stop", "restart", "kill", "status"],
+        help="non-interactive ATTACH command (default: status)",
+    )
+    parser.add_argument(
+        "--encryption_password",
+        help="re-supply the secret when restarting an encrypted export",
+    )
+    parser.add_argument(
+        "--parfile", metavar="FILE",
+        help="read parameters from FILE (one KEY=VALUE per line)",
+    )
 
     parser.add_argument(
         "--connection",
@@ -99,15 +198,25 @@ def main(argv: list[str] | None = None) -> int:
         "--directive", action="append", default=[], help="NAME:VALUE"
     )
 
-    args = parser.parse_args(argv)
+    from ..exceptions import JobNotFound, UsageError
 
-    op_map = {"import": "IMPORT", "impdp": "IMPORT", "export": "EXPORT", "expdp": "EXPORT"}
-    operation = op_map[args.op_mode.lower()]
-    mode = "SCHEMA" if args.schema else ("TABLE" if args.table else "FULL")
-
-    if operation == "IMPORT" and not args.dumpfile:
-        print("--dumpfile argument is required for IMPORT!", file=sys.stderr)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    par_paths = []
+    for i, a in enumerate(argv):
+        if a == "--parfile" and i + 1 < len(argv):
+            par_paths.append(argv[i + 1])
+        elif a.startswith("--parfile="):
+            par_paths.append(a.split("=", 1)[1])
+    expanded: list[str] = []
+    try:
+        for p in par_paths:
+            expanded += expand_parfile(p)
+    except (UsageError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
         return 1
+    # parfile tokens FIRST: argparse lets later (explicit) flags override
+    # earlier single-valued ones — Oracle's command-line-wins precedence
+    args = parser.parse_args(expanded + argv)
 
     if args.connection:
         connection: Any = args.connection
@@ -118,10 +227,64 @@ def main(argv: list[str] | None = None) -> int:
             "password": args.password,
         }
     else:
-        print("Provide --connection or --hostname/--database", file=sys.stderr)
+        connection = None
+
+    from ..client import DataPump
+
+    # -- ATTACH mode: route the interactive commands over the protocol ----
+    if args.attach:
+        cmd = (args.command or "status").upper()
+        payload: dict[str, Any] = {"job_name": args.attach}
+        if args.dumpfile:
+            payload["dumpdir"] = str(args.dumpfile[0])
+        if args.encryption_password:
+            if cmd != "RESTART":
+                print(
+                    "--encryption_password only applies to "
+                    "--command restart",
+                    file=sys.stderr,
+                )
+                return 1
+            payload["encryption_password"] = args.encryption_password
+        request: dict[str, Any] = {"request": cmd, "payload": payload}
+        if connection is not None:
+            request["connection"] = connection
+        try:
+            response = DataPump.submit(json.dumps(request))
+        except (UsageError, JobNotFound) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(response.json())
+        ok_states = {
+            "STOP": {"STOP_PENDING", "STOPPING", "STOPPED"},
+            "RESTART": {"COMPLETED"},
+            "KILL": {"NOT_RUNNING"},
+        }.get(cmd)
+        if response.state == "ERROR":
+            return 1
+        return 0 if ok_states is None or response.state in ok_states else 1
+
+    if args.command:
+        print("--command requires --attach JOB", file=sys.stderr)
+        return 1
+    if not (args.schema or args.full or args.table):
+        print(
+            "one of --schema/--full/--table is required (or --attach JOB)",
+            file=sys.stderr,
+        )
         return 1
 
-    from ..exceptions import UsageError
+    op_map = {"import": "IMPORT", "impdp": "IMPORT", "export": "EXPORT", "expdp": "EXPORT"}
+    operation = op_map[args.op_mode.lower()]
+    mode = "SCHEMA" if args.schema else ("TABLE" if args.table else "FULL")
+
+    if operation == "IMPORT" and not args.dumpfile:
+        print("--dumpfile argument is required for IMPORT!", file=sys.stderr)
+        return 1
+
+    if connection is None:
+        print("Provide --connection or --hostname/--database", file=sys.stderr)
+        return 1
 
     try:
         directives = parse_directives(
@@ -150,8 +313,6 @@ def main(argv: list[str] | None = None) -> int:
             "directives": directives,
         },
     }
-
-    from ..client import DataPump
 
     try:
         response = DataPump.submit(json.dumps(request))

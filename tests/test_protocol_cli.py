@@ -133,3 +133,198 @@ def test_cli_import_requires_dumpfile(capsys):
     rc = main(["import", "--schema", "hr", "--connection", "duckdb://"])
     assert rc == 1
     assert "required for IMPORT" in capsys.readouterr().err
+
+
+# ---- ATTACH + PARFILE (public expdp/impdp client surface; r12 verdict
+# ask #4: the engine had stop/restart/kill and protocol handlers, but
+# the CLI could not drive them) --------------------------------------
+
+
+@pytest.fixture()
+def stopped_export(spark, tmp_path):
+    """A 3-table export stopped after table 1, via a source connector
+    that requests the stop from within the first read."""
+    import os as _os
+
+    from oracledb_datapump_spark.base import JobState
+    from oracledb_datapump_spark.catalog import ParquetConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+    from oracledb_datapump_spark.job import Job
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    stage = str(tmp_path / "stage")
+    for t in ("region", "nation", "supplier"):
+        spark.read.parquet(f"{sf}/{t}.parquet").write.parquet(
+            _os.path.join(stage, f"{t}.parquet")
+        )
+
+    class StopOnFirstRead(ParquetConnector):
+        def __init__(self, root):
+            super().__init__(root)
+            self.job, self.reads = None, 0
+
+        def read_table(self, spark, schema, table, **kw):
+            self.reads += 1
+            if self.reads == 1 and self.job is not None:
+                self.job.stop()
+            return super().read_table(spark, schema, table, **kw)
+
+    dump = str(tmp_path / "dump")
+    src = StopOnFirstRead(stage)
+    job = Job(
+        "EXPORT", "TABLE", dumpfiles=dump,
+        directives=[D.INCLUDE_SCHEMA("main")]
+        + [D.INCLUDE_TABLE(t) for t in ("region", "nation", "supplier")],
+    )
+    src.job = job
+    st = job.run(wait=True, connection=src, spark=spark)
+    assert st.job_state == JobState.STOPPED.value
+    return job.job_name, dump, stage
+
+
+def test_cli_attach_status_then_restart(stopped_export, capsys):
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    name, dump, stage = stopped_export
+    rc = main(["expdp", "--attach", name, "--dumpfile", dump])
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    d = json.loads(out.out.strip())
+    assert d["request"] == "STATUS" and d["state"] == "STOPPED"
+
+    rc = main(
+        [
+            "expdp", "--attach", name, "--dumpfile", dump,
+            "--command", "restart",
+            "--connection", f"parquet://{stage}",
+        ]
+    )
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    d = json.loads(out.out.strip())
+    assert d["request"] == "RESTART" and d["state"] == "COMPLETED"
+
+
+def test_cli_attach_kill(stopped_export, capsys):
+    import os as _os
+
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    name, dump, _stage = stopped_export
+    rc = main(
+        ["expdp", "--attach", name, "--dumpfile", dump, "--command", "kill"]
+    )
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    d = json.loads(out.out.strip())
+    assert d["request"] == "KILL" and d["state"] == "NOT_RUNNING"
+    assert not _os.path.exists(dump)  # master table dropped, Oracle-style
+
+
+def test_cli_attach_matches_protocol_json(stopped_export, capsys):
+    """The CLI is a thin shell over the SAME protocol handlers: its
+    printed JSON equals handle_request's response for the same request."""
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    name, dump, _stage = stopped_export
+    rc = main(["expdp", "--attach", name, "--dumpfile", dump, "--command", "status"])
+    cli_d = json.loads(capsys.readouterr().out.strip())
+    proto = DataPump.submit(
+        {"request": "STATUS", "payload": {"job_name": name, "dumpdir": dump}}
+    )
+    proto_d = json.loads(proto.json())
+    for k in ("request", "job_name", "state"):
+        assert cli_d[k] == proto_d[k]
+    assert rc == 0
+
+
+def test_cli_command_requires_attach(capsys):
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    rc = main(["expdp", "--schema", "hr", "--connection", "duckdb://", "--command", "stop"])
+    assert rc == 1
+    assert "--command requires --attach" in capsys.readouterr().err
+
+
+def test_cli_parfile_export(duck_file, tmp_path, capsys):
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    dump = str(tmp_path / "pf_dump")
+    pf = tmp_path / "export.par"
+    pf.write_text(
+        "# comment line\n"
+        "SCHEMAS=hr\n"
+        f"DUMPFILE={dump}\n"
+        "PARALLEL=2\n"
+        "COMPRESSION=ALL\n"
+        f"CONNECTION=duckdb://{duck_file}\n"
+    )
+    rc = main(["export", "--parfile", str(pf)])
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    assert json.loads(out.out.strip())["state"] == "COMPLETED"
+
+
+def test_cli_parfile_bad_line(tmp_path, capsys):
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    pf = tmp_path / "bad.par"
+    pf.write_text("NOT_A_REAL_PARAM=1\n")
+    rc = main(["export", "--parfile", str(pf)])
+    assert rc == 1
+    assert "unknown parfile parameter" in capsys.readouterr().err
+
+
+def test_cli_missing_job_mode(capsys):
+    from oracledb_datapump_spark.entrypoints.cli import main
+
+    rc = main(["export", "--connection", "duckdb://"])
+    assert rc == 1
+    assert "--schema/--full/--table" in capsys.readouterr().err
+
+
+def test_cli_attach_stop_live_job(spark, tmp_path, capsys):
+    """STOP via the CLI against a LIVE async job: the CLI reaches the
+    registered in-process job exactly as Oracle's interactive STOP_JOB
+    reaches the server-side master, then polls the job to STOPPED."""
+    import os as _os
+    import time
+
+    from oracledb_datapump_spark.base import JobState
+    from oracledb_datapump_spark.catalog import ParquetConnector
+    from oracledb_datapump_spark.directives import DirectiveBase as D
+    from oracledb_datapump_spark.entrypoints.cli import main
+    from oracledb_datapump_spark.job import Job
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    stage = str(tmp_path / "stage")
+    for t in ("region", "nation", "supplier"):
+        spark.read.parquet(f"{sf}/{t}.parquet").write.parquet(
+            _os.path.join(stage, f"{t}.parquet")
+        )
+
+    class SlowRead(ParquetConnector):
+        def read_table(self, spark, schema, table, **kw):
+            time.sleep(0.4)
+            return super().read_table(spark, schema, table, **kw)
+
+    job = Job(
+        "EXPORT", "TABLE", dumpfiles=str(tmp_path / "dump"),
+        directives=[D.INCLUDE_SCHEMA("main")]
+        + [D.INCLUDE_TABLE(t) for t in ("region", "nation", "supplier")],
+    )
+    job.run(wait=False, connection=SlowRead(stage), spark=spark)
+    deadline = time.monotonic() + 30
+    while job.state != JobState.EXECUTING and time.monotonic() < deadline:
+        time.sleep(0.01)
+
+    rc = main(["expdp", "--attach", job.job_name, "--command", "stop"])
+    out = capsys.readouterr()
+    assert rc == 0, out.err
+    d = json.loads(out.out.strip())
+    assert d["request"] == "STOP"
+    assert d["state"] in ("STOP_PENDING", "STOPPING", "STOPPED")
+    deadline = time.monotonic() + 60
+    while job.state != JobState.STOPPED and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert job.state == JobState.STOPPED
