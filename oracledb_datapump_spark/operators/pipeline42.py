@@ -511,7 +511,13 @@ ORDER BY k
 
 MATRYOSHKA_DIMS = (8, 16, 32, 64)
 MATRYOSHKA_TOPK = 5
-MATRYOSHKA_PROBE_STRIDE = 31  # deterministic probe set: vec_id % 31 == 0
+# Fixed probe BUDGET (r12 verdict ask #7, replacing the vec_id % 31
+# stride): the probe set is the B vec_ids with the smallest
+# (hash64(vec_id), vec_id) key — deterministic in both engines and
+# CONSTANT-sized at any corpus scale, so the harness cost is O(N·B)
+# with fixed B instead of O(N²/31). Spark plans the selection as
+# TakeOrderedAndProject (distributed top-K), never a global sort.
+MATRYOSHKA_PROBE_BUDGET = 16
 
 
 def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,10 +529,12 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     what that costs in recall@k). dims=64 is the identity row
     (recall_ppm = 1e6), which pins the harness itself under the hash.
 
-    Probe-set bounded, never all-pairs: a deterministic ~3% probe set
-    (vec_id % {MATRYOSHKA_PROBE_STRIDE} == 0) broadcast-joins against
-    the corpus — O(N·probes), the exact-rerank cost an IVF/LSH pipeline
-    pays per query batch. Integer-exact ranking: values quantize at 1e4
+    Probe-budget bounded, never all-pairs: a deterministic FIXED-size
+    probe set (the {MATRYOSHKA_PROBE_BUDGET} smallest (hash64(vec_id),
+    vec_id) keys — distributed top-K, no global sort) broadcast-joins
+    against the corpus — O(N·B) with constant B at any corpus size, the
+    exact-rerank cost an IVF/LSH pipeline pays per query batch.
+    Integer-exact ranking: values quantize at 1e4
     (FLOAT→DOUBLE first), scores are sign·(|dot|·1e6 DIV (isqrt(na·nb)+1))
     with the correctly-rounded IEEE isqrt both engines share; ties
     break on candidate id."""
@@ -537,9 +545,16 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"v -> CAST(floor(CAST(v AS DOUBLE) * {ENERGY_QUANT}) AS BIGINT))"
         ).alias("q"),
     )
-    probes = e.filter(
-        F.col("vec_id") % MATRYOSHKA_PROBE_STRIDE == 0
-    ).select(F.col("vec_id").alias("pid"), F.col("q").alias("pq"))
+    probes = (
+        e.select(
+            F.col("vec_id").alias("pid"),
+            F.col("q").alias("pq"),
+            hash64(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "pid")
+        .limit(MATRYOSHKA_PROBE_BUDGET)
+        .drop("h")
+    )
     dims = spark.createDataFrame(
         [(d,) for d in MATRYOSHKA_DIMS], "dims long"
     )
@@ -613,8 +628,11 @@ WITH e AS (
            AS q
   FROM embeddings
 ), probes AS (
-  SELECT vec_id AS pid, q AS pq FROM e
-  WHERE vec_id % {MATRYOSHKA_PROBE_STRIDE} = 0
+  SELECT pid, pq FROM (
+    SELECT vec_id AS pid, q AS pq,
+           {sql_hash64("CAST(vec_id AS VARCHAR)")} AS h
+    FROM e
+  ) ORDER BY h, pid LIMIT {MATRYOSHKA_PROBE_BUDGET}
 ), pairs AS (
   SELECT p.pid, d.dims, e.vec_id AS cand,
          list_sum(list_transform(range({0}, d.dims),

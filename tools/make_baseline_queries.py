@@ -84,6 +84,12 @@ def medians_from_full(path: str) -> dict[str, float]:
 # Steady state does NOT confirm the higher numbers — the drift was
 # suite-position drag. Per the r8 policy no overrides are recorded; the
 # anchors stay at best-of-last-two-clean-fulls.
+# Round-13 isolation audit (verdict r12 ask #5): the two r12 watchlist
+# drifters re-measured the same way (fresh quiet JVM, 5 runs, median):
+#   curated_corpus_v3     4.680 s (suite capture had 6.40; best-known 4.54)
+#   quality_vs_dup_matrix 0.956 s (suite capture had 1.55; best-known 0.80)
+# Steady state refutes both — suite-position drag again, on untouched
+# code. No overrides recorded (r8 policy); anchors unchanged.
 CLEAN_FULLS = [
     ("383a6d9", "r12a"),  # round-12 closing capture (229.04s/171q, 1.163, sentinel benign-faster 0.55, zero errors) — first anchors for the three new r12 headliners
     ("244dd5a", "r12d"),  # driver's judge-time capture at the r12 boundary (223.9s/171q, 1.095, zero errors, zero >=2x rows; judge-refuted the two r12a capture artifacts gapfill_hourly/cohort_retention)
