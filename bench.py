@@ -234,6 +234,11 @@ EXCLUDED = {
     "lang_id_confusion": "same scan as lang_id (benched) + tiny agg",
     "dedup_rate_by_source": "rides dedup_exact (benched) + tiny agg",
     "doc_chunks": "explode-only micro-op, subsumed by span_dup_score",
+    "weighted_sample_report": "row-local priorities + TakeOrderedAndProject top-K + one broadcast join onto a per-source rollup — same scan-bound sampling family as stratified_sample (benched)",
+    "dp_release_counts": "one partial-aggregated (source, lang) groupBy with row-local integer noise on the tiny aggregate — same shape as source_lang_matrix (benched via its family)",
+    "leakage_quarantine_plan": "rides the memoized verified-pair table like split_leakage_pairs (EXCLUDED family); dominant cost (LSH verify) is benched via dedup_minhash_verified",
+    "source_token_entropy": "tokenize+explode then two partial-aggregated groupBys — same unigram-aggregate shape as unigram_surprise (benched)",
+    "context_fill_curve": "row-local token counts exploded x4 window sizes + one small groupBy — same scan-bound projection family as token_count (benched)",
 }
 
 HEADLINE = [
@@ -255,6 +260,7 @@ HEADLINE = [
     "dedup_minhash_verified",
     "duplicated_spans_report",
     "semantic_dedup_report",
+    "lsh_band_planner",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
