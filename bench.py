@@ -234,6 +234,7 @@ EXCLUDED = {
     "lang_id_confusion": "same scan as lang_id (benched) + tiny agg",
     "dedup_rate_by_source": "rides dedup_exact (benched) + tiny agg",
     "doc_chunks": "explode-only micro-op, subsumed by span_dup_score",
+    "datapump_roundtrip_stop_restart_encrypted": "six job lifecycles (one stopped, two refused, two rejected imports) + ciphertext digest rechecks over 3 tiny tables; same lifecycle-machinery family as datapump_roundtrip_stop_restart (EXCLUDED)",
     "weighted_sample_report": "row-local priorities + TakeOrderedAndProject top-K + one broadcast join onto a per-source rollup — same scan-bound sampling family as stratified_sample (benched)",
     "dp_release_counts": "one partial-aggregated (source, lang) groupBy with row-local integer noise on the tiny aggregate — same shape as source_lang_matrix (benched via its family)",
     "leakage_quarantine_plan": "rides the memoized verified-pair table like split_leakage_pairs (EXCLUDED family); dominant cost (LSH verify) is benched via dedup_minhash_verified",

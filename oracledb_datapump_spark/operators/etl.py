@@ -1972,6 +1972,216 @@ ORDER BY n_nationkey
 """
 
 
+def datapump_roundtrip_stop_restart_encrypted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STOP_JOB → START_JOB × ENCRYPTION composition under the driver
+    hash — the lifecycle Oracle's START_JOB re-prompts a password for
+    (the manifest persists only the redacted ``***`` sentinel, never the
+    secret; reference models the directive at directives.py:274-297 and
+    the START_JOB command at commands.py:113-119).
+
+    A 3-table export with ENCRYPTION(ALL) + ENCRYPTION_PASSWORD +
+    CHECKSUM is stopped after table 1. Sentinels:
+
+    - ``stopped_early``: table 1 sealed + digested, tables 2–3 not-run,
+      job STOPPED.
+    - ``refuses_without_password``: BOTH ``restart()`` with no password
+      AND ``restart(password='***')`` (the sentinel itself) are refused
+      loudly — a resumed job must never derive keys from the manifest's
+      public redaction constant.
+    - ``resume_completed``: ``restart(password=<real>)`` digest-verifies
+      the sealed table 1 (digests run over ciphertext — no decrypt
+      needed to prove completeness), skips it, and seals the remaining
+      two tables to COMPLETED; exactly one TABLE_EXPORT_DONE per table
+      across both runs.
+    - ``ciphertext_opaque``: every part file of the tables exported
+      AFTER the restart rejects a keyless pyarrow read — the resumed
+      half of the dump is really sealed.
+    - ``wrong_password_rejected``: importing with a wrong password (and
+      separately with the literal ``***``) fails the key-unwrap loudly —
+      proving no table in the resumed dump is decryptable by the
+      sentinel.
+
+    The final import supplies the real password and round-trips
+    ``nation`` with exact per-table counts. At 100 TB the resume
+    decision stays one ciphertext digest pass over completed tables;
+    the re-keyed remainder parallelizes exactly like the original
+    export (per-partition AES writers)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..base import JobState
+    from ..dumpset import DumpSet
+    from ..exceptions import UsageError
+
+    tables = ["region", "nation", "supplier"]
+    pw = "dp-spark-stop-restart"
+
+    class _StopOnFirstRead(ParquetConnector):
+        def __init__(self, root: str):
+            super().__init__(root)
+            self.job = None
+            self.reads = 0
+
+        def read_table(self, spark, schema, table, **kwargs):
+            self.reads += 1
+            if self.reads == 1 and self.job is not None:
+                self.job.stop()
+            return super().read_table(spark, schema, table, **kwargs)
+
+    stage = tempfile.mkdtemp(prefix="dp_sre_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_sre_dump_")
+    wh = tempfile.mkdtemp(prefix="dp_sre_wh_")
+    try:
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+                _os.path.join(stage, f"{t}.parquet")
+            )
+
+        src = _StopOnFirstRead(stage)
+        job = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main")]
+            + [D.INCLUDE_TABLE(t) for t in tables]
+            + [
+                D.ENCRYPTION("ALL"),
+                D.ENCRYPTION_PASSWORD(pw),
+                D.ENCRYPTION_ALGORITHM("AES256"),
+                D.CHECKSUM(True),
+                D.CHECKSUM_ALGORITHM("SHA256"),
+            ],
+        )
+        src.job = job
+        st = job.run(wait=True, connection=src, spark=spark)
+        evs = list(DumpSet(dump).read_events())
+        done1 = [e["table"] for e in evs if e["event"] == "TABLE_EXPORT_DONE"]
+        stopped_early = (
+            st.job_state == JobState.STOPPED.value
+            and len(done1) == 1
+            and sum(1 for e in evs if e["event"] == "TABLE_EXPORT_NOT_RUN")
+            == 2
+        )
+
+        refuses = 0
+        for bad in (None, "***"):
+            try:
+                Job.attach(job.job_name, dumpdir=dump).restart(
+                    connection=ParquetConnector(stage),
+                    spark=spark,
+                    password=bad,
+                )
+            except UsageError:
+                refuses += 1
+        refuses_without_password = refuses == 2
+
+        st = Job.attach(job.job_name, dumpdir=dump).restart(
+            connection=ParquetConnector(stage), spark=spark, password=pw
+        )
+        evs = list(DumpSet(dump).read_events())
+        skips = [e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"]
+        all_done = [e["table"] for e in evs if e["event"] == "TABLE_EXPORT_DONE"]
+        resume_completed = (
+            st.job_state == JobState.COMPLETED.value
+            and skips == done1
+            and sorted(all_done) == sorted(f"main.{t}" for t in tables)
+        )
+
+        import pyarrow.parquet as pq
+
+        resumed_tables = [t for t in all_done if t not in done1]
+        opaque_checked = 0
+        ciphertext_opaque = len(resumed_tables) == 2
+        ds = DumpSet(dump)
+        for key in resumed_tables:
+            tdir = ds.table_dir(*key.split("."))
+            for name in _os.listdir(tdir):
+                if not name.startswith("part-") or not name.endswith(
+                    ".parquet"
+                ):
+                    continue
+                opaque_checked += 1
+                try:
+                    pq.read_table(_os.path.join(tdir, name))
+                    ciphertext_opaque = False
+                except Exception:
+                    pass
+        ciphertext_opaque = ciphertext_opaque and opaque_checked >= 2
+
+        from ..exceptions import JobError
+
+        rejected = 0
+        for bad in ("not-the-password", "***"):
+            try:
+                st_bad = Job(
+                    Operation.IMPORT,
+                    JobMode.TABLE,
+                    dumpfiles=dump,
+                    directives=[
+                        D.TABLE_EXISTS_ACTION("REPLACE"),
+                        D.ENCRYPTION_PASSWORD(bad),
+                    ],
+                ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+                if st_bad.job_state != JobState.COMPLETED.value:
+                    rejected += 1
+            except JobError:
+                # the '***' sentinel is rejected at validation time,
+                # before any key derivation — even louder, same verdict
+                rejected += 1
+        wrong_password_rejected = rejected == 2
+
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.ENCRYPTION_PASSWORD(pw),
+                D.VERIFY_CHECKSUM(True),
+            ],
+        ).run(wait=True, connection=ParquetConnector(wh), spark=spark)
+        if st.job_state != JobState.COMPLETED.value:
+            raise RuntimeError(f"final decrypt import failed: {st.error}")
+        out = ParquetConnector(wh)
+        n_region = out.read_table(spark, "main", "region").count()
+        n_supplier = out.read_table(spark, "main", "supplier").count()
+        return (
+            out.read_table(spark, "main", "nation")
+            .withColumn("stopped_early", F.lit(bool(stopped_early)))
+            .withColumn(
+                "refuses_without_password",
+                F.lit(bool(refuses_without_password)),
+            )
+            .withColumn("resume_completed", F.lit(bool(resume_completed)))
+            .withColumn("ciphertext_opaque", F.lit(bool(ciphertext_opaque)))
+            .withColumn(
+                "wrong_password_rejected", F.lit(bool(wrong_password_rejected))
+            )
+            .withColumn("region_rows", F.lit(int(n_region)).cast("long"))
+            .withColumn("supplier_rows", F.lit(int(n_supplier)).cast("long"))
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ROUNDTRIP_STOP_RESTART_ENCRYPTED_SQL = """
+SELECT n.*, TRUE AS stopped_early, TRUE AS refuses_without_password,
+       TRUE AS resume_completed, TRUE AS ciphertext_opaque,
+       TRUE AS wrong_password_rejected,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS region_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS supplier_rows
+FROM nation n
+ORDER BY n_nationkey
+"""
+
+
 def datapump_roundtrip_filesize(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
