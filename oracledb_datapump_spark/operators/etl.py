@@ -324,6 +324,25 @@ def datapump_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUNDTRIP_CSV_SQL = "SELECT * FROM nation ORDER BY n_nationkey"
 
 
+def datapump_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUMP_FORMAT(JSON) lifecycle under the driver hash: ``orders``
+    through a JSON-lines dump set. Unlike the nation/CSV lifecycle this
+    table carries DATE and DOUBLE columns, so the hash proves the two
+    type paths JSON interchange most often corrupts: dates survive via
+    the manifest's recorded Spark schema (a schemaless JSON read would
+    hand back strings), and doubles survive because the writer emits a
+    shortest-exact decimal rendering that parses back bit-identical.
+    At 100 TB JSON dumps cost a full-scan row accounting (no parquet
+    footers) — the directive docstring says so — but split/parallel
+    read behavior is line-based and partitions exactly like CSV."""
+    return _roundtrip(spark, sf_dir, "orders", dump_format="JSON").orderBy(
+        "o_orderkey"
+    )
+
+
+ROUNDTRIP_JSON_SQL = "SELECT * FROM orders ORDER BY o_orderkey"
+
+
 def datapump_roundtrip_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS_OF_VERSION time-travel lifecycle under the driver hash: the
     events table is exported in TWO incremental runs (INCREMENTAL_COLUMN
