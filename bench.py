@@ -238,6 +238,8 @@ EXCLUDED = {
     "datapump_roundtrip_json": "same single-table export->DuckDB-import lifecycle as supplier roundtrip (benched) through the JSON-lines interchange format over orders",
     "theil_sen_trend": "same month-level rollup + O(months^2) pair join family as kendall_tau_daily (EXCLUDED; scan shape benched via q1_pricing_summary); pairs/windows run on the tiny rollup",
     "good_turing_unseen_mass": "tokenize+explode then two partial-aggregated groupBys — same unigram-aggregate shape as unigram_surprise (benched) and source_token_entropy (EXCLUDED)",
+    "readability_report": "three row-local regexp counts + one tiny groupBy(source) — same scan-bound projection family as token_count (benched)",
+    "burstiness_report": "tokenize+explode, (tok, doc) count, tok-level moments, top-30 — same unigram-aggregate shape as unigram_surprise (benched)",
     "weighted_sample_report": "row-local priorities + TakeOrderedAndProject top-K + one broadcast join onto a per-source rollup — same scan-bound sampling family as stratified_sample (benched)",
     "dp_release_counts": "one partial-aggregated (source, lang) groupBy with row-local integer noise on the tiny aggregate — same shape as source_lang_matrix (benched via its family)",
     "leakage_quarantine_plan": "rides the memoized verified-pair table like split_leakage_pairs (EXCLUDED family); dominant cost (LSH verify) is benched via dedup_minhash_verified",
@@ -266,6 +268,7 @@ HEADLINE = [
     "semantic_dedup_report",
     "lsh_band_planner",
     "hits_topk",
+    "textrank_keywords",
     "simhash_fingerprints",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
