@@ -240,6 +240,9 @@ EXCLUDED = {
     "good_turing_unseen_mass": "tokenize+explode then two partial-aggregated groupBys — same unigram-aggregate shape as unigram_surprise (benched) and source_token_entropy (EXCLUDED)",
     "readability_report": "three row-local regexp counts + one tiny groupBy(source) — same scan-bound projection family as token_count (benched)",
     "burstiness_report": "tokenize+explode, (tok, doc) count, tok-level moments, top-30 — same unigram-aggregate shape as unigram_surprise (benched)",
+    "retrieval_eval_ndcg": "rides the benched bm25_search_topk index + two broadcast literal maps over |queries|x5 rows — same eval-layer shape as retrieval_eval_mrr (EXCLUDED family)",
+    "cuped_adjusted_ab": "one per-user conditional aggregate + 2-row arm rollup + 1-row broadcasts — same user-keyed shape as ab_test_report (EXCLUDED; family anchor dau_wau_stickiness benched)",
+    "ab_power_plan": "one (event_type, user) rollup + per-type moments x 4 literal MDE rows — same keyed-agg shape as value_quartiles_by_type (EXCLUDED family; events scan benched via events_hourly_rollup)",
     "weighted_sample_report": "row-local priorities + TakeOrderedAndProject top-K + one broadcast join onto a per-source rollup — same scan-bound sampling family as stratified_sample (benched)",
     "dp_release_counts": "one partial-aggregated (source, lang) groupBy with row-local integer noise on the tiny aggregate — same shape as source_lang_matrix (benched via its family)",
     "leakage_quarantine_plan": "rides the memoized verified-pair table like split_leakage_pairs (EXCLUDED family); dominant cost (LSH verify) is benched via dedup_minhash_verified",
