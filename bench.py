@@ -242,6 +242,9 @@ EXCLUDED = {
     "burstiness_report": "tokenize+explode, (tok, doc) count, tok-level moments, top-30 — same unigram-aggregate shape as unigram_surprise (benched)",
     "retrieval_eval_ndcg": "rides the benched bm25_search_topk index + two broadcast literal maps over |queries|x5 rows — same eval-layer shape as retrieval_eval_mrr (EXCLUDED family)",
     "cuped_adjusted_ab": "one per-user conditional aggregate + 2-row arm rollup + 1-row broadcasts — same user-keyed shape as ab_test_report (EXCLUDED; family anchor dau_wau_stickiness benched)",
+    "datapump_sqlfile_script": "two job lifecycles + a manifest-only DDL render executed in a fresh DuckDB catalog; O(tables) by construction, same lifecycle family as datapump_roundtrip_supplier (benched)",
+    "naive_forecast_backtest": "same month-level broadcast-dim rollup + lag-window family as theil_sen_trend (EXCLUDED; scan shape benched via q1_pricing_summary)",
+    "minhash_perm_quality": "rides the benched dedup_minhash_pairs signature aggregate + a 16-row audit reduce",
     "ab_power_plan": "one (event_type, user) rollup + per-type moments x 4 literal MDE rows — same keyed-agg shape as value_quartiles_by_type (EXCLUDED family; events scan benched via events_hourly_rollup)",
     "weighted_sample_report": "row-local priorities + TakeOrderedAndProject top-K + one broadcast join onto a per-source rollup — same scan-bound sampling family as stratified_sample (benched)",
     "dp_release_counts": "one partial-aggregated (source, lang) groupBy with row-local integer noise on the tiny aggregate — same shape as source_lang_matrix (benched via its family)",

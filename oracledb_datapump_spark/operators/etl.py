@@ -343,6 +343,92 @@ def datapump_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROUNDTRIP_JSON_SQL = "SELECT * FROM orders ORDER BY o_orderkey"
 
 
+def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL_FILE lifecycle under the driver hash — the operation the
+    reference DECLARES but never implements (reference base.py:5-17
+    lists Operation.SQLFILE; files.py:899-900 raises
+    NotImplementedError). Here it is real (ddl.py renders ANSI CREATE
+    TABLE from the manifest's captured StructType JSON), and this query
+    gates its EFFECT, not its text: export region+nation, run
+    Job(SQL_FILE) on the dump, execute the generated script in a fresh
+    DuckDB catalog, and return that catalog's information_schema rows
+    (table, column, ordinal, type). The oracle reads the SAME rows from
+    the driver's own registered views — so the hash proves the DDL
+    recreates byte-identical relational shapes from the manifest alone,
+    with no data files read. ``script_executed`` pins that every
+    statement ran. At 100 TB SQL_FILE touches only the manifest — it is
+    O(tables), never O(rows)."""
+    import os as _os
+
+    import duckdb as _duckdb
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    tables = ["region", "nation"]
+    stage = tempfile.mkdtemp(prefix="dp_sqlf_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_sqlf_dump_")
+    try:
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+                _os.path.join(stage, f"{t}.parquet")
+            )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main")]
+            + [D.INCLUDE_TABLE(t) for t in tables],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"export failed: {st.error}")
+
+        st = Job(
+            Operation.SQL_FILE, JobMode.TABLE, dumpfiles=dump
+        ).run(wait=True, spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"SQL_FILE failed: {st.error}")
+        evs = list(DumpSet(dump).read_events())
+        [path] = [e["path"] for e in evs if e["event"] == "SQL_FILE_DONE"]
+        script = open(path).read()
+
+        con = _duckdb.connect()
+        created = 0
+        for stmt in script.split(";"):
+            if stmt.strip():
+                con.sql(stmt)
+                if "CREATE TABLE" in stmt:
+                    created += 1
+        rows = con.sql(
+            "SELECT table_name, column_name,"
+            " CAST(ordinal_position AS BIGINT) AS ordinal, data_type"
+            " FROM information_schema.columns"
+            f" WHERE table_name IN ({', '.join(repr(t) for t in tables)})"
+            " ORDER BY table_name, ordinal"
+        ).fetchall()
+        out = spark.createDataFrame(
+            rows,
+            "table_name string, column_name string, ordinal long,"
+            " data_type string",
+        )
+        return out.withColumn(
+            "script_executed", F.lit(created == len(tables))
+        ).orderBy("table_name", "ordinal")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+SQLFILE_SCRIPT_SQL = """
+SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal,
+       data_type, TRUE AS script_executed
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation')
+ORDER BY table_name, ordinal
+"""
+
+
 def datapump_roundtrip_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS_OF_VERSION time-travel lifecycle under the driver hash: the
     events table is exported in TWO incremental runs (INCREMENTAL_COLUMN
