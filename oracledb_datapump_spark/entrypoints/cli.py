@@ -28,6 +28,11 @@ never wraps):
   COMMAND, USERNAME, PASSWORD, HOSTNAME, DATABASE,
   ENCRYPTION_PASSWORD), comma-split where Oracle's are lists.
   Command-line flags override parfile values, as in Oracle.
+- ``--list-jobs [DUMP_ROOT]`` — the DBA_DATAPUMP_JOBS listing (the view
+  the reference's data-dictionary status strategy queries,
+  reference status.py:366-385): live-registry jobs plus every dump set
+  under DUMP_ROOT with state replayed from its event log, as a
+  LIST_JOBS protocol response.
 """
 
 from __future__ import annotations
@@ -169,6 +174,12 @@ def main(argv: list[str] | None = None) -> int:
         "--parfile", metavar="FILE",
         help="read parameters from FILE (one KEY=VALUE per line)",
     )
+    parser.add_argument(
+        "--list-jobs", metavar="DUMP_ROOT", dest="list_jobs", nargs="?",
+        const="", default=None,
+        help="enumerate known jobs (DBA_DATAPUMP_JOBS analog): the live "
+        "registry plus every dump set under DUMP_ROOT",
+    )
 
     parser.add_argument(
         "--connection",
@@ -230,6 +241,19 @@ def main(argv: list[str] | None = None) -> int:
         connection = None
 
     from ..client import DataPump
+
+    # -- LIST_JOBS mode: the DBA_DATAPUMP_JOBS listing over the protocol --
+    if args.list_jobs is not None:
+        payload = {"dump_root": args.list_jobs or None}
+        try:
+            response = DataPump.submit(
+                json.dumps({"request": "LIST_JOBS", "payload": payload})
+            )
+        except UsageError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(response.json())
+        return 0
 
     # -- ATTACH mode: route the interactive commands over the protocol ----
     if args.attach:

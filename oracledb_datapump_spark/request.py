@@ -65,9 +65,10 @@ class Response:
     state: str | None = None
     detail: JobStatusInfo | None = None
     error: str | None = None
+    jobs: list[dict[str, Any]] | None = None  # LIST_JOBS rows
 
     def to_dict(self) -> dict[str, Any]:
-        return {
+        d = {
             "request": self.request,
             "job_name": self.job_name,
             "job_owner": self.job_owner,
@@ -75,6 +76,9 @@ class Response:
             "detail": self.detail.to_dict() if self.detail else None,
             "error": self.error,
         }
+        if self.jobs is not None:
+            d["jobs"] = self.jobs
+        return d
 
     def json(self) -> str:
         return json.dumps(self.to_dict(), default=str)
@@ -219,6 +223,20 @@ class RestartHandler(RequestHandler, request_type="RESTART"):
             state=info.job_state,
             detail=info,
         )
+
+
+class ListJobsHandler(RequestHandler, request_type="LIST_JOBS"):
+    """DBA_DATAPUMP_JOBS over the JSON protocol: enumerate the live-job
+    registry plus (optionally) every dump set under ``dump_root``, with
+    operation/mode from the manifest and state replayed from the event
+    log (reference status.py:366-385 reads the Oracle view; here the
+    dump-set directory IS the master-table store)."""
+
+    def handle(self, payload: dict[str, Any], connection: Any, spark=None) -> Response:
+        from .status import list_jobs
+
+        rows = list_jobs(dump_root=payload.get("dump_root"))
+        return Response(request="LIST_JOBS", jobs=rows)
 
 
 class KillHandler(RequestHandler, request_type="KILL"):

@@ -12,6 +12,7 @@ same user-facing models.
 from __future__ import annotations
 
 import enum
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -132,6 +133,85 @@ def live_job(name: str) -> object | None:
 
 def job_exists(name: str) -> bool:
     return name in _live_jobs
+
+
+def list_jobs(dump_root: str | None = None) -> list[dict]:
+    """Enumerate known jobs — the DBA_DATAPUMP_JOBS analog (the
+    reference's data-dictionary status strategy reads exactly that view,
+    reference status.py:366-385, sql.py:51-60; Oracle's columns are
+    owner_name/job_name/operation/job_mode/state/attached_sessions).
+
+    Two sources, registry-first like the status strategies: every job in
+    the in-process live registry, then — when ``dump_root`` is given —
+    every dump-set directory under it whose job is NOT already listed,
+    with operation/mode from the manifest and state replayed from the
+    event log (the cross-process half the in-memory registry cannot
+    see, exactly the split cleanup_orphans honors). Rows sort by
+    job_name for a stable listing."""
+    rows: list[dict] = []
+    seen: set[str] = set()
+    for name, job in sorted(_live_jobs.items()):
+        op = getattr(job, "operation", None)
+        mode = getattr(job, "mode", None)
+        state = getattr(job, "state", None)
+        rows.append(
+            {
+                "job_name": name,
+                "operation": getattr(op, "value", None),
+                "mode": getattr(mode, "value", None),
+                "state": getattr(state, "value", None),
+                "source": "registry",
+            }
+        )
+        seen.add(name)
+    if dump_root and os.path.isdir(dump_root):
+        for entry in sorted(os.listdir(dump_root)):
+            path = os.path.join(dump_root, entry)
+            if not os.path.isdir(path):
+                continue
+            ds = DumpSet(path)
+            try:
+                if not list(ds.read_events()) and not ds.exists():
+                    continue  # bare directory, not a dump set
+                info = status_from_events(ds)
+            except Exception:
+                continue
+            # name: manifest first, else the first event that carries one
+            name = None
+            op = mode = None
+            try:
+                meta = ds.read_manifest()
+                op, mode, name = meta.operation, meta.mode, meta.job_name
+            except Exception:
+                pass
+            if not name:
+                try:
+                    name = next(
+                        (
+                            e["job_name"]
+                            for e in ds.read_events()
+                            if e.get("job_name")
+                        ),
+                        None,
+                    )
+                except Exception:
+                    name = None
+            name = name or entry
+            if name in seen:
+                continue
+            if name in seen:
+                continue
+            rows.append(
+                {
+                    "job_name": name,
+                    "operation": op,
+                    "mode": mode,
+                    "state": info.job_state,
+                    "source": "events",
+                }
+            )
+            seen.add(name)
+    return sorted(rows, key=lambda r: r["job_name"] or "")
 
 
 def status_from_events(
