@@ -76,6 +76,10 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         "n_nationkey", "n_name"
     )
+    # localCheckpoint: four downstream branches (stats/median/ties/
+    # n_months) would otherwise each replay the orders scan; the rollup
+    # is ≤|nation×month| rows, so pinning it is free and the corpus is
+    # read exactly once (the graph.py iterative-algorithm device)
     monthly = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -90,6 +94,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "y"
             )
         )
+        .localCheckpoint(eager=True)
     )
     idx = monthly.withColumn(
         "x", F.row_number().over(W.partitionBy("nation").orderBy("ym")) - 1
@@ -115,7 +120,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " div dx AS BIGINT)"
             )
         ).alias("slope_ppm"),
-    )
+    ).localCheckpoint(eager=True)  # reused by stats AND the median rank
     stats = sloped.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("sgn").alias("mk_s"),
@@ -343,10 +348,14 @@ def hits_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
+    # localCheckpoint: the edge list is the working set of all three
+    # half-iterations — without it each one replays the orders⋈lineitem
+    # join (the graph.py power-iteration device)
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # iteration 1: hub = 1 ⇒ authority = in-degree
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).alias("a"))

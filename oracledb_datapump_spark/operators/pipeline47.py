@@ -98,9 +98,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    edges = und.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-    wtot = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
-    edges = edges.join(wtot, "src")
+    # localCheckpoint: every downstream consumer (wtot, pr0, both
+    # PageRank iterations) replays from here — without it each replay
+    # re-tokenizes the whole corpus (the graph.py power-iteration
+    # device); the edge aggregate is Zipf-bounded
+    edges0 = (
+        und.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wtot = edges0.groupBy("src").agg(F.sum("w").alias("wtot"))
+    edges = edges0.join(wtot, "src").localCheckpoint(eager=True).localCheckpoint(eager=True)
 
     pr0 = wtot.select(
         F.col("src").alias("tok"), F.lit(TR_SCALE).cast("long").alias("pr")
