@@ -242,6 +242,8 @@ EXCLUDED = {
     "burstiness_report": "tokenize+explode, (tok, doc) count, tok-level moments, top-30 — same unigram-aggregate shape as unigram_surprise (benched)",
     "retrieval_eval_ndcg": "rides the benched bm25_search_topk index + two broadcast literal maps over |queries|x5 rows — same eval-layer shape as retrieval_eval_mrr (EXCLUDED family)",
     "cuped_adjusted_ab": "one per-user conditional aggregate + 2-row arm rollup + 1-row broadcasts — same user-keyed shape as ab_test_report (EXCLUDED; family anchor dau_wau_stickiness benched)",
+    "ranker_agreement_report": "inner join of the two |queries|x5 ranker outputs — rides BOTH benched inverted indexes (bm25_search_topk, tfidf_search_topk); the agreement layer is tiny-frame",
+    "datapump_roundtrip_estimate_only": "one plan + three COUNT scans, zero data movement by construction; lifecycle family datapump_roundtrip_supplier (benched)",
     "datapump_sqlfile_script": "two job lifecycles + a manifest-only DDL render executed in a fresh DuckDB catalog; O(tables) by construction, same lifecycle family as datapump_roundtrip_supplier (benched)",
     "naive_forecast_backtest": "same month-level broadcast-dim rollup + lag-window family as theil_sen_trend (EXCLUDED; scan shape benched via q1_pricing_summary)",
     "minhash_perm_quality": "rides the benched dedup_minhash_pairs signature aggregate + a 16-row audit reduce",

@@ -429,6 +429,84 @@ ORDER BY table_name, ordinal
 """
 
 
+def datapump_roundtrip_estimate_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ESTIMATE_ONLY lifecycle under the driver hash (public Oracle Data
+    Pump parameter; reference maps the directive at directives.py:299-305
+    and delegates the actual sizing to Oracle's server). Run an export
+    of region+nation+supplier with ESTIMATE_ONLY(YES): the job lands
+    COMPLETED having written NO table data (``no_data_written`` walks
+    the dump dir and finds zero part files — the contract an operator
+    relies on when sizing a 100 TB export before paying for it), and
+    each table's ``estimated_rows`` must equal the exact COUNT(*) the
+    oracle computes — pinning that the STATISTICS estimate path reads
+    source statistics/counts, not a guess. The JOB_ESTIMATE event log
+    row and Job.estimates carry the same payload; both are consumed."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..dumpset import DumpSet
+
+    tables = ["region", "nation", "supplier"]
+    stage = tempfile.mkdtemp(prefix="dp_est_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_est_dump_")
+    try:
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+                _os.path.join(stage, f"{t}.parquet")
+            )
+        job = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main")]
+            + [D.INCLUDE_TABLE(t) for t in tables]
+            + [D.ESTIMATE_ONLY(True)],
+        )
+        st = job.run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != "COMPLETED":
+            raise RuntimeError(f"estimate-only failed: {st.error}")
+
+        # event-log payload must agree with the in-process property
+        evs = list(DumpSet(dump).read_events())
+        [ev_est] = [e["estimates"] for e in evs if e["event"] == "JOB_ESTIMATE"]
+        by_table = {e["table"]: e["estimated_rows"] for e in ev_est}
+        prop = {e["table"]: e["estimated_rows"] for e in (job.estimates or [])}
+        consistent = by_table == prop and len(by_table) == len(tables)
+
+        no_data = True
+        for root, _dirs, files in _os.walk(dump):
+            if any(f.startswith("part-") for f in files):
+                no_data = False
+        rows = [
+            (t, int(by_table.get(f"main.{t}", -1)))
+            for t in sorted(tables)
+        ]
+        out = spark.createDataFrame(
+            rows, "table_name string, estimated_rows long"
+        )
+        return (
+            out.withColumn("no_data_written", F.lit(no_data and consistent))
+            .orderBy("table_name")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+
+
+ESTIMATE_ONLY_SQL = """
+SELECT 'nation' AS table_name, CAST((SELECT COUNT(*) FROM nation) AS BIGINT)
+         AS estimated_rows, TRUE AS no_data_written
+UNION ALL
+SELECT 'region', CAST((SELECT COUNT(*) FROM region) AS BIGINT), TRUE
+UNION ALL
+SELECT 'supplier', CAST((SELECT COUNT(*) FROM supplier) AS BIGINT), TRUE
+ORDER BY table_name
+"""
+
+
 def datapump_roundtrip_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS_OF_VERSION time-travel lifecycle under the driver hash: the
     events table is exported in TWO incremental runs (INCREMENTAL_COLUMN
