@@ -315,6 +315,30 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_pairs_sql() -> str:
+    """Standalone SELECT producing the SimHash candidate pair set
+    (doc_a, doc_b) — the SQL twin of :func:`_simhash_pairs`, factored
+    for reuse by the multi-method dedup audits (pipeline51)."""
+    simhash = D.SIMHASH_SQL.replace("ORDER BY doc_id", "")
+    n_bands = D.SIMHASH_BITS // AGREE_BAND_BITS
+    mask = (1 << AGREE_BAND_BITS) - 1
+    return f"""
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {AGREE_BAND_BITS})) & {mask} AS key
+  FROM ({simhash}) sh_sig,
+       (SELECT unnest(range({n_bands}))::INT AS band) b
+) a JOIN (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {AGREE_BAND_BITS})) & {mask} AS key
+  FROM ({simhash}) sh_sig,
+       (SELECT unnest(range({n_bands}))::INT AS band) b
+) b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {AGREE_HAM_MAX}
+"""
+
+
 def _dedup_method_agreement_sql() -> str:
     verified = D.DEDUP_MINHASH_VERIFIED_SQL.replace(
         "ORDER BY doc_a, doc_b", ""
