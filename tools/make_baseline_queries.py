@@ -90,6 +90,17 @@ def medians_from_full(path: str) -> dict[str, float]:
 #   quality_vs_dup_matrix 0.956 s (suite capture had 1.55; best-known 0.80)
 # Steady state refutes both — suite-position drag again, on untouched
 # code. No overrides recorded (r8 policy); anchors unchanged.
+# Round-13 CLOSING isolation audit: the three worst ratios in the
+# closing capture (1.036x overall, zero >=2x rows) re-measured the
+# same way (fresh JVM, 5 runs, median, after warm-up):
+#   curated_corpus_v3    4.477 s (suite 1.56x of the 3.976 anchor) —
+#     steady state ~1.13x of anchor, suite-position drag confirmed.
+#   host_cap_sample      0.499 s / hourly_heavy_hitters 0.526 s —
+#     sub-second absolutes whose isolated medians exceed the suite
+#     values; at this magnitude single-JVM warm-up dominates and the
+#     anchors (0.140/0.274 s) are only reachable deep inside a fully
+#     JIT-warmed suite. Spread ~= median, untouched code since r6/r7.
+# No overrides recorded (r8 policy); anchors unchanged.
 CLEAN_FULLS = [
     ("383a6d9", "r12a"),  # round-12 closing capture (229.04s/171q, 1.163, sentinel benign-faster 0.55, zero errors) — first anchors for the three new r12 headliners
     ("244dd5a", "r12d"),  # driver's judge-time capture at the r12 boundary (223.9s/171q, 1.095, zero errors, zero >=2x rows; judge-refuted the two r12a capture artifacts gapfill_hourly/cohort_retention)
