@@ -15,11 +15,14 @@ Five planning/audit surfaces a 100-TB training-data pipeline runs
   ``hash64 div weight`` (bigger weight → stochastically smaller
   priority) so both engines rank identically with no float in sight.
 - ``dp_release_counts`` — differentially-private group-count release
-  via the geometric mechanism (Ghosh/Roughgarden/Sundararajan 2009),
-  the integer-valued analog of Laplace: noise magnitude is a
+  in the geometric-mechanism family (Ghosh/Roughgarden/Sundararajan
+  2009), the integer-valued analog of Laplace: noise magnitude is a
   Geometric(1/2) variable read directly off the key-hash's bit stream
   (count of leading one-bits — a 16-level CASE ladder, pure int64),
-  giving ε = ln 2 at sensitivity 1, plus small-count suppression.
+  symmetrized by an independent sign bit. The dyadic symmetrization
+  puts mass 1/2 at zero, so the worst adjacent-output ratio is
+  P(0)/P(±1) = 4 ⇒ ε = ln 4 at sensitivity 1 (the interior ratios are
+  all 2); small-count suppression layers on top.
 - ``leakage_quarantine_plan`` — the ACTION after split_leakage_pairs'
   detection: for every verified near-dup pair that straddles two
   splits, quarantine the doc on the less-trusted side
@@ -297,10 +300,17 @@ def _geo_case(g: str, intdiv: str) -> str:
 
 
 def dp_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Differentially-private (source, lang) document counts via the
-    geometric mechanism — the integer analog of Laplace (Ghosh et al.
-    2009): released = max(count + sign·k, 0) where k ~ Geometric(1/2)
-    gives ε = ln 2 at sensitivity 1. The noise is keyed determinism:
+    """Differentially-private (source, lang) document counts in the
+    geometric-mechanism family — the integer analog of Laplace (Ghosh
+    et al. 2009): released = max(count + sign·k, 0) where
+    k ~ Geometric(1/2) with an independent sign. Privacy accounting for
+    this dyadic symmetrization: P(noise=0) = 1/2 and P(noise=±j) =
+    2^−(j+2), so adjacent counts shift the output distribution by at
+    most a factor of P(0)/P(±1) = 4 ⇒ ε = ln 4 ≈ 1.39 at sensitivity 1
+    (interior ratios are 2; the canonical two-sided geometric at
+    α = 1/2 would need non-dyadic mass 1/3 at zero, which finite hash
+    bits cannot produce exactly — this engine never trades determinism
+    for a tighter constant). The noise is keyed determinism:
     sign and k are read straight off the bits of hash64('dp:'||key)
     (sign = lowest bit, k = index of the first zero bit above it — a
     16-level integer CASE ladder, no float, no RNG state), so a release
