@@ -23,9 +23,10 @@ def ranker_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_doc, n_common, rank_l1): per-query agreement between the
     BM25 and TF-IDF top-k lists — n_common = |intersection| of the two
     k-doc sets, rank_l1 = Σ|rank_bm25 − rank_tfidf| over the shared
-    docs (0 when the lists agree exactly on order). Queries appear once
-    per ranker union, so a query with zero overlap still reports
-    (0, 0).
+    docs (0 when the lists agree exactly on order). The query universe
+    is the BM25 result's query set — identical to TF-IDF's by
+    construction (both rankers query doc_id < TFIDF_N_QUERIES) — so a
+    query with zero overlap still reports (0, 0).
 
     Plan: inner join of the two |queries|·k result frames on
     (query, doc), then a per-query aggregate; the right side
