@@ -507,6 +507,115 @@ ORDER BY table_name
 """
 
 
+def datapump_roundtrip_orc_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUMP_FORMAT(ORC) × CHECKSUM composition under the driver hash:
+    the integrity machinery must be format-agnostic, because digests
+    are file-level SHA-256 over whatever bytes the media codec wrote
+    (engine file_digests walks part files; it never parses them).
+    Export ``nation`` as an ORC dump with CHECKSUM(SHA256), then:
+
+    - ``verified_import``: IMPORT with VERIFY_CHECKSUM(YES) recomputes
+      the digests over the ORC files and completes — the hash equality
+      against plain ``nation`` proves type fidelity THROUGH the ORC
+      media path under an active integrity gate.
+    - ``tamper_rejected``: one byte of one ORC part flipped → the same
+      verified import refuses loudly. The negative proof that the gate
+      actually reads the ORC bytes rather than trusting the manifest.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..base import JobState
+    from ..exceptions import JobError
+
+    stage = tempfile.mkdtemp(prefix="dp_orcck_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_orcck_dump_")
+    dump2 = tempfile.mkdtemp(prefix="dp_orcck_dump2_")
+    try:
+        spark.read.parquet(f"{sf_dir}/nation.parquet").write.parquet(
+            _os.path.join(stage, "nation.parquet")
+        )
+
+        def export_to(dest: str) -> None:
+            st = Job(
+                Operation.EXPORT,
+                JobMode.TABLE,
+                dumpfiles=dest,
+                directives=[
+                    D.INCLUDE_SCHEMA("main"),
+                    D.INCLUDE_TABLE("nation"),
+                    D.DUMP_FORMAT("ORC"),
+                    D.CHECKSUM(True),
+                    D.CHECKSUM_ALGORITHM("SHA256"),
+                ],
+            ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+            if st.job_state != JobState.COMPLETED.value:
+                raise RuntimeError(f"ORC+CHECKSUM export failed: {st.error}")
+
+        export_to(dump)
+        target = DuckDbConnector(":memory:")
+        st = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[
+                D.REMAP_SCHEMA("main", "imported"),
+                D.TABLE_EXISTS_ACTION("REPLACE"),
+                D.VERIFY_CHECKSUM(True),
+            ],
+        ).run(wait=True, connection=target, spark=spark)
+        verified_import = st.job_state == JobState.COMPLETED.value
+
+        # negative proof: flip one byte of one ORC data file
+        export_to(dump2)
+        tdir = _os.path.join(dump2, "main", "nation")
+        part = sorted(
+            p
+            for p in _os.listdir(tdir)
+            if not p.startswith(("_", "."))
+        )[0]
+        p = _os.path.join(tdir, part)
+        raw = bytearray(open(p, "rb").read())
+        raw[len(raw) // 2] ^= 0xFF
+        open(p, "wb").write(bytes(raw))
+        tamper_rejected = False
+        try:
+            st2 = Job(
+                Operation.IMPORT,
+                JobMode.TABLE,
+                dumpfiles=dump2,
+                directives=[
+                    D.REMAP_SCHEMA("main", "imported2"),
+                    D.TABLE_EXISTS_ACTION("REPLACE"),
+                    D.VERIFY_CHECKSUM(True),
+                ],
+            ).run(wait=True, connection=DuckDbConnector(":memory:"), spark=spark)
+            tamper_rejected = st2.job_state != JobState.COMPLETED.value
+        except JobError:
+            tamper_rejected = True
+
+        return (
+            target.read_table(spark, "imported", "nation")
+            .withColumn("verified_import", F.lit(bool(verified_import)))
+            .withColumn("tamper_rejected", F.lit(bool(tamper_rejected)))
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(dump2, ignore_errors=True)
+
+
+ROUNDTRIP_ORC_CHECKSUM_SQL = """
+SELECT *, TRUE AS verified_import, TRUE AS tamper_rejected
+FROM nation ORDER BY n_nationkey
+"""
+
+
 def datapump_roundtrip_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS_OF_VERSION time-travel lifecycle under the driver hash: the
     events table is exported in TWO incremental runs (INCREMENTAL_COLUMN
