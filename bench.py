@@ -242,6 +242,7 @@ EXCLUDED = {
     "burstiness_report": "tokenize+explode, (tok, doc) count, tok-level moments, top-30 — same unigram-aggregate shape as unigram_surprise (benched)",
     "retrieval_eval_ndcg": "rides the benched bm25_search_topk index + two broadcast literal maps over |queries|x5 rows — same eval-layer shape as retrieval_eval_mrr (EXCLUDED family)",
     "cuped_adjusted_ab": "one per-user conditional aggregate + 2-row arm rollup + 1-row broadcasts — same user-keyed shape as ab_test_report (EXCLUDED; family anchor dau_wau_stickiness benched)",
+    "duplicated_span_mask_plan": "same gram explode + doc-frequency shuffle as the benched duplicated_spans_report, MINUS its pair join; the K-way coverage explode runs on duplicated positions only",
     "streaming_bottomk_distinct": "one availableNow cycle (2 micro-batches) whose fixed streaming startup dominates; the per-batch work is a distinct + a 64-row merge (streaming family EXCLUDED by policy)",
     "datapump_roundtrip_orc_checksum": "four job lifecycles (two exports, one verified import, one rejected import) + digest passes over a 25-row ORC dump; same lifecycle family as datapump_roundtrip_checksum (EXCLUDED)",
     "winnow_param_planner": "one pinned gram pass + three window/pair arms, each the production winnowing shape at a different W; the W=8 arm IS the benched-family winnowing_fingerprint_pairs plan",
