@@ -102,8 +102,8 @@ def medians_from_full(path: str) -> dict[str, float]:
 #     JIT-warmed suite. Spread ~= median, untouched code since r6/r7.
 # No overrides recorded (r8 policy); anchors unchanged.
 CLEAN_FULLS = [
-    ("383a6d9", "r12a"),  # round-12 closing capture (229.04s/171q, 1.163, sentinel benign-faster 0.55, zero errors) — first anchors for the three new r12 headliners
-    ("244dd5a", "r12d"),  # driver's judge-time capture at the r12 boundary (223.9s/171q, 1.095, zero errors, zero >=2x rows; judge-refuted the two r12a capture artifacts gapfill_hourly/cohort_retention)
+    ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
+    ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
 ]
 
 
