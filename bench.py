@@ -110,6 +110,7 @@ EXCLUDED = {
     "datapump_roundtrip_sqlite": "same export->import lifecycle shape as datapump_roundtrip_supplier (benched) with a driver-side SQLite seed; the partitioned rowid-range read is the plan of interest and is pinned by sentinel, not timing",
     "datapump_roundtrip_stop_restart": "five job lifecycles (two deliberately stopped) + digest recheck passes over 3 tiny tables; lifecycle machinery dominates, same family as datapump_roundtrip_checksum (EXCLUDED)",
     "datapump_roundtrip_transfer_restart": "four transfer lifecycles (two deliberately stopped) + target fingerprint rechecks over 3 tiny tables; same lifecycle-machinery family as datapump_roundtrip_stop_restart (EXCLUDED)",
+    "datapump_roundtrip_import_restart": "five job lifecycles (two deliberately stopped) + target fingerprint rechecks over 3 tiny tables; same lifecycle-machinery family as datapump_roundtrip_stop_restart (EXCLUDED)",
     "datapump_roundtrip_filesize": "same export->verify->import lifecycle as datapump_roundtrip_checksum (EXCLUDED); the maxRecordsPerFile cap adds no plan shape, it splits the write",
     "datapump_roundtrip_network_link": "three job lifecycles (dump path + link path) plus a two-way exceptAll identity check; lifecycle machinery dominates, same family as datapump_roundtrip_checksum (EXCLUDED)",
     "datapump_roundtrip_partition_scoped": "a partitionBy staging write + two job lifecycles; the scoped scan itself reads ONE hive leaf (pinned by sentinel, not timing) — same lifecycle family as datapump_roundtrip_checksum (EXCLUDED)",

@@ -1165,8 +1165,35 @@ def import_table(
                 raise RuntimeError(
                     f"VALIDATE_TBL_DATA: wrote {written} rows, expected {expect}"
                 )
-        dumpset.log_event("TABLE_IMPORT_DONE", table=plan.target_key, rows=rows)
-        return TableResult(plan, ok=True, rows=rows, bytes=size, files=nfiles)
+        # START_JOB parity (restartable dump-set IMPORT): record the
+        # TARGET's post-load fingerprint alongside the dump row count so
+        # Job.restart() can digest-verify and skip this table wholesale —
+        # the same completeness proof transfer_table records at
+        # TABLE_TRANSFER_DONE (on the import side there is no NEW dump
+        # file to checksum; the master-table analog must describe the
+        # target). One extra count+xxhash64 aggregate over the
+        # just-written table; at 100 TB that is the price of resuming a
+        # stopped multi-hour import instead of re-running it.
+        t_rows, t_digest = table_fingerprint(
+            connector.read_table(
+                spark, plan.target_schema, plan.target_table
+            )
+        )
+        dumpset.log_event(
+            "TABLE_IMPORT_DONE",
+            table=plan.target_key,
+            rows=rows,
+            target_rows=t_rows,
+            target_digest=t_digest,
+        )
+        return TableResult(
+            plan,
+            ok=True,
+            rows=rows,
+            bytes=size,
+            files=nfiles,
+            detail={"target_rows": t_rows, "target_digest": t_digest},
+        )
     except Exception as e:
         dumpset.log_event("TABLE_IMPORT_ERROR", table=plan.target_key, error=str(e))
         if config.skip_constraint_errors:
@@ -1176,15 +1203,71 @@ def import_table(
         return TableResult(plan, ok=False, error=f"{e}\n{traceback.format_exc()}")
 
 
+def _hashable_expr(col, dt):
+    """Rewrite a column into an xxhash64-hashable, deterministic form.
+    Spark refuses to hash MAP values (same map, different hashcodes), so
+    every map — at any nesting depth — becomes its entry array sorted by
+    key: unique keys make the sort total, so equal maps always produce
+    equal arrays. Structs/arrays recurse; everything else passes through."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        entries = F.map_entries(col)
+        if _dtype_has_map(dt.valueType):
+            # canonicalize nested maps BEFORE sorting — maps are not
+            # orderable, so the sort must see only hashable structs
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _hashable_expr(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+        return F.array_sort(entries)
+    if isinstance(dt, StructType):
+        if not _dtype_has_map(dt):
+            return col
+        return F.struct(
+            *(
+                _hashable_expr(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            )
+        )
+    if isinstance(dt, ArrayType):
+        if not _dtype_has_map(dt.elementType):
+            return col
+        return F.transform(
+            col, lambda e: _hashable_expr(e, dt.elementType)
+        )
+    return col
+
+
+def _dtype_has_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, StructType):
+        return any(_dtype_has_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _dtype_has_map(dt.elementType)
+    return False
+
+
 def table_fingerprint(df) -> tuple[int, str]:
-    """Order-independent target-table content fingerprint for transfer
-    resume: row COUNT + XOR of per-row xxhash64 over all columns (sorted
-    by name so projection order can't change the value). One distributed
-    scan, two scalars to the driver — the transfer analog of the dump's
-    CHECKSUM digest map (there is no dump file to digest)."""
+    """Order-independent target-table content fingerprint for transfer/
+    import resume: row COUNT + XOR of per-row xxhash64 over all columns
+    (sorted by name so projection order can't change the value; map
+    columns canonicalized via _hashable_expr). One distributed scan, two
+    scalars to the driver — the transfer analog of the dump's CHECKSUM
+    digest map (there is no dump file to digest)."""
     from pyspark.sql import functions as F
 
-    cols = [F.col(c) for c in sorted(df.columns)]
+    dtypes = dict(zip(df.schema.names, (f.dataType for f in df.schema.fields)))
+    cols = [
+        _hashable_expr(F.col(c), dtypes[c]) for c in sorted(df.columns)
+    ]
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.bit_xor(F.xxhash64(*cols)).alias("d"),

@@ -277,6 +277,21 @@ class Job:
             self.dumpset.log_event(
                 "NETWORK_TRANSFER", source=config.network_link
             )
+        elif self.operation == Operation.IMPORT:
+            # Restart anchor for a dump-set IMPORT (impdp START_JOB
+            # parity): the export's manifest describes the DUMP and is
+            # never overwritten by an import run, so the import job's own
+            # directive list — the input restart() re-compiles — rides
+            # the event log instead; the event stream is the master-table
+            # analog for both directions. ENCRYPTION_PASSWORD serializes
+            # as the redacted sentinel and restart(password=...) must
+            # re-supply it, exactly as on the EXPORT side.
+            self.dumpset.log_event(
+                "IMPORT_JOB_PLAN",
+                job_name=self.job_name,
+                mode=self.mode.value,
+                directives=[d.to_dict() for d in self.directives],
+            )
 
         # metadata sidecar (reference job.py:235-259, commands.py:234-244)
         meta = JobMetaData(
@@ -673,9 +688,19 @@ class Job:
         fingerprint (engine.table_fingerprint) at TABLE_TRANSFER_DONE,
         and restart() recomputes both before skipping; a dropped or
         tampered target is re-transferred with write_mode forced to
-        overwrite. Dump-set IMPORT jobs have an existing idempotent
-        path — re-run with TABLE_EXISTS_ACTION('SKIP') — so restart()
-        refuses them loudly rather than duplicating those semantics.
+        overwrite.
+
+        Dump-set IMPORT jobs (impdp ATTACH/START_JOB) resume the same
+        way: the export's manifest describes the DUMP and is never
+        overwritten by an import run, so the import job re-plans from
+        the IMPORT_JOB_PLAN event's directive list and verifies each
+        completed table against the TARGET fingerprint recorded at
+        TABLE_IMPORT_DONE (target_rows + target_digest) — verified
+        targets are skipped wholesale, a dropped/tampered target is
+        re-imported with write_mode forced to overwrite, and only
+        not-run tables execute. A stopped import from before the
+        fingerprints were recorded falls back to the idempotent
+        TABLE_EXISTS_ACTION('SKIP') re-run, loudly.
         """
         if self.dumpset is None:
             raise UsageError("restart requires a job with a dump set")
@@ -688,19 +713,54 @@ class Job:
                 f"Only a STOPPED job can restart (START_JOB); "
                 f"state={self._state.value}/{info.job_state}"
             )
-        meta = self.dumpset.read_manifest()
-        # Non-EXPORT: only a NETWORK_LINK transfer qualifies — detected
-        # after compile_directives below (the link lives in a directive).
+        # Which job is being resumed? The LAST JOB_OPEN event names it.
+        # A dump-set IMPORT leaves the export's manifest untouched, so
+        # its restart anchor is the IMPORT_JOB_PLAN event (directive
+        # list) rather than the manifest; EXPORT and TRANSFER jobs keep
+        # resuming from the manifest exactly as before.
+        events = list(self.dumpset.read_events())
+        last_open = max(
+            (
+                i
+                for i, e in enumerate(events)
+                if e.get("event") == "JOB_OPEN"
+            ),
+            default=None,
+        )
+        import_plan_ev = None
+        if (
+            last_open is not None
+            and events[last_open].get("operation") == Operation.IMPORT.value
+        ):
+            import_plan_ev = next(
+                (
+                    e
+                    for e in events[last_open:]
+                    if e.get("event") == "IMPORT_JOB_PLAN"
+                ),
+                None,
+            )
         if connection is not None:
             self.connection = connection
-        self.operation = Operation(meta.operation)
-        self.mode = JobMode(meta.mode)
-        self.job_name = meta.job_name
         spark = spark or get_spark()
         self.job_date = utc_now()
-        self.directives = [
-            DirectiveBase.from_dict(d) for d in meta.directives
-        ]
+        meta = None
+        if import_plan_ev is not None:
+            self.operation = Operation.IMPORT
+            self.mode = JobMode(import_plan_ev["mode"])
+            self.job_name = import_plan_ev.get("job_name", self.job_name)
+            self.directives = [
+                DirectiveBase.from_dict(d)
+                for d in import_plan_ev["directives"]
+            ]
+        else:
+            meta = self.dumpset.read_manifest()
+            self.operation = Operation(meta.operation)
+            self.mode = JobMode(meta.mode)
+            self.job_name = meta.job_name
+            self.directives = [
+                DirectiveBase.from_dict(d) for d in meta.directives
+            ]
         # ENCRYPTION_PASSWORD persists as the redacted '***' sentinel
         # (never the secret) — re-planning from the manifest verbatim
         # would seal every remaining table under a key derived from a
@@ -726,18 +786,33 @@ class Job:
                 "no ENCRYPTION_PASSWORD directive"
             )
         config = compile_directives(self.directives, mode=self.mode.value)
+        is_import = import_plan_ev is not None
         is_transfer = (
-            self.operation == Operation.IMPORT and bool(config.network_link)
+            self.operation == Operation.IMPORT
+            and bool(config.network_link)
+            and not is_import
         )
-        if self.operation != Operation.EXPORT and not is_transfer:
+        if (
+            self.operation != Operation.EXPORT
+            and not is_transfer
+            and not is_import
+        ):
             raise UsageError(
-                "restart() supports EXPORT and NETWORK_LINK transfer "
-                "jobs; re-run a dump-set IMPORT with "
+                "restart() supports EXPORT, NETWORK_LINK transfer and "
+                "dump-set IMPORT jobs; this stopped import predates the "
+                "IMPORT_JOB_PLAN restart anchor — re-run it with "
                 "TABLE_EXISTS_ACTION('SKIP') for resume-equivalent "
                 "semantics"
             )
         src = None
-        if is_transfer:
+        if is_import:
+            if self.connection is None:
+                raise UsageError(
+                    "connection (the import TARGET) required to restart "
+                    "a dump-set IMPORT"
+                )
+            self.connector = resolve_connector(self.connection)
+        elif is_transfer:
             # impdp-side NETWORK_LINK: the link names the SOURCE; the
             # connection is the transfer TARGET, exactly as the original
             # run — both re-resolve from the manifest's directive list
@@ -763,30 +838,53 @@ class Job:
             for p in plans:
                 p.extra["src_connector"] = src
             engine_op = "TRANSFER"
+        elif is_import:
+            plans = plan_import(self.dumpset, config)
+            engine_op = "IMPORT"
         else:
             plans = plan_export(
                 self.connector, self.operation, self.mode, config
             )
             engine_op = self.operation.value
         self._thread_plan_extras(plans, config)
+        # Completed-table record: manifest entries for EXPORT/TRANSFER;
+        # for a dump-set IMPORT the TABLE_IMPORT_DONE events since the
+        # last JOB_OPEN (target fingerprints) play that role — earlier
+        # unrelated import runs on the same dump set stay out of scope.
+        import_done: dict[str, dict] = {}
+        if is_import:
+            for ev in events[last_open:]:
+                if (
+                    ev.get("event") == "TABLE_IMPORT_DONE"
+                    and ev.get("target_digest") is not None
+                ):
+                    import_done[ev.get("table", "")] = {
+                        "ok": True,
+                        "row_count": ev.get("target_rows"),
+                        "target_digest": ev.get("target_digest"),
+                    }
         remaining, skipped = [], []
         for p in plans:
-            entry = meta.tables.get(p.source_key)
+            entry = (
+                import_done.get(p.target_key)
+                if is_import
+                else meta.tables.get(p.source_key)
+            )
             if (
                 entry
                 and entry.get("ok")
                 and (
                     self._transfer_intact(spark, p, entry)
-                    if is_transfer
+                    if is_transfer or is_import
                     else self._resume_intact(spark, p, entry)
                 )
             ):
                 skipped.append(p)
             else:
-                if is_transfer and entry and entry.get("ok"):
+                if (is_transfer or is_import) and entry and entry.get("ok"):
                     # recheck failed on a recorded-complete table: the
                     # target holds a tampered/partial remnant, so the
-                    # re-transfer must replace it, never append onto it
+                    # re-run must replace it, never append onto it
                     p.write_mode, p.truncate = "overwrite", False
                 remaining.append(p)
         self.dumpset.log_event(
@@ -811,30 +909,43 @@ class Job:
                 else EngineResult(state=JobState.COMPLETED)
             )
             self._result = result
-            for r in result.tables:
-                if r.detail.get("not_run"):
-                    continue
-                meta.tables[r.plan.source_key] = {
-                    "rows": None if not r.ok else r.rows,
-                    "row_count": r.rows,
-                    "bytes": r.bytes,
-                    "files": r.files,
-                    "ok": r.ok,
-                    **r.detail,
-                }
-            meta.dumpfiles = [
-                p.replace(self.dumpset.root + "/", "")
-                for p in self.dumpset.dumpfiles()
-            ]
-            if config.include_metadata:
-                self.dumpset.write_manifest(meta)
+            if not is_import:
+                # EXPORT/TRANSFER enrich the manifest; a resumed IMPORT
+                # leaves the export's manifest untouched (it describes
+                # the dump) — its completion record is the event log.
+                for r in result.tables:
+                    if r.detail.get("not_run"):
+                        continue
+                    meta.tables[r.plan.source_key] = {
+                        "rows": None if not r.ok else r.rows,
+                        "row_count": r.rows,
+                        "bytes": r.bytes,
+                        "files": r.files,
+                        "ok": r.ok,
+                        **r.detail,
+                    }
+                meta.dumpfiles = [
+                    p.replace(self.dumpset.root + "/", "")
+                    for p in self.dumpset.dumpfiles()
+                ]
+                if config.include_metadata:
+                    self.dumpset.write_manifest(meta)
             self.dumpset.log_event(
                 "JOB_DONE",
                 state=result.state.value,
-                dumpfiles=self.dumpset.dumpfiles(),
+                dumpfiles=[] if is_import else self.dumpset.dumpfiles(),
                 errors=result.error_count,
             )
             self._set_state(result.state)
+            if (
+                is_import
+                and config.delete_files_after
+                and result.state == JobState.COMPLETED
+            ):
+                # POST stage carried over from the stopped run: the
+                # original DELETE_FILES never fired (the job stopped),
+                # so the resumed completion honors it.
+                self.dumpset.delete()
             return self.get_status()
         finally:
             self._done_event.set()

@@ -2264,6 +2264,181 @@ ORDER BY n_nationkey
 """
 
 
+def datapump_roundtrip_import_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """impdp ATTACH/START_JOB parity under the driver hash: a stopped
+    dump-set IMPORT resumes, skipping fingerprint-verified targets (the
+    reference models the state machine — status.py:32-47 — and the
+    START_JOB command — commands.py:113-119 — for both directions; our
+    import-side master table is the event log: IMPORT_JOB_PLAN records
+    the directive list and each TABLE_IMPORT_DONE records the TARGET's
+    row count + content fingerprint, engine.table_fingerprint).
+
+    A 3-table import is stopped cooperatively from within table 1's
+    write: table 1 loads WHOLE, tables 2–3 are recorded not-run, the job
+    lands STOPPED (``stopped_early``). ``Job.attach(...).restart()``
+    re-compiles the import directives from IMPORT_JOB_PLAN,
+    fingerprint-verifies table 1's TARGET and skips it
+    (``resume_skipped_completed`` — exactly one TABLE_RESUME_SKIP, and
+    exactly one TABLE_IMPORT_DONE per table across both runs proves
+    nothing was re-loaded), then imports the remainder to COMPLETED with
+    exact per-table counts. Negative proof (``tamper_reimported``): a
+    second stopped lifecycle has its completed TARGET overwritten with a
+    one-row remnant; restart recomputes the fingerprint, refuses the
+    silent skip (TABLE_RESUME_RECHECK_FAILED), and re-imports the table
+    with write_mode forced to overwrite — final counts exact again. At
+    100 TB the skip decision costs one count+xxhash64 aggregate per
+    completed target; resumed work is exactly the unfinished remainder
+    (a 500-table import stopped at table 200 re-verifies 200 aggregates
+    and loads 300 tables, instead of re-scanning all 500 through
+    TABLE_EXISTS_ACTION('SKIP'))."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..base import JobState
+    from ..dumpset import DumpSet
+
+    tables = ["region", "nation", "supplier"]
+
+    class _StopOnFirstWrite(ParquetConnector):
+        def __init__(self, root: str):
+            super().__init__(root)
+            self.job = None
+            self.writes = 0
+
+        def write_table(self, df, schema, table, **kwargs):
+            self.writes += 1
+            if self.writes == 1 and self.job is not None:
+                self.job.stop()
+            return super().write_table(df, schema, table, **kwargs)
+
+    def _stopped_import(dump: str, wh: str) -> tuple[Job, int, list]:
+        """Run an import that stops inside table 1; return (job,
+        event-log index of this job's JOB_OPEN, done-tables list)."""
+        ds = DumpSet(dump)
+        n0 = len(list(ds.read_events()))
+        tgt = _StopOnFirstWrite(wh)
+        job = Job(
+            Operation.IMPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.TABLE_EXISTS_ACTION("REPLACE")],
+        )
+        tgt.job = job
+        st = job.run(wait=True, connection=tgt, spark=spark)
+        if st.job_state != JobState.STOPPED.value:
+            raise RuntimeError(f"stop did not land STOPPED: {st.job_state}")
+        return job, n0, list(ds.read_events())[n0:]
+
+    stage = tempfile.mkdtemp(prefix="dp_ir_stage_")
+    dump = tempfile.mkdtemp(prefix="dp_ir_dump_")
+    wh = tempfile.mkdtemp(prefix="dp_ir_wh_")
+    wh2 = tempfile.mkdtemp(prefix="dp_ir_wh2_")
+    try:
+        for t in tables:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
+                _os.path.join(stage, f"{t}.parquet")
+            )
+        st = Job(
+            Operation.EXPORT,
+            JobMode.TABLE,
+            dumpfiles=dump,
+            directives=[D.INCLUDE_SCHEMA("main")]
+            + [D.INCLUDE_TABLE(t) for t in tables],
+        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        if st.job_state != JobState.COMPLETED.value:
+            raise RuntimeError(f"export failed: {st.job_state}")
+
+        # -- lifecycle A: stop → restart skips the loaded target ----------
+        job, n0, evs = _stopped_import(dump, wh)
+        done1 = [e["table"] for e in evs if e["event"] == "TABLE_IMPORT_DONE"]
+        stopped_early = (
+            len(done1) == 1
+            and sum(
+                1 for e in evs if e["event"] == "TABLE_IMPORT_NOT_RUN"
+            )
+            == 2
+            and any(e["event"] == "JOB_STOP_PENDING" for e in evs)
+            and any(e["event"] == "JOB_STOPPING" for e in evs)
+        )
+        st = Job.attach(job.job_name, dumpdir=dump).restart(
+            connection=ParquetConnector(wh), spark=spark
+        )
+        evs = list(DumpSet(dump).read_events())[n0:]
+        skips = [e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"]
+        all_done = [
+            e["table"] for e in evs if e["event"] == "TABLE_IMPORT_DONE"
+        ]
+        resume_skipped_completed = (
+            st.job_state == JobState.COMPLETED.value
+            and skips == done1
+            and sorted(all_done) == sorted(f"main.{t}" for t in tables)
+        )
+
+        # -- lifecycle B: tampered target forces a re-import ---------------
+        job2, n2, evs2 = _stopped_import(dump, wh2)
+        first2 = [
+            e["table"] for e in evs2 if e["event"] == "TABLE_IMPORT_DONE"
+        ][0]
+        s2, t2 = first2.split(".")
+        out2 = ParquetConnector(wh2)
+        remnant = out2.read_table(spark, s2, t2).limit(1).localCheckpoint(
+            eager=True
+        )
+        out2.write_table(remnant, s2, t2, mode="overwrite")
+        st2 = Job.attach(job2.job_name, dumpdir=dump).restart(
+            connection=ParquetConnector(wh2), spark=spark
+        )
+        evs2 = list(DumpSet(dump).read_events())[n2:]
+        tamper_reimported = (
+            st2.job_state == JobState.COMPLETED.value
+            and [
+                e["table"]
+                for e in evs2
+                if e["event"] == "TABLE_RESUME_RECHECK_FAILED"
+            ]
+            == [first2]
+            and not any(e["event"] == "TABLE_RESUME_SKIP" for e in evs2)
+            and out2.read_table(spark, s2, t2).count()
+            == spark.read.parquet(f"{sf_dir}/{t2}.parquet").count()
+        )
+
+        # -- exact counts from the resumed import prove no duplication ----
+        out = ParquetConnector(wh)
+        n_region = out.read_table(spark, "main", "region").count()
+        n_supplier = out.read_table(spark, "main", "supplier").count()
+        return (
+            out.read_table(spark, "main", "nation")
+            .withColumn("stopped_early", F.lit(bool(stopped_early)))
+            .withColumn(
+                "resume_skipped_completed",
+                F.lit(bool(resume_skipped_completed)),
+            )
+            .withColumn("tamper_reimported", F.lit(bool(tamper_reimported)))
+            .withColumn("region_rows", F.lit(int(n_region)).cast("long"))
+            .withColumn("supplier_rows", F.lit(int(n_supplier)).cast("long"))
+            .orderBy("n_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(dump, ignore_errors=True)
+        shutil.rmtree(wh, ignore_errors=True)
+        shutil.rmtree(wh2, ignore_errors=True)
+
+
+ROUNDTRIP_IMPORT_RESTART_SQL = """
+SELECT n.*, TRUE AS stopped_early, TRUE AS resume_skipped_completed,
+       TRUE AS tamper_reimported,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS region_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS supplier_rows
+FROM nation n
+ORDER BY n_nationkey
+"""
+
+
 def datapump_roundtrip_stop_restart_encrypted(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
