@@ -78,6 +78,7 @@ EXCLUDED = {
     "label_centroid_similarity": "explode + K-dim centroid groupBy + K^2 pair join over a 500-row embeddings fixture — model-scale; embedding_pca_scores (benched) covers the explode-heavy shape",
     "bpe_merge_candidates": "row-local char-pair explode + one count groupBy — same shape as vocab_ngram_counts (benched)",
     "bpe_encode_curve": "k tiny rounds over the Zipf-bounded word-count table; the dominant cost is the initial word-count groupBy — same shape as vocab_ngram_counts (benched) / bpe_merge_candidates (EXCLUDED)",
+    "unigram_lm_em_step": "12-round iterative Viterbi loop over the Zipf-bounded word table (localCheckpoint barriers dominate, not a query plan); same iterative model-fit family as bpe_encode_curve (EXCLUDED)",
     "skipgram_negative_table": "one token-count groupBy + a 100-row rank window — same shape as vocab_ngram_counts/zipf_vocab_curve (benched)",
     "churn_training_set": "single user-keyed conditional aggregate over events — strictly less work than the benched dau_wau_stickiness",
     "ann_ivf_nprobe_curve": "three probe-filtered IVF-PQ scans + one exact baseline — each arm is the benched ann_ivfpq_topk shape; the sweep adds no new physical pattern",
