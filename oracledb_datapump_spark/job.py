@@ -94,6 +94,7 @@ class Job:
         self._estimates: list[dict[str, Any]] | None = None
         self._lock = threading.Lock()
         self._stop_event = threading.Event()
+        self.attached_sessions = 0  # owner run sets 1; attach() adds
         self.dumpset: DumpSet | None = None
         self.connector: Connector | None = None
         self.config: PlanConfig | None = None
@@ -177,6 +178,7 @@ class Job:
                 d.apply(config)
 
         self._set_state(JobState.DEFINING)
+        self.attached_sessions = 1  # the owning run (DBA_DATAPUMP_JOBS)
         register_job(self.job_name, self)
         try:
             return self._run_registered(wait, spark, config)
@@ -898,6 +900,7 @@ class Job:
         self._stop_event = threading.Event()  # restart is itself stoppable
         self._done_event = threading.Event()  # kill() boundary handle
         self._set_state(JobState.EXECUTING)
+        self.attached_sessions = 1  # the resuming run re-owns the job
         register_job(self.job_name, self)
         try:
             result = (
@@ -1052,6 +1055,11 @@ class Job:
     def attach(cls, job_name: str, dumpdir: str | None = None) -> "Job":
         existing = live_job(job_name)
         if isinstance(existing, Job):
+            # DBA_DATAPUMP_JOBS attached_sessions analog: each live
+            # attach handle counts alongside the owning run
+            existing.attached_sessions = (
+                getattr(existing, "attached_sessions", 1) + 1
+            )
             return existing
         if dumpdir is None:
             raise JobNotFound(
@@ -1072,6 +1080,7 @@ class Job:
         job.job_owner = "spark"
         job.job_date = None
         job._state = JobState.NOT_RUNNING
+        job.attached_sessions = 1  # this attach handle
         job._result = None
         job._estimates = None
         job._lock = threading.Lock()

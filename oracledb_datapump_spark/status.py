@@ -160,6 +160,14 @@ def list_jobs(dump_root: str | None = None) -> list[dict]:
                 "operation": getattr(op, "value", None),
                 "mode": getattr(mode, "value", None),
                 "state": getattr(state, "value", None),
+                # DBA_DATAPUMP_JOBS carries attached_sessions and degree;
+                # the live registry is the only place either is knowable
+                # (owner run counts as one session, each live attach()
+                # handle adds one; degree is the compiled PARALLEL)
+                "attached_sessions": getattr(job, "attached_sessions", 0),
+                "degree": getattr(
+                    getattr(job, "config", None), "parallel", None
+                ),
                 "source": "registry",
             }
         )
@@ -199,14 +207,18 @@ def list_jobs(dump_root: str | None = None) -> list[dict]:
             name = name or entry
             if name in seen:
                 continue
-            if name in seen:
-                continue
             rows.append(
                 {
                     "job_name": name,
                     "operation": op,
                     "mode": mode,
                     "state": info.job_state,
+                    # no live process holds this job: zero attached
+                    # sessions; degree replays from JOB_OPEN's parallel
+                    "attached_sessions": 0,
+                    "degree": getattr(
+                        info.job_description, "parallel", None
+                    ),
                     "source": "events",
                 }
             )

@@ -103,3 +103,58 @@ def test_cli_list_jobs(completed_dump, capsys):
         j["job_name"] == done_name and j["state"] == "COMPLETED"
         for j in out["jobs"]
     )
+
+
+def test_attach_while_running_row_counts_sessions(spark, tmp_path):
+    """DBA_DATAPUMP_JOBS fidelity: a listing taken while the job
+    executes carries degree (compiled PARALLEL) and attached_sessions
+    (owner run + each live attach handle)."""
+    import threading
+    import time
+
+    stage = tmp_path / "stage"
+    spark.read.parquet("/root/testdata/sf0.001/region.parquet").write.parquet(
+        str(stage / "region.parquet")
+    )
+
+    gate = threading.Event()
+    release = threading.Event()
+
+    class SlowRead(ParquetConnector):
+        def read_table(self, spark, schema, table, **kwargs):
+            gate.set()
+            release.wait(timeout=30)
+            return super().read_table(spark, schema, table, **kwargs)
+
+    job = Job(
+        "EXPORT",
+        "TABLE",
+        dumpfiles=str(tmp_path / "dump"),
+        directives=[
+            D.INCLUDE_SCHEMA("main"),
+            D.INCLUDE_TABLE("region"),
+            D.PARALLEL(2),
+        ],
+    )
+    try:
+        job.run(wait=False, connection=SlowRead(str(stage)), spark=spark)
+        assert gate.wait(timeout=30)
+        att = Job.attach(job.job_name)
+        assert att is job and job.attached_sessions == 2
+        rows = {r["job_name"]: r for r in list_jobs()}
+        row = rows[job.job_name]
+        assert row["source"] == "registry"
+        assert row["attached_sessions"] == 2
+        assert row["degree"] == 2
+    finally:
+        release.set()
+        job.poll_for_completion(rate=0.2)
+    # completed-from-disk rows report no live sessions
+    rows = {
+        r["job_name"]: r
+        for r in list_jobs(dump_root=str(tmp_path))
+    }
+    row = rows[job.job_name]
+    assert row["source"] == "events"
+    assert row["attached_sessions"] == 0
+    assert row["degree"] == 2

@@ -101,6 +101,13 @@ def medians_from_full(path: str) -> dict[str, float]:
 #     anchors (0.140/0.274 s) are only reachable deep inside a fully
 #     JIT-warmed suite. Spread ~= median, untouched code since r6/r7.
 # No overrides recorded (r8 policy); anchors unchanged.
+# Round-14 isolation audit (verdict r13 ask #5): the one >1.35x r13
+# common-query drifter re-measured (fresh quiet JVM, warm-up + 5 runs,
+# median):
+#   dedup_minhash_incremental 2.544 s (suite capture had 3.02; anchor
+#   2.211) — steady state ~1.15x of anchor: suite-position drag, not a
+#   code regression (the compacted-index lifecycle it gained in r13 adds
+#   no steady-state cost). No override recorded (r8 policy).
 CLEAN_FULLS = [
     ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
     ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
