@@ -115,6 +115,10 @@ class JobMetaData:
     # FK adjacency captured at export ("schema.table" → [referenced
     # "schema.table", …]); drives import topo-ordering (SURVEY.md §7.3)
     constraints: dict[str, list[str]] = field(default_factory=dict)
+    # column-level key metadata ("schema.table" → {"primary_key": [...],
+    # "foreign_keys": [{"columns", "ref_table", "ref_columns"}, ...]});
+    # drives SQL_FILE's PRIMARY KEY / FOREIGN KEY clause rendering
+    constraint_columns: dict[str, dict] = field(default_factory=dict)
     engine: str = "oracledb-datapump-spark"
 
     def to_dict(self) -> dict[str, Any]:
@@ -134,6 +138,7 @@ class JobMetaData:
             "as_of": self.as_of,
             "tables": self.tables,
             "constraints": self.constraints,
+            "constraint_columns": self.constraint_columns,
             "engine": self.engine,
         }
         return d
@@ -156,4 +161,5 @@ class JobMetaData:
             as_of=d.get("as_of"),
             tables=dict(d.get("tables", {})),
             constraints=dict(d.get("constraints", {})),
+            constraint_columns=dict(d.get("constraint_columns", {})),
         )

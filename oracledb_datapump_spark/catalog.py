@@ -78,6 +78,14 @@ class Connector(Protocol):
         (parents before children; SURVEY.md §7.3)."""
         ...
 
+    def constraint_columns(self, schema: str) -> dict[str, dict]:
+        """Column-level key metadata per table — drives SQL_FILE's
+        constraint DDL. Shape: {table: {"primary_key": [col, ...],
+        "foreign_keys": [{"columns": [...], "ref_table": t,
+        "ref_columns": [...]}, ...]}}. Connectors without catalog
+        constraints (files) return {}."""
+        ...
+
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*$")
 
@@ -354,6 +362,9 @@ class ParquetConnector:
     def foreign_keys(self, schema: str) -> list[tuple[str, str]]:
         return []  # parquet files carry no constraints
 
+    def constraint_columns(self, schema: str) -> dict[str, dict]:
+        return {}  # parquet files carry no constraints
+
 
 class SqliteConnector:
     """SQLite-file-backed connector (stdlib ``sqlite3`` — no JDBC jar
@@ -627,6 +638,37 @@ class SqliteConnector:
                 out.append((t, r[2]))
         return out
 
+    def constraint_columns(self, schema: str) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        for t in self.list_tables(schema):
+            pk = [
+                r[1]
+                for r in self.execute(
+                    f"PRAGMA {quote_ident(schema)}.table_info"
+                    f"({quote_ident(t)})"
+                ).fetchall()
+                if r[5]  # pk ordinal (0 = not part of the key)
+            ]
+            # foreign_key_list rows: (id, seq, ref_table, from, to, ...)
+            # group the column pairs of a composite FK by constraint id
+            fks: dict[int, dict] = {}
+            for r in self.execute(
+                f"PRAGMA {quote_ident(schema)}.foreign_key_list"
+                f"({quote_ident(t)})"
+            ).fetchall():
+                fk = fks.setdefault(
+                    r[0],
+                    {"columns": [], "ref_table": r[2], "ref_columns": []},
+                )
+                fk["columns"].append(r[3])
+                fk["ref_columns"].append(r[4])
+            if pk or fks:
+                out[t] = {
+                    "primary_key": pk,
+                    "foreign_keys": [fks[k] for k in sorted(fks)],
+                }
+        return out
+
 
 class DuckDbConnector:
     """DuckDB-file-backed connector — the test stand-in for a real RDBMS
@@ -713,7 +755,12 @@ class DuckDbConnector:
         if predicate:
             sql += f" WHERE {predicate}"
         arrow = self._cursor().execute(sql).fetch_arrow_table()
-        df = spark.createDataFrame(arrow.to_pandas())
+        # hand Spark the arrow table directly (PySpark 4): the Spark
+        # schema derives from the arrow types, so INTEGER stays int32
+        # instead of drifting to BIGINT/INTEGER with the session's
+        # pandas-inference config — read types must not depend on the
+        # session
+        df = spark.createDataFrame(arrow)
         if parallel > 1:
             df = df.repartition(parallel)
         return df
@@ -819,6 +866,9 @@ class DuckDbConnector:
         return []
 
     _FK_RE = re.compile(r'REFERENCES\s+(?:(\w+)\.)?(\w+)\s*\(', re.IGNORECASE)
+    _FK_COLS_RE = re.compile(
+        r'REFERENCES\s+(?:(\w+)\.)?(\w+)\s*\(([^)]*)\)', re.IGNORECASE
+    )
 
     def foreign_keys(self, schema: str) -> list[tuple[str, str]]:
         rows = self._cursor().execute(
@@ -831,6 +881,35 @@ class DuckDbConnector:
             m = self._FK_RE.search(text or "")
             if m:
                 out.append((table, m.group(2)))
+        return out
+
+    def constraint_columns(self, schema: str) -> dict[str, dict]:
+        rows = self._cursor().execute(
+            "SELECT table_name, constraint_type, constraint_column_names, "
+            "constraint_text FROM duckdb_constraints() "
+            "WHERE constraint_type IN ('PRIMARY KEY', 'FOREIGN KEY') "
+            "AND schema_name = ?",
+            [schema],
+        ).fetchall()
+        out: dict[str, dict] = {}
+        for table, ctype, cols, text in rows:
+            entry = out.setdefault(
+                table, {"primary_key": [], "foreign_keys": []}
+            )
+            if ctype == "PRIMARY KEY":
+                entry["primary_key"] = list(cols or [])
+            else:
+                m = self._FK_COLS_RE.search(text or "")
+                if m:
+                    entry["foreign_keys"].append(
+                        {
+                            "columns": list(cols or []),
+                            "ref_table": m.group(2),
+                            "ref_columns": [
+                                c.strip() for c in m.group(3).split(",")
+                            ],
+                        }
+                    )
         return out
 
     def load_parquet_dir(self, schema: str, src_dir: str) -> list[str]:
@@ -1097,6 +1176,10 @@ class JdbcConnector:
     def foreign_keys(self, schema: str) -> list[tuple[str, str]]:  # pragma: no cover
         # live implementation: JDBC DatabaseMetaData.getImportedKeys per table
         return []
+
+    def constraint_columns(self, schema: str) -> dict[str, dict]:  # pragma: no cover
+        # live implementation: getPrimaryKeys/getImportedKeys per table
+        return {}
 
 
 def resolve_connector(connection: object) -> Connector:

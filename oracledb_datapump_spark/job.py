@@ -314,6 +314,9 @@ class Job:
             constraints=self._capture_constraints(schemas)
             if self.operation == Operation.EXPORT
             else {},
+            constraint_columns=self._capture_constraint_columns(schemas)
+            if self.operation == Operation.EXPORT
+            else {},
         )
 
         if config.estimate_only:
@@ -512,6 +515,24 @@ class Job:
             try:
                 for table, ref in self.connector.foreign_keys(s):
                     out.setdefault(f"{s}.{table}", []).append(f"{s}.{ref}")
+            except Exception:  # constraint capture must not fail the job
+                pass
+        return out
+
+    def _capture_constraint_columns(
+        self, schemas: list[str]
+    ) -> dict[str, dict]:
+        """Column-level PRIMARY KEY / FOREIGN KEY metadata → manifest
+        (SQL_FILE renders it as constraint DDL). Optional per connector:
+        file sources have no catalog keys and contribute nothing."""
+        out: dict[str, dict] = {}
+        for s in schemas:
+            try:
+                cc = getattr(self.connector, "constraint_columns", None)
+                if cc is None:
+                    continue
+                for table, keys in cc(s).items():
+                    out[f"{s}.{table}"] = keys
             except Exception:  # constraint capture must not fail the job
                 pass
         return out

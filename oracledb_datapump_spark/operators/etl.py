@@ -348,39 +348,58 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference DECLARES but never implements (reference base.py:5-17
     lists Operation.SQLFILE; files.py:899-900 raises
     NotImplementedError). Here it is real (ddl.py renders ANSI CREATE
-    TABLE from the manifest's captured StructType JSON), and this query
-    gates its EFFECT, not its text: export region+nation, run
-    Job(SQL_FILE) on the dump, execute the generated script in a fresh
-    DuckDB catalog, and return that catalog's information_schema rows
-    (table, column, ordinal, type). The oracle reads the SAME rows from
-    the driver's own registered views — so the hash proves the DDL
-    recreates byte-identical relational shapes from the manifest alone,
-    with no data files read. ``script_executed`` pins that every
-    statement ran. At 100 TB SQL_FILE touches only the manifest — it is
-    O(tables), never O(rows)."""
-    import os as _os
-
+    TABLE — columns plus the manifest's captured PRIMARY KEY / FOREIGN
+    KEY metadata, topo-ordered parents-before-children), and this query
+    gates its EFFECT, not its text: export region+nation from a
+    CONSTRAINED DuckDB catalog (nation FK → region), run Job(SQL_FILE)
+    on the dump, execute the generated script in a fresh DuckDB catalog,
+    and return that catalog's information_schema rows (table, column,
+    ordinal, type). The oracle reads the SAME rows from the driver's own
+    registered views — so the hash proves the DDL recreates
+    byte-identical relational shapes from the manifest alone, with no
+    data files read. Sentinels: ``script_executed`` (every statement
+    ran), ``fk_ordered`` (region's CREATE precedes nation's — the script
+    replays plan_import's topo waves), ``pk_restored``/``fk_restored``
+    (the fresh catalog's duckdb_constraints carries both keys), and
+    ``fk_enforced`` (an orphan nation row is REJECTED by the recreated
+    constraint — the FK is live, not cosmetic). At 100 TB SQL_FILE
+    touches only the manifest — it is O(tables), never O(rows)."""
     import duckdb as _duckdb
 
     from pyspark.sql import functions as F
 
+    from ..catalog import DuckDbConnector
     from ..dumpset import DumpSet
 
     tables = ["region", "nation"]
-    stage = tempfile.mkdtemp(prefix="dp_sqlf_stage_")
     dump = tempfile.mkdtemp(prefix="dp_sqlf_dump_")
     try:
-        for t in tables:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.parquet(
-                _os.path.join(stage, f"{t}.parquet")
-            )
+        src = DuckDbConnector(":memory:")
+        src.execute(
+            "CREATE TABLE main.region ("
+            " r_regionkey INTEGER NOT NULL, r_name VARCHAR,"
+            " PRIMARY KEY (r_regionkey))"
+        )
+        src.execute(
+            f"INSERT INTO main.region SELECT * FROM '{sf_dir}/region.parquet'"
+        )
+        src.execute(
+            "CREATE TABLE main.nation ("
+            " n_nationkey INTEGER NOT NULL, n_name VARCHAR,"
+            " n_regionkey INTEGER,"
+            " PRIMARY KEY (n_nationkey),"
+            " FOREIGN KEY (n_regionkey) REFERENCES main.region (r_regionkey))"
+        )
+        src.execute(
+            f"INSERT INTO main.nation SELECT * FROM '{sf_dir}/nation.parquet'"
+        )
         st = Job(
             Operation.EXPORT,
             JobMode.TABLE,
             dumpfiles=dump,
             directives=[D.INCLUDE_SCHEMA("main")]
             + [D.INCLUDE_TABLE(t) for t in tables],
-        ).run(wait=True, connection=ParquetConnector(stage), spark=spark)
+        ).run(wait=True, connection=src, spark=spark)
         if st.job_state != "COMPLETED":
             raise RuntimeError(f"export failed: {st.error}")
 
@@ -392,6 +411,11 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         evs = list(DumpSet(dump).read_events())
         [path] = [e["path"] for e in evs if e["event"] == "SQL_FILE_DONE"]
         script = open(path).read()
+        fk_ordered = (
+            0
+            <= script.index("CREATE TABLE main.region")
+            < script.index("CREATE TABLE main.nation")
+        )
 
         con = _duckdb.connect()
         created = 0
@@ -400,6 +424,17 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                 con.sql(stmt)
                 if "CREATE TABLE" in stmt:
                     created += 1
+        cons = con.sql(
+            "SELECT table_name, constraint_type FROM duckdb_constraints()"
+            " WHERE constraint_type IN ('PRIMARY KEY', 'FOREIGN KEY')"
+        ).fetchall()
+        pk_restored = {("region", "PRIMARY KEY"), ("nation", "PRIMARY KEY")} <= set(cons)
+        fk_restored = ("nation", "FOREIGN KEY") in set(cons)
+        try:
+            con.sql("INSERT INTO main.nation VALUES (999, 'orphan', 999)")
+            fk_enforced = False
+        except Exception:
+            fk_enforced = True
         rows = con.sql(
             "SELECT table_name, column_name,"
             " CAST(ordinal_position AS BIGINT) AS ordinal, data_type"
@@ -412,17 +447,22 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table_name string, column_name string, ordinal long,"
             " data_type string",
         )
-        return out.withColumn(
-            "script_executed", F.lit(created == len(tables))
-        ).orderBy("table_name", "ordinal")
+        return (
+            out.withColumn("script_executed", F.lit(created == len(tables)))
+            .withColumn("fk_ordered", F.lit(bool(fk_ordered)))
+            .withColumn("pk_restored", F.lit(bool(pk_restored)))
+            .withColumn("fk_restored", F.lit(bool(fk_restored)))
+            .withColumn("fk_enforced", F.lit(bool(fk_enforced)))
+            .orderBy("table_name", "ordinal")
+        )
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(dump, ignore_errors=True)
 
 
 SQLFILE_SCRIPT_SQL = """
 SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal,
-       data_type, TRUE AS script_executed
+       data_type, TRUE AS script_executed, TRUE AS fk_ordered,
+       TRUE AS pk_restored, TRUE AS fk_restored, TRUE AS fk_enforced
 FROM information_schema.columns
 WHERE table_name IN ('region', 'nation')
 ORDER BY table_name, ordinal
