@@ -266,6 +266,9 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    "mmr_rerank_topk",
+    "rake_keywords",
+    "ctfidf_source_terms",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
