@@ -72,6 +72,7 @@ EXCLUDED = {
     "datapump_roundtrip_encrypted_columns": "same 2-job lifecycle as datapump_roundtrip_encrypted (EXCLUDED) with column-subset keys; timing is job machinery + driver-side DuckDB keyless probes, not a query plan",
     "datapump_roundtrip_merge_pruned_ordered": "same lifecycle shape as datapump_roundtrip_merge_pruned (EXCLUDED for the same reason): an 8-file range-clustered base write dominates; the composed MERGE is strictly the benched merge path plus a window order",
     "mv_topk_delta": "two keyed aggregates and a 10-row window — same incremental-MV shape as mv_delta_maintain (benched) with strictly less work",
+    "fellegi_sunter_weights": "rides the verified-pair memo (model-scale) + four histogram aggregates over documents; same memo-join family as split_leakage_pairs (EXCLUDED), dominant cost is dedup_minhash_verified, exercised via benched consumers",
     "blocking_quality_report": "three partial-aggregated groupBys over documents reduced to one row — same shape as table_profile/shard_balance_report (benched)",
     "scd2_build_intervals": "two same-partitioning windows over events — strictly less work than the benched peak_concurrent_sessions window stack",
     "golden_record_fusion": "one groupBy over the memoized verified-pair groups (model-scale input); the dominant cost is dedup_groups, already exercised via benched consumers",
@@ -266,6 +267,9 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    "kneser_ney_bigram_ppm",
+    "adamic_adar_linkpred",
+    "randomized_response_debias",
     "mmr_rerank_topk",
     "rake_keywords",
     "ctfidf_source_terms",
