@@ -267,6 +267,9 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    "conformal_calibration_report",
+    "ewma_control_bands",
+    "clustering_coefficient_topk",
     "kneser_ney_bigram_ppm",
     "adamic_adar_linkpred",
     "randomized_response_debias",

@@ -176,9 +176,10 @@ def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(suppkey, n_triangles): the TRI_TOPK suppliers belonging to the
-    most triangles in the co-supplier graph (ties by suppkey asc).
+def _tri_graph(spark: SparkSession, sf_dir: str):
+    """(degree df, per-node triangle-corner counts df) of the
+    co-supplier graph — the shared state behind triangle_participation
+    and pipeline59's clustering coefficient.
 
     The classic scale-safe formulation: orient every undirected edge
     from the lower-(degree, id) endpoint to the higher, so each
@@ -240,10 +241,27 @@ def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tris.select(F.explode(F.array("x", "y", "z")).alias("suppkey"))
         .groupBy("suppkey")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy(F.desc("n_triangles"), F.asc("suppkey"))
-        .limit(TRI_TOPK)
     )
-    return corners
+    return deg, corners
+
+
+def triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(suppkey, n_triangles): the TRI_TOPK suppliers belonging to the
+    most triangles in the co-supplier graph (ties by suppkey asc).
+
+    The classic scale-safe formulation: orient every undirected edge
+    from the lower-(degree, id) endpoint to the higher, so each
+    triangle is counted exactly once and the wedge join's fan-out per
+    node is bounded by its OUT-degree — O(sqrt(|E|)) after orientation
+    even for power-law graphs (the hub's edges all point outward from
+    its low-degree neighbors). Plan: wedges = oriented ⋈ oriented on
+    the shared source, closed by one more join against the oriented
+    edge list; per-node counts explode each triangle to its 3 corners
+    (shared with the clustering coefficient via _tri_graph)."""
+    _deg, corners = _tri_graph(spark, sf_dir)
+    return corners.orderBy(
+        F.desc("n_triangles"), F.asc("suppkey")
+    ).limit(TRI_TOPK)
 
 
 TRIANGLE_SQL = f"""
