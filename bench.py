@@ -79,6 +79,7 @@ EXCLUDED = {
     "label_centroid_similarity": "explode + K-dim centroid groupBy + K^2 pair join over a 500-row embeddings fixture — model-scale; embedding_pca_scores (benched) covers the explode-heavy shape",
     "bpe_merge_candidates": "row-local char-pair explode + one count groupBy — same shape as vocab_ngram_counts (benched)",
     "bpe_encode_curve": "k tiny rounds over the Zipf-bounded word-count table; the dominant cost is the initial word-count groupBy — same shape as vocab_ngram_counts (benched) / bpe_merge_candidates (EXCLUDED)",
+    "unigram_encode_fertility": "two Viterbi training passes over the Zipf-bounded word table (24 localCheckpoint barriers dominate); same iterative model-fit family as unigram_lm_em_step (EXCLUDED)",
     "unigram_lm_em_step": "12-round iterative Viterbi loop over the Zipf-bounded word table (localCheckpoint barriers dominate, not a query plan); same iterative model-fit family as bpe_encode_curve (EXCLUDED)",
     "skipgram_negative_table": "one token-count groupBy + a 100-row rank window — same shape as vocab_ngram_counts/zipf_vocab_curve (benched)",
     "churn_training_set": "single user-keyed conditional aggregate over events — strictly less work than the benched dau_wau_stickiness",
@@ -267,6 +268,7 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    "psi_drift_report",
     "conformal_calibration_report",
     "ewma_control_bands",
     "clustering_coefficient_topk",

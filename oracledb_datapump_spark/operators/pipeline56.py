@@ -40,51 +40,24 @@ UNI_VTOP = 256  # multi-char seed pieces kept (freq desc, piece asc)
 UNI_PRUNE = 64  # bottom-p prune: multi-char pieces dropped after EM
 
 
-def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(piece, plen, seed_freq, cost_q, em_count, kept): one full EM
-    iteration of a unigram-LM tokenizer over the corpus word-frequency
-    table.
-
-    Seed: every substring of length 1..{UNI_PLEN} of every distinct
-    word (2 ≤ len ≤ {UNI_MAXLEN}), frequency-weighted by corpus word
-    count; the vocabulary is ALL single characters (coverage guarantee
-    — every word stays segmentable) plus the top-{UNI_VTOP} multi-char
-    substrings by (freq desc, piece asc).
-
-    E-step: per-word Viterbi over piece costs (integer surrogate, see
-    module docstring) — dp[i] = best segmentation of the first i chars,
-    candidates dp[j] + piece(word[j+1..i]) for i-j ≤ {UNI_PLEN};
-    deterministic argmin by (composite cost asc, segmentation asc).
-    M-step: piece em_count = Σ word_freq over Viterbi uses; the bottom
-    {UNI_PRUNE} multi-char pieces by (em_count asc, piece asc) are
-    pruned (kept=false) — single characters are never pruned, exactly
-    as SentencePiece protects its character alphabet.
-
-    Scale shape: the model state is the DISTINCT-word table — the
-    Zipf-bounded reduction of a 100 TB corpus (one tokenize+groupBy
-    shuffle ever touches raw text). The Viterbi loop is
-    {UNI_MAXLEN} rounds over that table, each a broadcast join against
-    the ≤{UNI_VTOP}+alphabet piece table plus one partial-aggregated
-    min-struct groupBy per round — the same iterative-model cost class
-    as bpe_encode_curve's merge rounds (train on word frequencies, not
-    the stream; Kudo's own trainer does the same). No window over the
-    corpus, no cartesian pair stage anywhere.
-
-    Reference scope note: the reference engine ships no tokenizer — this
-    is a beyond-parity training-data operator (SURVEY §6 family)."""
+def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word frequency table (the Zipf-bounded loop state)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words_col = F.filter(
         F.split(F.lower("text"), TOKEN_SPLIT_RE_31),
         lambda w: (F.length(w) >= 2) & (F.length(w) <= UNI_MAXLEN),
     )
-    wc = (
+    return (
         d.select(F.explode(words_col).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=True)  # loop state: re-read MAXLEN+2 times
     )
-    # seed piece frequencies: every substring of length 1..PLEN,
-    # weighted by word count — row-local double transform, one groupBy
+
+
+def _seed_vcost(wc: DataFrame) -> DataFrame:
+    """Seed vocabulary (all chars + top-VTOP multi-char substrings) with
+    integer costs bitlen(T^2 div f^2)."""
     subs = wc.select(
         "cnt",
         F.explode(
@@ -109,7 +82,7 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = vocab.agg(F.sum("f").alias("t"))
-    vcost = (
+    return (
         vocab.crossJoin(F.broadcast(tot))
         .select(
             "piece",
@@ -121,7 +94,10 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # joined MAXLEN times
     )
 
-    # Viterbi: dp[i] per word = (comp, seg) for the first i characters
+
+def _viterbi_final(wc: DataFrame, vcost: DataFrame) -> DataFrame:
+    """Viterbi-segment every word of ``wc`` under ``vcost``; returns
+    (w, cnt, seg) — the per-word best segmentation."""
     dp = {
         0: wc.select(
             "w",
@@ -170,6 +146,46 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(2, UNI_MAXLEN + 1):
         fi = dp[i].filter(F.length("w") == i)
         final = fi if final is None else final.unionByName(fi)
+    return final
+
+
+def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(piece, plen, seed_freq, cost_q, em_count, kept): one full EM
+    iteration of a unigram-LM tokenizer over the corpus word-frequency
+    table.
+
+    Seed: every substring of length 1..{UNI_PLEN} of every distinct
+    word (2 ≤ len ≤ {UNI_MAXLEN}), frequency-weighted by corpus word
+    count; the vocabulary is ALL single characters (coverage guarantee
+    — every word stays segmentable) plus the top-{UNI_VTOP} multi-char
+    substrings by (freq desc, piece asc).
+
+    E-step: per-word Viterbi over piece costs (integer surrogate, see
+    module docstring) — dp[i] = best segmentation of the first i chars,
+    candidates dp[j] + piece(word[j+1..i]) for i-j ≤ {UNI_PLEN};
+    deterministic argmin by (composite cost asc, segmentation asc).
+    M-step: piece em_count = Σ word_freq over Viterbi uses; the bottom
+    {UNI_PRUNE} multi-char pieces by (em_count asc, piece asc) are
+    pruned (kept=false) — single characters are never pruned, exactly
+    as SentencePiece protects its character alphabet.
+
+    Scale shape: the model state is the DISTINCT-word table — the
+    Zipf-bounded reduction of a 100 TB corpus (one tokenize+groupBy
+    shuffle ever touches raw text). The Viterbi loop is
+    {UNI_MAXLEN} rounds over that table, each a broadcast join against
+    the ≤{UNI_VTOP}+alphabet piece table plus one partial-aggregated
+    min-struct groupBy per round — the same iterative-model cost class
+    as bpe_encode_curve's merge rounds (train on word frequencies, not
+    the stream; Kudo's own trainer does the same). No window over the
+    corpus, no cartesian pair stage anywhere.
+
+    Reference scope note: the reference engine ships no tokenizer — this
+    is a beyond-parity training-data operator (SURVEY §6 family)."""
+    from pyspark.sql import Window
+
+    wc = _word_counts(spark, sf_dir)
+    vcost = _seed_vcost(wc)
+    final = _viterbi_final(wc, vcost)
     em = (
         final.select("cnt", F.explode(F.split("seg", " ")).alias("piece"))
         .groupBy("piece")
@@ -206,41 +222,9 @@ def unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_lm_em_step_sql() -> str:
-    """Unrolled-CTE oracle (the bpe_encode_curve / kcore_peel_curve
-    pattern): the {UNI_MAXLEN}-step Viterbi recurrence becomes a CTE
-    chain dp1..dp{UNI_MAXLEN}, each step joining the previous
-    ≤{UNI_PLEN} dp layers against the piece-cost table and taking the
-    per-word ROW_NUMBER()=1 over (comp asc, seg asc)."""
-    steps = []
-    for i in range(1, UNI_MAXLEN + 1):
-        prev = " UNION ALL ".join(
-            f"SELECT * FROM dp{j}" for j in range(max(0, i - UNI_PLEN), i)
-        )
-        steps.append(
-            f"""dp{i} AS MATERIALIZED (
-  SELECT w, cnt, pos, comp, seg FROM (
-    SELECT w, cnt, {i} AS pos, comp, seg,
-           ROW_NUMBER() OVER (PARTITION BY w ORDER BY comp, seg) AS rn
-    FROM (
-      SELECT c.w, c.cnt,
-             c.comp + v.cost * 16 + 1 AS comp,
-             CASE WHEN c.seg = '' THEN v.piece
-                  ELSE c.seg || ' ' || v.piece END AS seg
-      FROM ({prev}) c
-      JOIN vcost v ON v.piece = substr(c.w, c.pos + 1, {i} - c.pos)
-      WHERE len(c.w) >= {i}
-    )
-  ) WHERE rn = 1
-)"""
-        )
-    dp_final = " UNION ALL ".join(
-        f"SELECT w, cnt, seg FROM dp{i} WHERE len(w) = {i}"
-        for i in range(2, UNI_MAXLEN + 1)
-    )
-    dp_chain = ",\n".join(steps)
-    return f"""
-WITH words AS (
+# Shared oracle text: the seed-vocabulary CTE prefix (words -> vcost),
+# used by the em-step oracle below and pipeline60's encode-fertility twin
+SEED_SQL_CTES = f"""WITH words AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
     SELECT unnest(list_filter(
              string_split_regex(lower(text), '{TOKEN_SPLIT_RE_31}'),
@@ -269,12 +253,58 @@ vcost AS MATERIALIZED (
   SELECT piece, CAST(f AS BIGINT) AS f,
          CAST(length(bin((t * t) // (f * f))) AS BIGINT) AS cost
   FROM vocab CROSS JOIN tot
-),
-dp0 AS MATERIALIZED (
+),"""
+
+
+def viterbi_sql_chain(tag: str = "") -> str:
+    """CTE chain dp{tag}0..dp{tag}N + final{tag}: the {UNI_MAXLEN}-step
+    Viterbi recurrence under piece-cost table ``vcost{tag}``, each step
+    joining the previous ≤{UNI_PLEN} dp layers and taking the per-word
+    ROW_NUMBER()=1 over (comp asc, seg asc). Reused (with distinct
+    tags) by every oracle that needs a segmentation pass — the em-step
+    oracle below and pipeline60's encode-fertility twin."""
+    steps = [
+        f"""dp{tag}0 AS MATERIALIZED (
   SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS comp, '' AS seg FROM words
-),
+)"""
+    ]
+    for i in range(1, UNI_MAXLEN + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT * FROM dp{tag}{j}"
+            for j in range(max(0, i - UNI_PLEN), i)
+        )
+        steps.append(
+            f"""dp{tag}{i} AS MATERIALIZED (
+  SELECT w, cnt, pos, comp, seg FROM (
+    SELECT w, cnt, {i} AS pos, comp, seg,
+           ROW_NUMBER() OVER (PARTITION BY w ORDER BY comp, seg) AS rn
+    FROM (
+      SELECT c.w, c.cnt,
+             c.comp + v.cost * 16 + 1 AS comp,
+             CASE WHEN c.seg = '' THEN v.piece
+                  ELSE c.seg || ' ' || v.piece END AS seg
+      FROM ({prev}) c
+      JOIN vcost{tag} v ON v.piece = substr(c.w, c.pos + 1, {i} - c.pos)
+      WHERE len(c.w) >= {i}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    dp_final = " UNION ALL ".join(
+        f"SELECT w, cnt, seg FROM dp{tag}{i} WHERE len(w) = {i}"
+        for i in range(2, UNI_MAXLEN + 1)
+    )
+    steps.append(f"final{tag} AS MATERIALIZED ({dp_final})")
+    return ",\n".join(steps)
+
+
+def _unigram_lm_em_step_sql() -> str:
+    """Unrolled-CTE oracle (the bpe_encode_curve / kcore_peel_curve
+    pattern), riding viterbi_sql_chain."""
+    dp_chain = viterbi_sql_chain("")
+    return f"""
+{SEED_SQL_CTES}
 {dp_chain},
-final AS MATERIALIZED ({dp_final}),
 em AS (
   SELECT piece, SUM(cnt) AS em_count FROM (
     SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM final
