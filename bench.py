@@ -265,9 +265,13 @@ EXCLUDED = {
     "leakage_quarantine_plan": "rides the memoized verified-pair table like split_leakage_pairs (EXCLUDED family); dominant cost (LSH verify) is benched via dedup_minhash_verified",
     "source_token_entropy": "tokenize+explode then two partial-aggregated groupBys — same unigram-aggregate shape as unigram_surprise (benched)",
     "context_fill_curve": "row-local token counts exploded x4 window sizes + one small groupBy — same scan-bound projection family as token_count (benched)",
+    "ucb_allocation_plan": "one scan + one <=|types| groupBy + broadcast total — same keyed-agg shape as value_quartiles_by_type (EXCLUDED family; events scan benched via events_hourly_rollup)",
 }
 
 HEADLINE = [
+    "ks_two_sample_drift",
+    "embedding_isotropy_report",
+    "greedy_coverage_select",
     "psi_drift_report",
     "conformal_calibration_report",
     "ewma_control_bands",
