@@ -270,9 +270,13 @@ EXCLUDED = {
     "hash_bootstrap_ci": "one (day) groupBy then a bounded days x 32 explode + 32-row window — same day-rollup family as daily_volume_mad_outliers (EXCLUDED; scan benched via events_hourly_rollup)",
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",
+    "cmh_pooled_odds": "one lineitem scan + <=|returnflags| groupBy + <=K-row pooled reduce — same scan-bound 2x2 family as simpsons_reversal_scan (EXCLUDED; scan benched via q1_pricing_summary)",
 }
 
 HEADLINE = [
+    "abc_xyz_matrix",
+    "dedup_capture_recapture",
+    "hurst_rs_report",
     "fs_em_iteration",
     "shapley_attribution",
     "gini_gain_feature_rank",
