@@ -271,9 +271,12 @@ EXCLUDED = {
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",
     "cmh_pooled_odds": "one lineitem scan + <=|returnflags| groupBy + <=K-row pooled reduce — same scan-bound 2x2 family as simpsons_reversal_scan (EXCLUDED; scan benched via q1_pricing_summary)",
+    "did_estimate": "one scan + one 2-row conditional groupBy + 2x2 self-join — same keyed-agg shape as cuped_adjusted_ab (EXCLUDED family; events scan benched via events_hourly_rollup)",
 }
 
 HEADLINE = [
+    "cumulative_gains_auc",
+    "consistent_hash_movement",
     "abc_xyz_matrix",
     "dedup_capture_recapture",
     "hurst_rs_report",
