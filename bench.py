@@ -272,9 +272,12 @@ EXCLUDED = {
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",
     "cmh_pooled_odds": "one lineitem scan + <=|returnflags| groupBy + <=K-row pooled reduce — same scan-bound 2x2 family as simpsons_reversal_scan (EXCLUDED; scan benched via q1_pricing_summary)",
     "did_estimate": "one scan + one 2-row conditional groupBy + 2x2 self-join — same keyed-agg shape as cuped_adjusted_ab (EXCLUDED family; events scan benched via events_hourly_rollup)",
+    "quantile_normalize_report": "per-source rank windows + (source, decile) groupBy + <=10-row reference join — same partitioned-rank family as source_percentile_bands (EXCLUDED; scan shape benched via length_decile_bands family)",
 }
 
 HEADLINE = [
+    "kcenter_select",
+    "nation_modularity",
     "cumulative_gains_auc",
     "consistent_hash_movement",
     "abc_xyz_matrix",
