@@ -276,6 +276,9 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    "naive_bayes_source_eval",
+    "mahalanobis_outliers",
+    "weighted_jaccard_pairs",
     "kcenter_select",
     "nation_modularity",
     "cumulative_gains_auc",
