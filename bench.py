@@ -273,9 +273,12 @@ EXCLUDED = {
     "cmh_pooled_odds": "one lineitem scan + <=|returnflags| groupBy + <=K-row pooled reduce — same scan-bound 2x2 family as simpsons_reversal_scan (EXCLUDED; scan benched via q1_pricing_summary)",
     "did_estimate": "one scan + one 2-row conditional groupBy + 2x2 self-join — same keyed-agg shape as cuped_adjusted_ab (EXCLUDED family; events scan benched via events_hourly_rollup)",
     "quantile_normalize_report": "per-source rank windows + (source, decile) groupBy + <=10-row reference join — same partitioned-rank family as source_percentile_bands (EXCLUDED; scan shape benched via length_decile_bands family)",
+    "max_drawdown_report": "one orders scan -> |days| dense axis + two windows over calendar-bounded rows — same day-rollup family as orders_backlog_timeline (benched)",
 }
 
 HEADLINE = [
+    "dedup_medoid_select",
+    "jl_distortion_report",
     "naive_bayes_source_eval",
     "mahalanobis_outliers",
     "weighted_jaccard_pairs",
