@@ -274,9 +274,12 @@ EXCLUDED = {
     "did_estimate": "one scan + one 2-row conditional groupBy + 2x2 self-join — same keyed-agg shape as cuped_adjusted_ab (EXCLUDED family; events scan benched via events_hourly_rollup)",
     "quantile_normalize_report": "per-source rank windows + (source, decile) groupBy + <=10-row reference join — same partitioned-rank family as source_percentile_bands (EXCLUDED; scan shape benched via length_decile_bands family)",
     "max_drawdown_report": "one orders scan -> |days| dense axis + two windows over calendar-bounded rows — same day-rollup family as orders_backlog_timeline (benched)",
+    "crosscorr_leadlag": "one scan -> |days| dense frame + 7 lag-window moment reduces over calendar-bounded rows — same dense-axis lag family as orders_autocorrelation (EXCLUDED; scan benched via events_hourly_rollup)",
 }
 
 HEADLINE = [
+    "burrows_delta_matrix",
+    "hubness_report",
     "dedup_medoid_select",
     "jl_distortion_report",
     "naive_bayes_source_eval",
