@@ -275,9 +275,12 @@ EXCLUDED = {
     "quantile_normalize_report": "per-source rank windows + (source, decile) groupBy + <=10-row reference join — same partitioned-rank family as source_percentile_bands (EXCLUDED; scan shape benched via length_decile_bands family)",
     "max_drawdown_report": "one orders scan -> |days| dense axis + two windows over calendar-bounded rows — same day-rollup family as orders_backlog_timeline (benched)",
     "crosscorr_leadlag": "one scan -> |days| dense frame + 7 lag-window moment reduces over calendar-bounded rows — same dense-axis lag family as orders_autocorrelation (EXCLUDED; scan benched via events_hourly_rollup)",
+    "mase_seasonal_backtest": "one scan -> |days| dense axis + two lag windows + a 1-row reduce — same dense-axis lag family as naive_forecast_backtest (EXCLUDED; scan benched via events_hourly_rollup)",
 }
 
 HEADLINE = [
+    "rich_club_curve",
+    "rbo_ranker_overlap",
     "burrows_delta_matrix",
     "hubness_report",
     "dedup_medoid_select",
