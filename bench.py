@@ -279,6 +279,9 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    "anova_price_by_type",
+    "levene_variance_check",
+    "kruskal_wallis_price",
     "rich_club_curve",
     "rbo_ranker_overlap",
     "burrows_delta_matrix",
