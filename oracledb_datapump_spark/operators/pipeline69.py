@@ -318,38 +318,41 @@ def hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     component join — at 100 TB restrict the pair side to IVF/LSH
     candidates (the documented guarded-quadratic posture); everything
     after the top-{HUB_K} window is histogram-sized."""
-    comp = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    # pair stage: broadcast crossJoin + ROW-LOCAL zip_with dot — n²
+    # rows each folding 64 ints in place. The (vec, dim) component
+    # join alternative shuffles n²·d intermediate rows (measured 33.7 s
+    # vs ~4 s at sf0.1); the oracle keeps the component-join form
+    # (DuckDB's optimizer prefers it at gate scale).
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id",
-        F.posexplode(
-            F.expr(
-                f"transform(embedding, x -> "
-                f"CAST(floor(CAST(x AS DOUBLE) * {HUB_QUANT}) AS BIGINT))"
-            )
-        ).alias("dim", "x"),
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {HUB_QUANT}) AS BIGINT))"
+        ).alias("q"),
+    ).withColumn(
+        "na", F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
     ).localCheckpoint(eager=True)
-    norms = comp.groupBy("vec_id").agg(
-        F.sum(F.col("x") * F.col("x")).alias("na")
+    # the stream side is only |vecs| rows — repartition it so the n²
+    # row-local fold parallelizes (a 2k-row stream side otherwise runs
+    # the whole 4M-row nested loop on one or two cores)
+    a = vecs.repartition(32).select(
+        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("na").alias("nna")
     )
-    a, b = comp.alias("a"), comp.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.dim") == F.col("b.dim"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
-        )
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    b = vecs.select(
+        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("na").alias("nnb")
     )
     cos = (
-        dots.join(
-            F.broadcast(norms.select(F.col("vec_id").alias("va"), F.col("na").alias("nna"))),
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") != F.col("vb"))
+        .select(
             "va",
-        )
-        .join(
-            F.broadcast(norms.select(F.col("vec_id").alias("vb"), F.col("na").alias("nnb"))),
             "vb",
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("dot"),
+            "nna",
+            "nnb",
         )
         .select(
             "va",
@@ -369,7 +372,7 @@ def hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k_occ"))
     )
     occ = (
-        norms.select("vec_id")
+        vecs.select("vec_id")
         .join(cited, "vec_id", "left")
         .select(F.coalesce("k_occ", F.lit(0)).alias("k_occurrence"))
         .groupBy("k_occurrence")
