@@ -111,6 +111,7 @@ def medians_from_full(path: str) -> dict[str, float]:
 CLEAN_FULLS = [
     ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
     ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
+    ("c014644", "r14a"),  # round-14 closing capture (375.4s/212q, 1.204 on a drifting host — see its commit message) — kept ALONGSIDE the r13 pair, not replacing it: its job is FIRST anchors for the 36 new round-14 headliners (best-median-across-captures means it cannot degrade any legacy anchor); hubness_report's anchor predates the 91b3664 optimization and will tighten at the next clean capture
 ]
 
 
