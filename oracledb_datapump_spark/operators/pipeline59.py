@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.global_order import with_global_order_stat
+
 CONF_ALPHAS_PPM = (50_000, 100_000, 200_000)
 
 EWMA_H = 8  # horizon (days): weights 3^j * 4^(H-1-j), j = lag
@@ -43,10 +45,11 @@ def conformal_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fraction of test documents whose score ≤ q_hat (the
     distribution-free guarantee puts it near 1−α).
 
-    Scale shape: one row-local score projection, one rank window over
-    the calibration half (a sort of scores — the conformal quantile IS
-    an order statistic), three broadcast threshold probes over the test
-    half. Nothing is quadratic; the sort is the cost, exactly
+    Scale shape: one row-local score projection, one RANGE-PARTITIONED
+    global rank over the calibration half (functions/global_order —
+    the conformal quantile IS an order statistic, and the sort
+    distributes), three threshold probes over the test half. Nothing
+    is quadratic; the distributed sort is the cost, exactly
     exact_percentile_two_pass's class."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
@@ -66,12 +69,13 @@ def conformal_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.expr(f"abs(n_chars - (n_toks * {ratio}) div 1000000)")
     cal_s = cal.select(score.cast("long").alias("s"), "doc_id")
     test_s = test.select(score.cast("long").alias("s"))
-    n_cal = cal_s.count()
-    n_test = test_s.count()
-    w = W.orderBy(F.asc("s"), F.asc("doc_id"))
-    ranked = cal_s.withColumn("rn", F.row_number().over(w)).localCheckpoint(
-        eager=True
+    # range-partitioned global rank (functions/global_order) — the
+    # conformal order statistic without a single-partition sort; the
+    # helper's grand total IS n_cal, saving a count pass.
+    ranked, n_cal = with_global_order_stat(
+        cal_s, [F.asc("s"), F.asc("doc_id")], out="rn"
     )
+    n_test = test_s.count()
     rows = []
     for alpha in CONF_ALPHAS_PPM:
         rank = ((1_000_000 - alpha) * (n_cal + 1) + 999_999) // 1_000_000

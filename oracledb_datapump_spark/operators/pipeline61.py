@@ -71,9 +71,15 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     so ks_ppm = d_cross·1e6 div (n_ref·n_cur) is the exact D in ppm.
     crit_ppm is the 5% rejection boundary 1.3581·√((n1+n2)/(n1·n2)) as
-    isqrt({KS_CRIT_Q}·((n1+n2)·1e6 div (n1·n2))) — the inner div keeps
-    every intermediate < n·1e6, so the form survives billion-row arms
-    (the naive product {KS_CRIT_Q}·(n1+n2)·1e6 overflows past n≈5e6).
+    isqrt(((n1+n2)·1e6 div max(n1,n2)) · {KS_CRIT_Q} div min(n1,n2)).
+    Dividing by the LARGER arm first pins the first quotient into
+    [1e6, 2e6] (relative quantization < 1e-6) and the running product
+    below 2·{KS_CRIT_Q}·1e6 < 4e12, so the staged form is int64-safe
+    AND keeps sub-ppm precision out to trillion-row arms — unlike a
+    (n1+n2)·1e6 div (n1·n2) inner quotient, which collapses to 0-2 as
+    the arms grow (0 at n=1e9, flagging drift for any nonzero D), or
+    the naive product {KS_CRIT_Q}·(n1+n2)·1e6, which overflows past
+    n≈5e6.
 
     Scale shape: one scan, one groupBy(type, value) — cardinality
     bounded by distinct cent values per type — one window per type over
@@ -128,8 +134,9 @@ def ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ks_ppm"),
             F.expr(
-                f"CAST(FLOOR(SQRT(CAST({KS_CRIT_Q} * "
-                "((n_ref + n_cur) * 1000000 div (n_ref * n_cur)) "
+                "CAST(FLOOR(SQRT(CAST("
+                "(n_ref + n_cur) * 1000000 div greatest(n_ref, n_cur) "
+                f"* {KS_CRIT_Q} div least(n_ref, n_cur) "
                 "AS DOUBLE))) AS BIGINT)"
             ).alias("crit_ppm"),
         )
@@ -173,12 +180,14 @@ SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
        CAST(n_cur AS BIGINT) AS n_cur,
        CAST(d_cross AS BIGINT) AS d_cross,
        CAST(d_cross * 1000000 // (n_ref * n_cur) AS BIGINT) AS ks_ppm,
-       CAST(FLOOR(SQRT(CAST({KS_CRIT_Q} *
-            ((n_ref + n_cur) * 1000000 // (n_ref * n_cur))
+       CAST(FLOOR(SQRT(CAST(
+            (n_ref + n_cur) * 1000000 // greatest(n_ref, n_cur)
+            * {KS_CRIT_Q} // least(n_ref, n_cur)
             AS DOUBLE))) AS BIGINT) AS crit_ppm,
        d_cross * 1000000 // (n_ref * n_cur) >
-         CAST(FLOOR(SQRT(CAST({KS_CRIT_Q} *
-              ((n_ref + n_cur) * 1000000 // (n_ref * n_cur))
+         CAST(FLOOR(SQRT(CAST(
+              (n_ref + n_cur) * 1000000 // greatest(n_ref, n_cur)
+              * {KS_CRIT_Q} // least(n_ref, n_cur)
               AS DOUBLE))) AS BIGINT) AS drift_flag
 FROM d
 ORDER BY event_type

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_order import with_global_order_stat
 from ..functions.text import hash64, sql_hash64
 from .dedup import SQL_SHINGLES_CTE, _shingles
 
@@ -197,9 +198,13 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout hides (a treatment that moves only the tail shows a flat
     median and a moving d9).
 
-    Scale shape: one scan, one groupBy(user), one per-arm sort window
-    over users (range-partitioned total sort at scale), a 2-row count
-    join, a 9-row decile frame."""
+    Scale shape: one scan, one groupBy(user), ONE range-partitioned
+    total sort over (arm, m, user_id) via
+    functions/global_order.with_global_order_stat — per-arm ranks are
+    the global rank minus the preceding arm's count (a 2-value
+    model-state pull off the checkpointed partitioning), so no
+    per-arm single-task window exists anywhere in the plan — then a
+    broadcast 18-row decile-target probe."""
     from ..events_source import load_events
 
     users = (
@@ -219,15 +224,32 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("arm"),
         )
     )
-    w = Window.partitionBy("arm").orderBy("m", "user_id")
-    ranked = users.withColumn("rn", F.row_number().over(w))
-    counts = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
-    targets = counts.select(
-        "arm",
-        "n",
-        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+    ranked_raw, _ = with_global_order_stat(
+        users, [F.col("arm"), F.col("m"), F.col("user_id")], out="grn"
+    )
+    arm_counts = {
+        int(r["arm"]): int(r["n"])
+        for r in ranked_raw.groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # per-arm rank = global rank − count of all preceding arms (arm 0
+    # sorts first under the (arm, m, user_id) total order)
+    off0 = arm_counts.get(0, 0)
+    ranked = ranked_raw.withColumn(
+        "rn",
+        F.col("grn")
+        - F.when(F.col("arm") == 1, F.lit(off0)).otherwise(F.lit(0)),
+    )
+    targets = spark.createDataFrame(
+        [
+            (a, n, d)
+            for a, n in sorted(arm_counts.items())
+            for d in range(1, 10)
+        ],
+        "arm long, n long, decile long",
     ).withColumn("idx", F.expr("(n - 1) * decile div 10 + 1"))
-    picked = targets.join(
+    picked = F.broadcast(targets).join(
         ranked,
         (targets.arm == ranked.arm) & (targets.idx == ranked.rn),
     ).select(targets.arm, "decile", "n", F.col("m").alias("q_cents"))
@@ -319,9 +341,10 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             SNM_KEY_LEN,
         ).alias("k"),
     )
-    rnk = keyed.withColumn(
-        "rn", F.row_number().over(Window.orderBy("k", "doc_id"))
-    ).select("doc_id", "rn")
+    rnk, _ = with_global_order_stat(
+        keyed, [F.col("k"), F.col("doc_id")], out="rn"
+    )
+    rnk = rnk.select("doc_id", "rn")
     n_docs = d.count()
 
     sh = _shingles(spark, sf_dir)

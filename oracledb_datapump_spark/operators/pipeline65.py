@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_order import with_global_order_stat
 from ..functions.text import hash64, sql_hash64
 
 DAY_US = 86_400_000_000
@@ -186,9 +187,11 @@ def cumulative_gains_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     random targeting). Activity drives purchase count drives total:
     the signal is real but not the label itself.
 
-    Scale shape: one scan, one (user) groupBy, one range-partitioned
-    total sort for ranks, a 10-row decile frame; the AUC is a reduce
-    over those 10 rows."""
+    Scale shape: one scan, one (user) groupBy, then TWO
+    range-partitioned total sorts via functions/global_order (the
+    70th-percentile spend element, then the gains ranking — no
+    single-partition window anywhere), a 10-row decile frame; the AUC
+    is a reduce over those 10 rows."""
     from ..events_source import load_events
 
     base = (
@@ -206,26 +209,26 @@ def cumulative_gains_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purch"),
         )
     )
-    n_tot = base.count()
-    thr = (
-        base.withColumn(
-            "prn",
-            F.row_number().over(Window.orderBy("purch", "user_id")),
-        )
-        .filter(F.col("prn") == (n_tot - 1) * 7 // 10 + 1)
-        .select(F.col("purch").alias("t"))
+    # range-partitioned global rank (functions/global_order) for the
+    # 70th-percentile spend element — the helper's grand total IS
+    # n_tot, and its checkpoint feeds both the threshold probe and the
+    # labeled frame below (one events pass, no single-task sort).
+    pranked, n_tot = with_global_order_stat(
+        base, [F.col("purch"), F.col("user_id")], out="prn"
     )
-    users = base.crossJoin(F.broadcast(thr)).select(
+    thr = pranked.filter(
+        F.col("prn") == (n_tot - 1) * 7 // 10 + 1
+    ).select(F.col("purch").alias("t"))
+    users = pranked.crossJoin(F.broadcast(thr)).select(
         "user_id",
         "score_q",
         (F.col("purch") > F.col("t")).cast("long").alias("pos"),
     )
-    rnk = users.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("score_q"), F.asc("user_id"))
-        ),
-    ).withColumn("decile", F.expr(f"(rn - 1) * 10 div {n_tot} + 1"))
+    # second range-partitioned total sort: the gains ranking itself
+    rnk, _ = with_global_order_stat(
+        users, [F.desc("score_q"), F.asc("user_id")], out="rn"
+    )
+    rnk = rnk.withColumn("decile", F.expr(f"(rn - 1) * 10 div {n_tot} + 1"))
     dec = rnk.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"), F.sum("pos").alias("n_pos")
     )

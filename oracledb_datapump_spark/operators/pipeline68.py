@@ -36,6 +36,13 @@ from ..functions.text import hash64, sql_hash64
 DAY_US = 86_400_000_000
 #: medoid clustering threshold (dedup.py's 0.6 in ppm).
 MEDOID_J_PPM = 600_000
+#: hard cap on label-propagation rounds (min-label moves one hop per
+#: round, so rounds = cluster diameter; near-dup clusters at the 0.6
+#: Jaccard threshold are tiny-diameter by construction — a cluster
+#: needing more hops than this means pathological input, and the loop
+#: must fail loudly rather than spin: graph.py's pointer-doubling
+#: connected components is the log-diameter escape hatch).
+MEDOID_MAX_ROUNDS = 64
 #: JL target dimensionality and component quantization.
 JL_K = 16
 JL_QUANT = 1_000
@@ -244,7 +251,16 @@ def dedup_medoid_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = jac.select("d1", "d2").unionAll(
         jac.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).localCheckpoint(eager=True)
+    rounds = 0
     while True:
+        rounds += 1
+        if rounds > MEDOID_MAX_ROUNDS:
+            raise RuntimeError(
+                "dedup_medoid_select: label propagation exceeded "
+                f"{MEDOID_MAX_ROUNDS} rounds — cluster diameter is "
+                "pathological for a near-dup graph; use graph.py's "
+                "pointer-doubling components instead"
+            )
         nbr = (
             edges.join(
                 labels.withColumnRenamed("doc_id", "d2").withColumnRenamed(

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_order import with_global_order_stat
+
 #: F(5, ∞) upper 5% ≈ 2.214 (milli) — k = 6 part types.
 ANOVA_F_CRIT_MILLI = 2_214
 #: χ²(5) upper 5% ≈ 11.070 (milli).
@@ -181,24 +183,34 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs n ≲ 1e5 rows at these group sizes — past that, divide ranks
     by 16 first (documented).
 
-    Scale shape: one scan, one total-sort rank window (range-
-    partitioned at scale), one ≤|types| groupBy, a 1-row reduce."""
+    Scale shape: one scan, one (grp, x) count aggregate, then the
+    rank arithmetic runs entirely over the DISTINCT-VALUE table: a
+    range-partitioned global cumsum of per-value counts
+    (functions/global_order — ~|distinct prices| rows, never the fact
+    table) gives every tie group its closed-form doubled average rank
+    r2 = 2·cum − cₓ + 1 (= rank + rank + ties − 1, since
+    min-rank = cum − cₓ + 1); a value-keyed join back to the
+    (grp, x) counts, one ≤|types| groupBy, a 1-row reduce. No window
+    ever sees a fact-sized frame."""
     x = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_type").alias("grp"),
         F.expr(_cents("p_retailprice")).alias("x"),
     )
-    ranked = x.select(
-        "grp",
-        # 2*average tied rank = rank + (rank + ties - 1)
-        (
-            F.expr("rank() over (order by x)")
-            + F.expr("rank() over (order by x)")
-            + F.expr("count(1) over (partition by x)")
-            - 1
-        ).alias("r2"),
+    gx = x.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("c"))
+    vx = gx.groupBy("x").agg(F.sum("c").alias("cx"))
+    vxr, _ = with_global_order_stat(
+        vx, [F.col("x")], cumsum_col="cx", out="cum"
     )
-    per = ranked.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("nj"), F.sum("r2").alias("sr2")
+    r2v = vxr.select(
+        "x", (2 * F.col("cum") - F.col("cx") + 1).alias("r2")
+    )
+    per = (
+        gx.join(r2v, "x")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(F.col("c") * F.col("r2")).alias("sr2"),
+        )
     )
     return (
         per.agg(

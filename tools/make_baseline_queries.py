@@ -1,11 +1,15 @@
 #!/usr/bin/env python
 """Regenerate BASELINE-QUERIES.md: per-query baseline bench median.
 
-POLICY (round 8, replacing "best-ever across all history"): the anchor
-for each query is the BEST MEDIAN ACROSS THE LAST TWO CLEAN COMMITTED
-BENCH_FULL CAPTURES (the CLEAN_FULLS list below — append the new commit
-hash whenever a clean capture lands; "clean" = sentinel green, no
-co-running load). Rationale, established by the round-7/8 audits:
+POLICY (round 8, amended round 15): the anchor for each query is the
+BEST MEDIAN ACROSS THE CLEAN COMMITTED BENCH_FULL CAPTURES in the
+CLEAN_FULLS list below — the most recent pair that covers every legacy
+query, plus each later round's clean capture (whose job is FIRST
+anchors for that round's new headliners; best-median-across-captures
+means appending can never degrade a legacy anchor). Append the new
+commit hash whenever a clean capture lands ("clean" = sentinel green,
+no co-running load); prune the oldest once two newer captures cover
+its queries. Rationale, established by the round-7/8 audits:
 best-ever-in-history minima are mid-suite context luck (hot page cache,
 pre-JITed codegen) sitting 20-30% below reachable steady state, so
 ratios against them read as phantom regressions. Two recent clean
