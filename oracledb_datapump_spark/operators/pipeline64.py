@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.global_order import with_global_order_stat
+
 DAY_US = 86_400_000_000
 #: ABC cumulative revenue-share cuts (ppm).
 ABC_A_PPM = 700_000
@@ -91,21 +93,24 @@ def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("mq") * F.col("mq")).alias("sq2"),
     )
     rev = li.groupBy("l_partkey").agg(F.sum("rc").alias("rev"))
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # range-partitioned global cumsum (functions/global_order) over the
+    # per-part revenue — the Pareto sort distributes, and the helper's
+    # grand total IS trev (no separate total pass/crossJoin)
+    cumdf, trev = with_global_order_stat(
+        rev,
+        [F.desc("rev"), F.asc("l_partkey")],
+        cumsum_col="rev",
+        out="cum",
     )
-    tot = rev.agg(F.sum("rev").alias("trev"))
     classified = (
-        rev.join(part, "l_partkey")
+        cumdf.join(part, "l_partkey")
         .crossJoin(F.broadcast(bounds))
-        .crossJoin(F.broadcast(tot))
-        .withColumn("cum", F.sum("rev").over(w))
         .select(
             "l_partkey",
             "rev",
             F.expr(
-                f"CASE WHEN cum * 1000000 <= {ABC_A_PPM} * trev THEN 'A' "
-                f"WHEN cum * 1000000 <= {ABC_B_PPM} * trev THEN 'B' "
+                f"CASE WHEN cum * 1000000 <= {ABC_A_PPM} * {trev} THEN 'A' "
+                f"WHEN cum * 1000000 <= {ABC_B_PPM} * {trev} THEN 'B' "
                 "ELSE 'C' END"
             ).alias("abc"),
             F.expr(

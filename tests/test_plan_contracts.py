@@ -1,6 +1,6 @@
 """Physical-plan contracts over EVERY queries() entry — the enforceable
 form of SCALE.md's claims. PLANS.md documents the audited plans; this
-test makes two invariants regression-proof:
+test makes three invariants regression-proof:
 
 1. No CartesianProduct anywhere. BroadcastNestedLoopJoin is tolerated
    (it appears only where a one-row/tiny frame is cross-joined by
@@ -11,9 +11,21 @@ test makes two invariants regression-proof:
    Python on the hot path is Arrow-batched (ArrowEvalPython /
    MapInPandas / FlatMapGroupsInPandas), which is the documented
    10-100x-faster boundary.
+3. No Window fed by Exchange SinglePartition — the third scale-killer
+   class (the round-14 statistics batch shipped five of these with
+   docstrings claiming "range-partitioned at scale"; the fix is
+   functions/global_order.with_global_order_stat). A single-partition
+   window sorts its WHOLE input through one task, so it is only
+   acceptable over provably small frames: the exemption table below
+   names every allowed instance with the frame that bounds it, and the
+   count must match EXACTLY — a fix that removes one must prune its
+   row, and a new global window anywhere else fails the suite until it
+   either uses the helper or argues its bound here.
 """
 
 import pytest
+
+from tools.scan_singlepart_windows import single_partition_windows
 
 SF = "/root/testdata/sf0.001"
 
@@ -34,8 +46,35 @@ _MATERIALIZED = {
     "streaming_scd2_enrich",
 }
 
+# Contract-3 exemption table: query -> (allowed count of
+# SinglePartition-fed Window nodes, the small frame that bounds each).
+# Every frame here is calendar-, bin-, vocab- or k-bounded — NOT fact-
+# or entity-sized. Audited round 15 (tools/scan_singlepart_windows.py).
+_SP_WINDOW_EXEMPT = {
+    "crosscorr_leadlag": (14, "daily series windows, <=|days| rows each"),
+    "cumulative_gains_auc": (2, "10-row decile frame (cum gains + AUC)"),
+    "embedding_dim_energy_curve": (1, "|dims| rows (<=64)"),
+    "gini_gain_feature_rank": (1, "3 candidate features"),
+    "gini_source_chars": (2, "|sources| rows"),
+    "hash_bootstrap_ci": (1, "BOOT_B=32 resampled means"),
+    "histogram_quantiles": (1, "|histogram bins| rows"),
+    "hurst_rs_report": (1, "|block sizes| rows (log-spaced)"),
+    "mase_seasonal_backtest": (1, "daily series, <=|days| rows"),
+    "orders_autocorrelation": (2, "daily series, <=|days| rows"),
+    "orders_backlog_timeline": (1, "calendar months (~84 rows)"),
+    "repurchase_hazard_table": (1, "week buckets"),
+    "slo_burn_report": (1, "daily series"),
+    "spearman_rho_daily": (2, "daily series (two rank windows)"),
+    "ucb_allocation_plan": (1, "|arms| rows"),
+    "unigram_lm_em_step": (
+        1,
+        "Zipf-bounded candidate-piece vocab (top-UNI_VTOP cut)",
+    ),
+    "vocab_growth_curve": (1, "<=log2(n_docs) doubling steps"),
+}
 
-def test_no_cartesian_no_row_python_in_any_plan(spark):
+
+def test_plan_contracts_all_queries(spark):
     import __spark_entry__ as entry_mod
 
     bad: dict[str, str] = {}
@@ -51,4 +90,12 @@ def test_no_cartesian_no_row_python_in_any_plan(spark):
             bad[name] = "CartesianProduct in physical plan"
         if "BatchEvalPython" in plan:
             bad[name] = "row-at-a-time Python (BatchEvalPython) in plan"
+        n_sp = single_partition_windows(plan)
+        allowed = _SP_WINDOW_EXEMPT.get(name, (0, ""))[0]
+        if n_sp != allowed:
+            bad[name] = (
+                f"{n_sp} SinglePartition-fed Window(s), exemption table "
+                f"allows {allowed} — use functions/global_order."
+                "with_global_order_stat or update the audited exemption"
+            )
     assert not bad, bad

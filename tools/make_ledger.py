@@ -59,6 +59,40 @@ def render(exclude_rounds: set[int] | None = None) -> str:
     return "\n".join(lines)
 
 
+
+LEGEND_BEGIN = "<!-- ledger-legend:begin -->"
+LEGEND_END = "<!-- ledger-legend:end -->"
+
+
+def legend() -> str:
+    """Current-round `*` legend, emitted by this script alongside the
+    table so it can never go stale (the round-14 verdict caught the
+    README still describing the round-8 prefix six rounds later)."""
+    import re
+
+    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    m = re.search(r"GATED_PREFIX = \[(.*?)\]", src, re.S)
+    block = m.group(1)
+    comment = "\n".join(
+        ln.strip().lstrip("# ")
+        for ln in block.splitlines()
+        if ln.strip().startswith("#")
+    )
+    return (
+        "`*` = in the CURRENT gated prefix "
+        "(`__spark_entry__.GATED_PREFIX`, the first 50 `queries()` "
+        "entries, whose fresh rows land in the next "
+        "`CORRECTNESS_r{N}.json`). Prefix rationale, quoted from the "
+        "source comment:\n\n> " + comment.replace("\n", "\n> ")
+    )
+
+
+def splice_legend(text: str) -> str:
+    start = text.index(LEGEND_BEGIN) + len(LEGEND_BEGIN)
+    end = text.index(LEGEND_END)
+    return text[: start] + "\n" + legend() + "\n" + text[end:]
+
+
 def write_readme(table: str) -> None:
     path = os.path.join(REPO, "README.md")
     text = open(path).read()
@@ -69,7 +103,9 @@ def write_readme(table: str) -> None:
             end += len(line)
         else:
             break
-    open(path, "w").write(text[:start] + table + "\n" + text[end:])
+    out = text[:start] + table + "\n" + text[end:]
+    out = splice_legend(out)
+    open(path, "w").write(out)
 
 
 def check() -> bool:
@@ -82,7 +118,11 @@ def check() -> bool:
             end += len(line)
         else:
             break
-    return text[start:end].strip() == render().strip()
+    if text[start:end].strip() != render().strip():
+        return False
+    lb = text.index(LEGEND_BEGIN) + len(LEGEND_BEGIN)
+    le = text.index(LEGEND_END)
+    return text[lb:le].strip() == legend().strip()
 
 
 def main() -> None:
