@@ -662,10 +662,32 @@ class SqliteConnector:
                 )
                 fk["columns"].append(r[3])
                 fk["ref_columns"].append(r[4])
-            if pk or fks:
+            # UNIQUE constraints surface as unique indexes of origin 'u'
+            # (index_list rows: (seq, name, unique, origin, partial));
+            # CHECK expressions are not exposed by SQLite's PRAGMA
+            # catalog (only by parsing sqlite_master SQL), so they are
+            # deliberately not captured here — DuckDB is the CHECK path.
+            uniques = []
+            for ix in self.execute(
+                f"PRAGMA {quote_ident(schema)}.index_list"
+                f"({quote_ident(t)})"
+            ).fetchall():
+                if ix[2] and ix[3] == "u":
+                    cols = [
+                        r[2]
+                        for r in self.execute(
+                            f"PRAGMA {quote_ident(schema)}.index_info"
+                            f"({quote_ident(ix[1])})"
+                        ).fetchall()
+                    ]
+                    if cols:
+                        uniques.append(cols)
+            if pk or fks or uniques:
                 out[t] = {
                     "primary_key": pk,
                     "foreign_keys": [fks[k] for k in sorted(fks)],
+                    "unique": sorted(uniques),
+                    "checks": [],
                 }
         return out
 
@@ -883,21 +905,36 @@ class DuckDbConnector:
                 out.append((table, m.group(2)))
         return out
 
+    _CHECK_RE = re.compile(r"^CHECK\s*\((.*)\)\s*$", re.IGNORECASE | re.S)
+
     def constraint_columns(self, schema: str) -> dict[str, dict]:
         rows = self._cursor().execute(
             "SELECT table_name, constraint_type, constraint_column_names, "
             "constraint_text FROM duckdb_constraints() "
-            "WHERE constraint_type IN ('PRIMARY KEY', 'FOREIGN KEY') "
+            "WHERE constraint_type IN "
+            "('PRIMARY KEY', 'FOREIGN KEY', 'UNIQUE', 'CHECK') "
             "AND schema_name = ?",
             [schema],
         ).fetchall()
         out: dict[str, dict] = {}
         for table, ctype, cols, text in rows:
             entry = out.setdefault(
-                table, {"primary_key": [], "foreign_keys": []}
+                table,
+                {
+                    "primary_key": [],
+                    "foreign_keys": [],
+                    "unique": [],
+                    "checks": [],
+                },
             )
             if ctype == "PRIMARY KEY":
                 entry["primary_key"] = list(cols or [])
+            elif ctype == "UNIQUE":
+                entry["unique"].append(list(cols or []))
+            elif ctype == "CHECK":
+                m = self._CHECK_RE.match((text or "").strip())
+                if m:
+                    entry["checks"].append(m.group(1))
             else:
                 m = self._FK_COLS_RE.search(text or "")
                 if m:

@@ -910,14 +910,24 @@ class Job:
                     # re-run must replace it, never append onto it
                     p.write_mode, p.truncate = "overwrite", False
                 remaining.append(p)
+        # event identity: IMPORT/TRANSFER completion rows
+        # (TABLE_IMPORT_DONE / TABLE_TRANSFER_DONE) describe the TARGET,
+        # so their resume events must carry the same (remapped) key —
+        # Oracle's master table names the remapped object on import.
+        # EXPORT resumes keep the source key (the dump IS the source).
+        _k = (
+            (lambda p: p.target_key)
+            if (is_transfer or is_import)
+            else (lambda p: p.source_key)
+        )
         self.dumpset.log_event(
             "JOB_RESTART",
             job_name=self.job_name,
-            skipped=[p.source_key for p in skipped],
-            remaining=[p.source_key for p in remaining],
+            skipped=[_k(p) for p in skipped],
+            remaining=[_k(p) for p in remaining],
         )
         for p in skipped:
-            self.dumpset.log_event("TABLE_RESUME_SKIP", table=p.source_key)
+            self.dumpset.log_event("TABLE_RESUME_SKIP", table=_k(p))
         self._stop_event = threading.Event()  # restart is itself stoppable
         self._done_event = threading.Event()  # kill() boundary handle
         self._set_state(JobState.EXECUTING)
@@ -1035,7 +1045,7 @@ class Job:
         ):
             self.dumpset.log_event(
                 "TABLE_RESUME_RECHECK_FAILED",
-                table=plan.source_key,
+                table=plan.target_key,
                 reason="target table missing",
             )
             return False
@@ -1050,14 +1060,14 @@ class Job:
             # is the strongest possible "not intact" — re-transfer it
             self.dumpset.log_event(
                 "TABLE_RESUME_RECHECK_FAILED",
-                table=plan.source_key,
+                table=plan.target_key,
                 reason=f"target unreadable: {e}",
             )
             return False
         if rows != entry.get("row_count"):
             self.dumpset.log_event(
                 "TABLE_RESUME_RECHECK_FAILED",
-                table=plan.source_key,
+                table=plan.target_key,
                 reason=f"target rows {rows} != recorded {entry.get('row_count')}",
             )
             return False
@@ -1065,7 +1075,7 @@ class Job:
         if want is not None and digest != want:
             self.dumpset.log_event(
                 "TABLE_RESUME_RECHECK_FAILED",
-                table=plan.source_key,
+                table=plan.target_key,
                 reason="target content digest mismatch",
             )
             return False

@@ -359,11 +359,15 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical relational shapes from the manifest alone, with no
     data files read. Sentinels: ``script_executed`` (every statement
     ran), ``fk_ordered`` (region's CREATE precedes nation's — the script
-    replays plan_import's topo waves), ``pk_restored``/``fk_restored``
-    (the fresh catalog's duckdb_constraints carries both keys), and
-    ``fk_enforced`` (an orphan nation row is REJECTED by the recreated
-    constraint — the FK is live, not cosmetic). At 100 TB SQL_FILE
-    touches only the manifest — it is O(tables), never O(rows)."""
+    replays plan_import's topo waves), ``pk_restored``/``fk_restored``/
+    ``unique_restored``/``check_restored`` (the fresh catalog's
+    duckdb_constraints carries all four constraint classes), and
+    ``fk_enforced``/``unique_enforced``/``check_enforced`` (an orphan
+    nation row, a duplicated r_name under a fresh key, and a negative
+    n_nationkey with a valid FK target are each REJECTED by the
+    recreated catalog — every constraint class is live, not cosmetic).
+    At 100 TB SQL_FILE touches only the manifest — it is O(tables),
+    never O(rows)."""
     import duckdb as _duckdb
 
     from pyspark.sql import functions as F
@@ -378,7 +382,8 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.execute(
             "CREATE TABLE main.region ("
             " r_regionkey INTEGER NOT NULL, r_name VARCHAR,"
-            " PRIMARY KEY (r_regionkey))"
+            " PRIMARY KEY (r_regionkey),"
+            " UNIQUE (r_name))"
         )
         src.execute(
             f"INSERT INTO main.region SELECT * FROM '{sf_dir}/region.parquet'"
@@ -388,6 +393,7 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_nationkey INTEGER NOT NULL, n_name VARCHAR,"
             " n_regionkey INTEGER,"
             " PRIMARY KEY (n_nationkey),"
+            " CHECK (n_nationkey >= 0),"
             " FOREIGN KEY (n_regionkey) REFERENCES main.region (r_regionkey))"
         )
         src.execute(
@@ -426,15 +432,35 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
                     created += 1
         cons = con.sql(
             "SELECT table_name, constraint_type FROM duckdb_constraints()"
-            " WHERE constraint_type IN ('PRIMARY KEY', 'FOREIGN KEY')"
+            " WHERE constraint_type IN"
+            " ('PRIMARY KEY', 'FOREIGN KEY', 'UNIQUE', 'CHECK')"
         ).fetchall()
         pk_restored = {("region", "PRIMARY KEY"), ("nation", "PRIMARY KEY")} <= set(cons)
         fk_restored = ("nation", "FOREIGN KEY") in set(cons)
+        unique_restored = ("region", "UNIQUE") in set(cons)
+        check_restored = ("nation", "CHECK") in set(cons)
         try:
             con.sql("INSERT INTO main.nation VALUES (999, 'orphan', 999)")
             fk_enforced = False
         except Exception:
             fk_enforced = True
+        # the regenerated catalog is EMPTY (SQL_FILE is DDL-only), so
+        # plant one region row, then probe each constraint class with a
+        # row only that constraint can reject
+        con.sql("INSERT INTO main.region VALUES (997, 'dp_dup')")
+        try:
+            # same r_name under a fresh key: only UNIQUE(r_name) rejects
+            con.sql("INSERT INTO main.region VALUES (998, 'dp_dup')")
+            unique_enforced = False
+        except Exception:
+            unique_enforced = True
+        try:
+            # negative key, VALID FK target (997): only CHECK rejects
+            con.sql("INSERT INTO main.nation VALUES (-1, 'neg', 997)")
+            check_enforced = False
+        except Exception:
+            check_enforced = True
+        con.sql("DELETE FROM main.region WHERE r_regionkey IN (997, 998)")
         rows = con.sql(
             "SELECT table_name, column_name,"
             " CAST(ordinal_position AS BIGINT) AS ordinal, data_type"
@@ -453,6 +479,10 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("pk_restored", F.lit(bool(pk_restored)))
             .withColumn("fk_restored", F.lit(bool(fk_restored)))
             .withColumn("fk_enforced", F.lit(bool(fk_enforced)))
+            .withColumn("unique_restored", F.lit(bool(unique_restored)))
+            .withColumn("unique_enforced", F.lit(bool(unique_enforced)))
+            .withColumn("check_restored", F.lit(bool(check_restored)))
+            .withColumn("check_enforced", F.lit(bool(check_enforced)))
             .orderBy("table_name", "ordinal")
         )
     finally:
@@ -462,7 +492,9 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQLFILE_SCRIPT_SQL = """
 SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal,
        data_type, TRUE AS script_executed, TRUE AS fk_ordered,
-       TRUE AS pk_restored, TRUE AS fk_restored, TRUE AS fk_enforced
+       TRUE AS pk_restored, TRUE AS fk_restored, TRUE AS fk_enforced,
+       TRUE AS unique_restored, TRUE AS unique_enforced,
+       TRUE AS check_restored, TRUE AS check_enforced
 FROM information_schema.columns
 WHERE table_name IN ('region', 'nation')
 ORDER BY table_name, ordinal

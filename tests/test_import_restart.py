@@ -215,3 +215,137 @@ def test_restart_encrypted_import_requires_real_password(
             out.read_table(spark, "main", t).count()
             == spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
         )
+
+
+class FailThenStop(ParquetConnector):
+    """Quarantine-composition target: the FIRST write raises (with
+    SKIP_CONST_ERR the engine counts it and continues — the table is
+    'quarantined', no TABLE_IMPORT_DONE), the SECOND write requests a
+    cooperative stop but completes (boundary semantics), the third
+    never runs. Leaves the warehouse partially loaded with one
+    quarantined + one fingerprinted table."""
+
+    def __init__(self, root: str):
+        super().__init__(root)
+        self.job: Job | None = None
+        self.writes = 0
+
+    def write_table(self, df, schema, table, **kwargs):
+        self.writes += 1
+        if self.writes == 1:
+            raise RuntimeError("planted constraint failure")
+        if self.writes == 2 and self.job is not None:
+            self.job.stop()
+        return super().write_table(df, schema, table, **kwargs)
+
+
+def test_restart_import_with_remap_schema(spark, sf_dir, tmp_path):
+    """restart x REMAP_SCHEMA: the resumed import re-applies the remap
+    recorded in IMPORT_JOB_PLAN — fingerprint verification and the
+    remaining loads all land in the REMAPPED schema."""
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump, wh = str(tmp_path / "dump"), str(tmp_path / "wh")
+    _export(spark, stage, dump)
+    job, n0 = _stopped_import(
+        spark, dump, wh, extra=[D.REMAP_SCHEMA("main", "wh2")]
+    )
+    done1 = [
+        e["table"]
+        for e in _evs(dump, n0)
+        if e["event"] == "TABLE_IMPORT_DONE"
+    ]
+    assert len(done1) == 1 and done1[0].startswith("wh2."), done1
+    st = Job.attach(job.job_name, dumpdir=dump).restart(
+        connection=ParquetConnector(wh), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value
+    evs = _evs(dump, n0)
+    assert [
+        e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"
+    ] == done1
+    all_done = [e["table"] for e in evs if e["event"] == "TABLE_IMPORT_DONE"]
+    assert sorted(all_done) == sorted(f"wh2.{t}" for t in TABLES)
+    out = ParquetConnector(wh)
+    for t in TABLES:
+        assert (
+            out.read_table(spark, "wh2", t).count()
+            == spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        )
+
+
+def test_restart_import_orc_dump(spark, sf_dir, tmp_path):
+    """restart x DUMP_FORMAT(ORC): resume fingerprinting works when the
+    dump being imported is ORC, not parquet — the target fingerprint is
+    format-agnostic (it reads the TARGET), and the remaining tables load
+    from the ORC part files."""
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump, wh = str(tmp_path / "dump"), str(tmp_path / "wh")
+    _export(spark, stage, dump, extra=[D.DUMP_FORMAT("ORC")])
+    job, n0 = _stopped_import(spark, dump, wh)
+    done1 = [
+        e["table"]
+        for e in _evs(dump, n0)
+        if e["event"] == "TABLE_IMPORT_DONE"
+    ]
+    assert len(done1) == 1
+    st = Job.attach(job.job_name, dumpdir=dump).restart(
+        connection=ParquetConnector(wh), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value
+    evs = _evs(dump, n0)
+    assert [
+        e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"
+    ] == done1
+    out = ParquetConnector(wh)
+    for t in TABLES:
+        assert (
+            out.read_table(spark, "main", t).count()
+            == spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        )
+
+
+def test_restart_import_after_quarantined_table(spark, sf_dir, tmp_path):
+    """restart x DATA_OPTIONS(SKIP_CONST_ERR): a table whose load
+    FAILED under continue-on-error has no TABLE_IMPORT_DONE row, so the
+    restart must re-import it (it is NOT skip-verifiable), while the
+    boundary-completed table's fingerprint still short-circuits."""
+    stage = _stage(spark, sf_dir, tmp_path)
+    dump, wh = str(tmp_path / "dump"), str(tmp_path / "wh")
+    _export(spark, stage, dump)
+    n0 = len(list(DumpSet(dump).read_events()))
+    tgt = FailThenStop(wh)
+    job = Job(
+        "IMPORT", "TABLE", dumpfiles=dump,
+        directives=[
+            D.TABLE_EXISTS_ACTION("REPLACE"),
+            D.DATA_OPTIONS("SKIP_CONST_ERR"),
+        ],
+    )
+    tgt.job = job
+    st = job.run(wait=True, connection=tgt, spark=spark)
+    assert st.job_state == JobState.STOPPED.value, st.job_state
+    evs1 = _evs(dump, n0)
+    errored = [
+        e["table"] for e in evs1 if e["event"] == "TABLE_IMPORT_ERROR"
+    ]
+    done1 = [
+        e["table"] for e in evs1 if e["event"] == "TABLE_IMPORT_DONE"
+    ]
+    assert len(errored) == 1 and len(done1) == 1
+    st = Job.attach(job.job_name, dumpdir=dump).restart(
+        connection=ParquetConnector(wh), spark=spark
+    )
+    assert st.job_state == JobState.COMPLETED.value
+    evs = _evs(dump, n0)
+    assert [
+        e["table"] for e in evs if e["event"] == "TABLE_RESUME_SKIP"
+    ] == done1
+    all_done = [e["table"] for e in evs if e["event"] == "TABLE_IMPORT_DONE"]
+    assert sorted(all_done) == sorted(f"main.{t}" for t in TABLES)
+    assert errored[0] in all_done  # the quarantined table was re-imported
+    out = ParquetConnector(wh)
+    for t in TABLES:
+        assert (
+            out.read_table(spark, "main", t).count()
+            == spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        )

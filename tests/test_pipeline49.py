@@ -107,3 +107,49 @@ def test_sqlfile_recreates_typed_shapes(spark, tmp_path):
         ("v", "DOUBLE"),
         ("ts", "TIMESTAMP"),
     ]
+
+
+def test_sqlfile_unique_check_constraints(spark, sf_dir):
+    """The gated SQL_FILE lifecycle now carries UNIQUE + CHECK: all four
+    restored-sentinels and all three enforced-sentinels must be true —
+    i.e. the regenerated fresh catalog REJECTS a duplicated r_name and
+    a negative n_nationkey, exactly like the source catalog would."""
+    row = E.datapump_sqlfile_script(spark, sf_dir).collect()[0]
+    for flag in (
+        "script_executed",
+        "fk_ordered",
+        "pk_restored",
+        "fk_restored",
+        "fk_enforced",
+        "unique_restored",
+        "unique_enforced",
+        "check_restored",
+        "check_enforced",
+    ):
+        assert row[flag] is True, flag
+
+
+def test_duckdb_connector_captures_unique_and_check():
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+
+    src = DuckDbConnector(":memory:")
+    src.execute(
+        "CREATE TABLE main.t (a INTEGER PRIMARY KEY, b VARCHAR,"
+        " c INTEGER, UNIQUE (b), CHECK (c >= 0))"
+    )
+    keys = src.constraint_columns("main")["t"]
+    assert keys["primary_key"] == ["a"]
+    assert ["b"] in keys["unique"]
+    assert any("c >= 0" in e for e in keys["checks"])
+
+
+def test_sqlite_connector_captures_unique(tmp_path):
+    from oracledb_datapump_spark.catalog import SqliteConnector
+
+    con = SqliteConnector(str(tmp_path / "u.db"))
+    con.execute(
+        "CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT UNIQUE)"
+    )
+    keys = con.constraint_columns("main")["t"]
+    assert keys["unique"] == [["b"]]
+    assert keys["checks"] == []
