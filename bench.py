@@ -266,7 +266,7 @@ EXCLUDED = {
     "source_token_entropy": "tokenize+explode then two partial-aggregated groupBys — same unigram-aggregate shape as unigram_surprise (benched)",
     "context_fill_curve": "row-local token counts exploded x4 window sizes + one small groupBy — same scan-bound projection family as token_count (benched)",
     "ucb_allocation_plan": "one scan + one <=|types| groupBy + broadcast total — same keyed-agg shape as value_quartiles_by_type (EXCLUDED family; events scan benched via events_hourly_rollup)",
-    "quantile_treatment_effect": "one (user) groupBy + per-arm rank window over users — same per-user rollup + exact-rank family as exact_percentile_two_pass (EXCLUDED; events scan benched via events_hourly_rollup)",
+    "quantile_treatment_effect": "one (user) groupBy + one range-partitioned global-order rank over users (functions/global_order) — same per-user rollup + exact-rank family as exact_percentile_two_pass (EXCLUDED; events scan benched via events_hourly_rollup)",
     "hash_bootstrap_ci": "one (day) groupBy then a bounded days x 32 explode + 32-row window — same day-rollup family as daily_volume_mad_outliers (EXCLUDED; scan benched via events_hourly_rollup)",
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",

@@ -139,11 +139,43 @@ def medians_from_git(rev: str) -> dict[str, float]:
     return dict(json.loads(raw).get("queries", {}))
 
 
+
+# Anchor resets (round 15): a query whose PHYSICAL PLAN was changed on
+# purpose must not keep an anchor measured on the old plan — in either
+# direction. hubness_report's 33.7 s r14a anchor predates the 91b3664
+# broadcast-NL rewrite (an 8x-regression blind spot); the five
+# round-15 global-order fixes plus abc_xyz_matrix deliberately traded
+# ~0.5-1.5 s of fixture-scale stage overhead for range-partitioned
+# sorts (the single-partition window was the bug), so their old
+# anchors would read as permanent phantom regressions. Each entry maps
+# query -> the FIRST capture tag measuring the current plan; earlier
+# captures are ignored for that query (no anchor until such a capture
+# lands in CLEAN_FULLS).
+PLAN_RESETS = {
+    "hubness_report": (15, "a"),
+    "kruskal_wallis_price": (15, "a"),
+    "snm_candidate_pairs": (15, "a"),
+    "cumulative_gains_auc": (15, "a"),
+    "conformal_calibration_report": (15, "a"),
+    "abc_xyz_matrix": (15, "a"),
+}
+
+
+def _tag_key(tag: str):
+    import re as _re
+
+    m = _re.match(r"r(\d+)([a-z]*)$", tag)
+    return (int(m.group(1)), m.group(2)) if m else (0, tag)
+
+
 def main() -> None:
     best: dict[str, tuple[float, str]] = {}
 
     def absorb(medians: dict[str, float], tag: str) -> None:
         for q, t in medians.items():
+            reset = PLAN_RESETS.get(q)
+            if reset is not None and _tag_key(tag) < reset:
+                continue  # capture predates the current plan
             if q not in best or t < best[q][0]:
                 best[q] = (t, tag)
 
@@ -166,14 +198,20 @@ def main() -> None:
     lines = [
         "# BASELINE-QUERIES — per-query baseline bench median (sf0.1, local[32])",
         "",
-        "POLICY: each anchor is the best median across the LAST TWO CLEAN",
-        "committed BENCH_FULL captures (tools/make_baseline_queries.py",
-        "CLEAN_FULLS — currently "
+        "POLICY: each anchor is the best median across the CLEAN committed",
+        "BENCH_FULL captures in tools/make_baseline_queries.py CLEAN_FULLS",
+        "(currently "
         + ", ".join(f"{tag}={rev}" for rev, tag in CLEAN_FULLS)
-        + "), NOT the best-ever",
-        "historical minimum: the r7/r8 audits established that all-history",
-        "minima are mid-suite context luck 20-30% below reachable steady",
-        "state, and ratios against them read as phantom regressions.",
+        + "):",
+        "the r13 pair retained for legacy anchors plus each later round's",
+        "clean capture, which seeds FIRST anchors for that round's new",
+        "headliners; prune the oldest pair once two newer captures cover",
+        "every legacy query. NOT the best-ever historical minimum: the",
+        "r7/r8 audits established that all-history minima are mid-suite",
+        "context luck 20-30% below reachable steady state, and ratios",
+        "against them read as phantom regressions. Queries in PLAN_RESETS",
+        "(intentional plan changes) ignore captures older than the reset",
+        "tag — an anchor must measure the plan that ships.",
         "`bench.py` reads this table, prints per-query ratios + the",
         "`vs_baseline_best` aggregate, and flags >=2x as",
         "`BASELINE-REGRESSION` on stderr. Regenerate: `python",
