@@ -267,6 +267,11 @@ EXCLUDED = {
     "context_fill_curve": "row-local token counts exploded x4 window sizes + one small groupBy — same scan-bound projection family as token_count (benched)",
     "ucb_allocation_plan": "one scan + one <=|types| groupBy + broadcast total — same keyed-agg shape as value_quartiles_by_type (EXCLUDED family; events scan benched via events_hourly_rollup)",
     "quantile_treatment_effect": "one (user) groupBy + one range-partitioned global-order rank over users (functions/global_order) — same per-user rollup + exact-rank family as exact_percentile_two_pass (EXCLUDED; events scan benched via events_hourly_rollup)",
+    "tukey_fence_outliers": "same (user) groupBy + range-partitioned global rank as trimmed_mean_report (BENCHED family anchor); the fence pass is one conditional aggregate",
+    "mcnemar_dedup_agreement": "dominant cost is the shared-shingle pair join, exercised via dedup_minhash_verified (benched); the flag joins and 1-row chi2 reduce are pair-list-sized",
+    "page_hinkley_drift": "orders scan + day groupBy dominate — same family as orders_backlog_timeline (benched); the PH windows run over the <=|days| aggregate",
+    "ab_sequential_looks": "one events scan + (user) groupBy — same per-user rollup family as user_recency_weight (benched); the look/z arithmetic is an 8-row frame",
+    "sign_test_paired": "same events scan + (user) pre/post groupBy as wilcoxon_signed_rank (BENCHED family anchor); the sign reduce is 1 row",
     "hash_bootstrap_ci": "one (day) groupBy then a bounded days x 32 explode + 32-row window — same day-rollup family as daily_volume_mad_outliers (EXCLUDED; scan benched via events_hourly_rollup)",
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",
@@ -279,6 +284,15 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    # batch 73 (round 15)
+    "cliffs_delta_arms",
+    "wilcoxon_signed_rank",
+    "hodges_lehmann_shift",
+    "embedding_centroid_drift",
+    # batch 72 (round 15)
+    "trimmed_mean_report",
+    "mann_kendall_trend",
+    "theil_sen_slope",
     "anova_price_by_type",
     "levene_variance_check",
     "kruskal_wallis_price",

@@ -62,6 +62,11 @@ _SP_WINDOW_EXEMPT = {
     "mase_seasonal_backtest": (1, "daily series, <=|days| rows"),
     "orders_autocorrelation": (2, "daily series, <=|days| rows"),
     "orders_backlog_timeline": (1, "calendar months (~84 rows)"),
+    "page_hinkley_drift": (
+        6,
+        "daily-series path windows (rank/cumsum/dev-cumsum/min-prefix "
+        "over <=|days| rows)",
+    ),
     "repurchase_hazard_table": (1, "week buckets"),
     "slo_burn_report": (1, "daily series"),
     "spearman_rho_daily": (2, "daily series (two rank windows)"),
