@@ -124,6 +124,7 @@ CLEAN_FULLS = [
     ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
     ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
     ("c014644", "r14a"),  # round-14 closing capture (375.4s/212q, 1.204 on a drifting host — see its commit message) — kept ALONGSIDE the r13 pair, not replacing it: its job is FIRST anchors for the 36 new round-14 headliners (best-median-across-captures means it cannot degrade any legacy anchor); hubness_report's anchor predates the 91b3664 optimization and will tighten at the next clean capture
+    ("1716804", "r15a"),  # round-15 clean capture (364.1s/219q, 1.166, zero >=2x rows, sentinel benign-faster 0.59x, captured right after the 682-test suite went green) — first anchors for the 8 new r15 headliners and the re-anchor point for the six PLAN_RESETS queries (the plan that ships is the plan the anchor measures)
 ]
 
 
