@@ -120,6 +120,14 @@ def medians_from_full(path: str) -> dict[str, float]:
 # two-outlier spread signature the r14 commit message documents for
 # host drag. Code path unchanged since r13; NOT a plan regression.
 # No override recorded (r8 policy); the r15 clean capture re-anchors.
+# Round-15 CLOSING isolation audit: the one multi-second >1.5x row in
+# the r15a capture, dedup_prefix_filter_pairs (5.38 s suite / anchor
+# 3.271 r13d), re-measured fresh-JVM after warm-up, 5 runs:
+# [11.6 warm-up, 6.37, 4.16, 4.75, 4.85] — median 4.85 s = 1.48x with
+# a 2.2 s spread on untouched-since-r13 code: the same high-variance
+# host signature as semantic_dedup_report (whose own r15 audit median
+# was 1.12x). Below the 2x gate, no plan change to explain it; no
+# override recorded (r8 policy), watchlist for r16.
 CLEAN_FULLS = [
     ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
     ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
