@@ -662,32 +662,45 @@ class SqliteConnector:
                 )
                 fk["columns"].append(r[3])
                 fk["ref_columns"].append(r[4])
-            # UNIQUE constraints surface as unique indexes of origin 'u'
+            # UNIQUE constraints surface as unique indexes of origin 'u',
+            # explicit CREATE INDEX artifacts as origin 'c'
             # (index_list rows: (seq, name, unique, origin, partial));
             # CHECK expressions are not exposed by SQLite's PRAGMA
             # catalog (only by parsing sqlite_master SQL), so they are
             # deliberately not captured here — DuckDB is the CHECK path.
-            uniques = []
+            uniques, indexes = [], []
             for ix in self.execute(
                 f"PRAGMA {quote_ident(schema)}.index_list"
                 f"({quote_ident(t)})"
             ).fetchall():
-                if ix[2] and ix[3] == "u":
-                    cols = [
-                        r[2]
-                        for r in self.execute(
-                            f"PRAGMA {quote_ident(schema)}.index_info"
-                            f"({quote_ident(ix[1])})"
-                        ).fetchall()
-                    ]
-                    if cols:
-                        uniques.append(cols)
-            if pk or fks or uniques:
+                if ix[3] not in ("u", "c"):
+                    continue
+                cols = [
+                    r[2]
+                    for r in self.execute(
+                        f"PRAGMA {quote_ident(schema)}.index_info"
+                        f"({quote_ident(ix[1])})"
+                    ).fetchall()
+                ]
+                if not cols:
+                    continue
+                if ix[3] == "u" and ix[2]:
+                    uniques.append(cols)
+                elif ix[3] == "c":
+                    indexes.append(
+                        {
+                            "name": ix[1],
+                            "unique": bool(ix[2]),
+                            "columns": cols,
+                        }
+                    )
+            if pk or fks or uniques or indexes:
                 out[t] = {
                     "primary_key": pk,
                     "foreign_keys": [fks[k] for k in sorted(fks)],
                     "unique": sorted(uniques),
                     "checks": [],
+                    "indexes": sorted(indexes, key=lambda d: d["name"]),
                 }
         return out
 
@@ -906,6 +919,34 @@ class DuckDbConnector:
         return out
 
     _CHECK_RE = re.compile(r"^CHECK\s*\((.*)\)\s*$", re.IGNORECASE | re.S)
+    _IDX_COLS_RE = re.compile(r"\(([^()]*)\)\s*;?\s*$")
+
+    def _secondary_indexes(self, schema: str) -> dict[str, list[dict]]:
+        """Explicit secondary indexes per table (duckdb_indexes lists
+        only CREATE INDEX artifacts — PK/UNIQUE constraint backing
+        indexes never appear, so no dedup against the constraint set
+        is needed). Columns parse from the recorded CREATE INDEX SQL's
+        trailing parenthesized list."""
+        out: dict[str, list[dict]] = {}
+        rows = self._cursor().execute(
+            "SELECT table_name, index_name, is_unique, sql "
+            "FROM duckdb_indexes() WHERE schema_name = ?",
+            [schema],
+        ).fetchall()
+        for table, name, uniq, sql in rows:
+            m = self._IDX_COLS_RE.search(sql or "")
+            if not m:
+                continue
+            out.setdefault(table, []).append(
+                {
+                    "name": name,
+                    "unique": bool(uniq),
+                    "columns": [c.strip() for c in m.group(1).split(",")],
+                }
+            )
+        for lst in out.values():
+            lst.sort(key=lambda d: d["name"])
+        return out
 
     def constraint_columns(self, schema: str) -> dict[str, dict]:
         rows = self._cursor().execute(
@@ -916,7 +957,16 @@ class DuckDbConnector:
             "AND schema_name = ?",
             [schema],
         ).fetchall()
+        idx = self._secondary_indexes(schema)
         out: dict[str, dict] = {}
+        for table, entries in idx.items():
+            out[table] = {
+                "primary_key": [],
+                "foreign_keys": [],
+                "unique": [],
+                "checks": [],
+                "indexes": entries,
+            }
         for table, ctype, cols, text in rows:
             entry = out.setdefault(
                 table,
@@ -925,6 +975,7 @@ class DuckDbConnector:
                     "foreign_keys": [],
                     "unique": [],
                     "checks": [],
+                    "indexes": [],
                 },
             )
             if ctype == "PRIMARY KEY":

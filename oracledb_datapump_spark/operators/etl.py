@@ -365,9 +365,12 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fk_enforced``/``unique_enforced``/``check_enforced`` (an orphan
     nation row, a duplicated r_name under a fresh key, and a negative
     n_nationkey with a valid FK target are each REJECTED by the
-    recreated catalog — every constraint class is live, not cosmetic).
-    At 100 TB SQL_FILE touches only the manifest — it is O(tables),
-    never O(rows)."""
+    recreated catalog — every constraint class is live, not cosmetic),
+    and ``index_restored`` (the planted secondary CREATE INDEX is
+    regenerated in the fresh catalog — SQL_FILE carries the index DDL
+    the way Oracle's SQLFILE carries INDEX object sections). At 100 TB
+    SQL_FILE touches only the manifest — it is O(tables), never
+    O(rows)."""
     import duckdb as _duckdb
 
     from pyspark.sql import functions as F
@@ -398,6 +401,9 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         src.execute(
             f"INSERT INTO main.nation SELECT * FROM '{sf_dir}/nation.parquet'"
+        )
+        src.execute(
+            "CREATE INDEX idx_nation_region ON main.nation (n_regionkey)"
         )
         st = Job(
             Operation.EXPORT,
@@ -439,6 +445,12 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk_restored = ("nation", "FOREIGN KEY") in set(cons)
         unique_restored = ("region", "UNIQUE") in set(cons)
         check_restored = ("nation", "CHECK") in set(cons)
+        index_restored = ("nation", "idx_nation_region") in {
+            (t, n)
+            for t, n in con.sql(
+                "SELECT table_name, index_name FROM duckdb_indexes()"
+            ).fetchall()
+        }
         try:
             con.sql("INSERT INTO main.nation VALUES (999, 'orphan', 999)")
             fk_enforced = False
@@ -483,6 +495,7 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("unique_enforced", F.lit(bool(unique_enforced)))
             .withColumn("check_restored", F.lit(bool(check_restored)))
             .withColumn("check_enforced", F.lit(bool(check_enforced)))
+            .withColumn("index_restored", F.lit(bool(index_restored)))
             .orderBy("table_name", "ordinal")
         )
     finally:
@@ -494,7 +507,8 @@ SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal,
        data_type, TRUE AS script_executed, TRUE AS fk_ordered,
        TRUE AS pk_restored, TRUE AS fk_restored, TRUE AS fk_enforced,
        TRUE AS unique_restored, TRUE AS unique_enforced,
-       TRUE AS check_restored, TRUE AS check_enforced
+       TRUE AS check_restored, TRUE AS check_enforced,
+       TRUE AS index_restored
 FROM information_schema.columns
 WHERE table_name IN ('region', 'nation')
 ORDER BY table_name, ordinal

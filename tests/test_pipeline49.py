@@ -153,3 +153,34 @@ def test_sqlite_connector_captures_unique(tmp_path):
     keys = con.constraint_columns("main")["t"]
     assert keys["unique"] == [["b"]]
     assert keys["checks"] == []
+
+
+def test_sqlfile_secondary_index_restored(spark, sf_dir):
+    row = E.datapump_sqlfile_script(spark, sf_dir).collect()[0]
+    assert row["index_restored"] is True
+
+
+def test_duckdb_connector_captures_secondary_indexes():
+    from oracledb_datapump_spark.catalog import DuckDbConnector
+
+    src = DuckDbConnector(":memory:")
+    src.execute("CREATE TABLE main.t (a INTEGER PRIMARY KEY, b INTEGER, c INTEGER)")
+    src.execute("CREATE INDEX i_b ON main.t (b)")
+    src.execute("CREATE UNIQUE INDEX i_bc ON main.t (b, c)")
+    keys = src.constraint_columns("main")["t"]
+    assert keys["indexes"] == [
+        {"name": "i_b", "unique": False, "columns": ["b"]},
+        {"name": "i_bc", "unique": True, "columns": ["b", "c"]},
+    ]
+
+
+def test_sqlite_connector_captures_secondary_indexes(tmp_path):
+    from oracledb_datapump_spark.catalog import SqliteConnector
+
+    con = SqliteConnector(str(tmp_path / "i.db"))
+    con.execute("CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT, c INTEGER)")
+    con.execute("CREATE INDEX i_c ON t (c)")
+    keys = con.constraint_columns("main")["t"]
+    assert keys["indexes"] == [
+        {"name": "i_c", "unique": False, "columns": ["c"]}
+    ]
