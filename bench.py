@@ -273,6 +273,7 @@ EXCLUDED = {
     "ab_sequential_looks": "one events scan + (user) groupBy — same per-user rollup family as user_recency_weight (benched); the look/z arithmetic is an 8-row frame",
     "sign_test_paired": "same events scan + (user) pre/post groupBy as wilcoxon_signed_rank (BENCHED family anchor); the sign reduce is 1 row",
     "image_dhash_hamming_curve": "same mapInPandas decode pass as image_dhash_groups (BENCHED family anchor); the consecutive-pair join and <=31-row histogram are hash-frame-sized",
+    "streaming_page_hinkley": "two availableNow streaming cycles with staging/checkpoint setup dominate — lifecycle machinery, not a query plan; same posture as streaming_merge_apply (EXCLUDED)",
     "hash_bootstrap_ci": "one (day) groupBy then a bounded days x 32 explode + 32-row window — same day-rollup family as daily_volume_mad_outliers (EXCLUDED; scan benched via events_hourly_rollup)",
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",

@@ -43,6 +43,7 @@ _MATERIALIZED = {
     "streaming_pq_codes",
     "incremental_export_cycles",
     "streaming_merge_apply",
+    "streaming_page_hinkley",
     "streaming_scd2_enrich",
 }
 
