@@ -810,6 +810,22 @@ def main() -> None:
     # "queries" LAST: the driver records a tail-truncated capture of this
     # line, so the most important dict must sit at the end
     contaminated = bool(sentinel_info and sentinel_info["divergence"] > 1.5)
+    # Second capture-quality guard (round 15): the start-vs-end sentinel
+    # measures ONE query and misses drag that arrives mid-run — the r15b
+    # attempt read sentinel-benign while TEN unrelated anchored queries
+    # sat >=2x of their anchors (user_longest_streak 6.9x on untouched
+    # code). A broad >=2x fan-out with no code change is either host
+    # drag or a shared-helper regression; either way the capture must
+    # NOT silently replace the committed clean record — park it for
+    # investigation.
+    n_regressed = sum(1 for r in ratios.values() if r >= 2.0)
+    if n_regressed >= 5:
+        contaminated = True
+        print(
+            f"# CAPTURE-QUALITY: {n_regressed} anchored queries >=2x in one"
+            " run — drag or shared regression; parking the record",
+            file=sys.stderr,
+        )
     out = {
         "metric": "headline_queries_total_time",
         "value": round(sum(timings.values()), 3),
