@@ -851,9 +851,15 @@ def main() -> None:
         # refuse to overwrite the committed record with a poisoned capture;
         # park it next door for diagnosis instead
         out_path = out_path.replace(".json", ".CONTAMINATED.json")
+        if sentinel_info is not None and sentinel_info["divergence"] > 1.5:
+            reason = (
+                f"sentinel divergence {sentinel_info['divergence']:.2f}x"
+                " > 1.5x"
+            )
+        else:
+            reason = f"{n_regressed} anchored queries >=2x in one run"
         print(
-            f"# CONTAMINATED RUN (sentinel divergence"
-            f" {sentinel_info['divergence']:.2f}x > 1.5x) — record written to"
+            f"# CONTAMINATED RUN ({reason}) — record written to"
             f" {os.path.basename(out_path)}, committed BENCH_FULL.json untouched",
             file=sys.stderr,
         )

@@ -472,6 +472,12 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             check_enforced = False
         except Exception:
             check_enforced = True
+        # clean up probe rows child-first: if the recreated CHECK is NOT
+        # enforced the (-1,'neg',997) nation probe persisted, and deleting
+        # its region parent first would raise an FK violation here —
+        # masking the should-be-false check_enforced sentinel with a hard
+        # query error
+        con.sql("DELETE FROM main.nation WHERE n_nationkey IN (-1, 999)")
         con.sql("DELETE FROM main.region WHERE r_regionkey IN (997, 998)")
         rows = con.sql(
             "SELECT table_name, column_name,"

@@ -60,6 +60,14 @@ NEAR_DUP_PPM = 600_000
 #: O'Brien–Fleming-shaped two-sided 5% z boundaries for K=4 equal
 #: looks, milli (z_k = z_K·√(K/k), z_K ≈ 2.024).
 OBF_BOUNDS_MILLI = (4_049, 2_863, 2_337, 2_024)
+
+# ab_sequential_looks int64 headroom: the staged z² division needs
+# num·N ≲ 9e18, i.e. ≤ ~3e6 users per look at worst-case imbalance.
+# Past that, every count is pre-divided by stride s = 1 + N div this
+# constant before the z arithmetic (z is degree-0 homogeneous in the
+# counts, so the strided z equals the exact z up to integer rounding —
+# ≤1 milli at the scales where s > 1). Raw counts are still reported.
+AB_SEQ_STRIDE_N = 3_000_000
 #: Page–Hinkley tolerance δ in cents (0 = pure deviation sum).
 PH_DELTA_Q = 0
 
@@ -437,7 +445,9 @@ WHERE r.rn = (np.n_pairs + 1) // 2
 # ---------------------------------------------------------------------------
 
 
-def mcnemar_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mcnemar_dedup_agreement(
+    spark: SparkSession, sf_dir: str, verification: bool = False
+) -> DataFrame:
     """(n_docs, in_both, exact_only, near_only, neither, chi2_milli,
     signif_flag): McNemar's continuity-corrected paired test on the
     per-document disagreement between two dedup detectors — exact
@@ -451,12 +461,20 @@ def mcnemar_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one md5 groupBy; the near side rides the
     shared-shingle pair stage (guarded-quadratic at test scale; the
-    LSH-verified memo at 100 TB — dedup.py:41's documented posture);
-    then two semijoin flags and a 1-row reduce."""
-    from .dedup import _shingles
+    LSH-verified memo at 100 TB — dedup.py:41's documented posture,
+    enforced here by the same _guard_quadratic pre-flight as the two
+    baselines that own it); then two semijoin flags and a 1-row
+    reduce."""
+    from .dedup import _guard_quadratic, _shingles
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
+    )
+    _guard_quadratic(
+        d.select("doc_id"),
+        "mcnemar_dedup_agreement",
+        "dedup_minhash_verified",
+        verification,
     )
     exact_docs = (
         d.groupBy(F.md5("text").alias("h"))
@@ -743,6 +761,25 @@ FROM mom CROSS JOIN top CROSS JOIN alarm
 # ---------------------------------------------------------------------------
 
 
+def _ab_z_case(div: str) -> str:
+    """Pooled two-proportion z_milli CASE over the STRIDED counts
+    sn_a/sn_b/sconv_a/sconv_b (shared between the Spark plan, div =
+    'div', and the DuckDB oracle, div = '//'), so the int64-headroom
+    stride is applied identically by both engines."""
+    return (
+        "CASE WHEN sconv_a + sconv_b = 0 OR sconv_a + sconv_b = sn_a + sn_b "
+        "OR sn_a = 0 OR sn_b = 0 "
+        "THEN CAST(0 AS BIGINT) ELSE "
+        "CAST(sign(sconv_b * sn_a - sconv_a * sn_b) AS BIGINT) * "
+        "CAST(FLOOR(SQRT(CAST("
+        f"((sconv_b * sn_a - sconv_a * sn_b) * (sn_a + sn_b) {div} sn_a)"
+        f" * (sconv_b * sn_a - sconv_a * sn_b) {div} sn_b"
+        f" * 1000000 {div} (sconv_a + sconv_b)"
+        f" {div} (sn_a + sn_b - sconv_a - sconv_b)"
+        " AS DOUBLE))) AS BIGINT) END"
+    )
+
+
 def ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(look, n_a, n_b, conv_a, conv_b, z_milli, bound_milli,
     cross_flag): a K=4 group-sequential two-proportion A/B readout.
@@ -757,9 +794,13 @@ def ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     division: t1 = num·N div n_a, t2 = t1·num div n_b, z²·1e6 =
     t2·1e6 div C div (N−C) with num = conv_b·n_a − conv_a·n_b;
     z_milli = sign(num)·isqrt. Int64 headroom: num·N ≲ 9e18 needs
-    N ≲ 3e6 users per look at worst-case imbalance — past that,
-    pre-divide counts by a common stride (documented, same posture as
-    kruskal's rank-sum bound). Boundaries: O'Brien–Fleming-shaped
+    N ≲ 3e6 users per look at worst-case imbalance — ENFORCED: all
+    four counts are pre-divided by stride s = 1 + N div
+    {AB_SEQ_STRIDE_N} before the z arithmetic (z is degree-0
+    homogeneous in the counts, so the strided z matches to ≤1 milli
+    wherever s > 1; s = 1 at fixture N, leaving small-N results
+    bit-exact). Reported counts stay raw; both engines apply the same
+    stride. Boundaries: O'Brien–Fleming-shaped
     z_k = z_K·√(K/k) milli literals {OBF_BOUNDS_MILLI}.
 
     Scale shape: one events scan → (user) groupBy → (bucket, arm)
@@ -810,16 +851,16 @@ def ab_sequential_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds_case = "CASE look " + " ".join(
         f"WHEN {k + 1} THEN {b}" for k, b in enumerate(OBF_BOUNDS_MILLI)
     ) + " END"
-    z_expr = (
-        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b "
-        "THEN CAST(0 AS BIGINT) ELSE "
-        "CAST(sign(conv_b * n_a - conv_a * n_b) AS BIGINT) * "
-        "CAST(FLOOR(SQRT(CAST("
-        "((conv_b * n_a - conv_a * n_b) * (n_a + n_b) div n_a)"
-        " * (conv_b * n_a - conv_a * n_b) div n_b"
-        " * 1000000 div (conv_a + conv_b)"
-        " div (n_a + n_b - conv_a - conv_b)"
-        " AS DOUBLE))) AS BIGINT) END"
+    z_expr = _ab_z_case("div")
+    cum = cum.select(
+        "*",
+        F.expr(f"1 + (n_a + n_b) div {AB_SEQ_STRIDE_N}").alias("s"),
+    ).select(
+        "*",
+        F.expr("n_a div s").alias("sn_a"),
+        F.expr("n_b div s").alias("sn_b"),
+        F.expr("conv_a div s").alias("sconv_a"),
+        F.expr("conv_b div s").alias("sconv_b"),
     )
     return (
         cum.select(
@@ -842,17 +883,7 @@ def _ab_seq_sql() -> str:
     bounds_case = "CASE look " + " ".join(
         f"WHEN {k + 1} THEN {b}" for k, b in enumerate(OBF_BOUNDS_MILLI)
     ) + " END"
-    z = (
-        "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b "
-        "THEN CAST(0 AS BIGINT) ELSE "
-        "CAST(sign(conv_b * n_a - conv_a * n_b) AS BIGINT) * "
-        "CAST(FLOOR(SQRT(CAST("
-        "((conv_b * n_a - conv_a * n_b) * (n_a + n_b) // n_a)"
-        " * (conv_b * n_a - conv_a * n_b) // n_b"
-        " * 1000000 // (conv_a + conv_b)"
-        " // (n_a + n_b - conv_a - conv_b)"
-        " AS DOUBLE))) AS BIGINT) END"
-    )
+    z = _ab_z_case("//")
     return f"""
 WITH per_user AS (
   SELECT user_id,
@@ -879,6 +910,13 @@ cum AS (
          SUM(CASE WHEN arm = 1 THEN c END) AS conv_b
   FROM looks l JOIN cell ON cell.bucket < l.look
   GROUP BY l.look
+),
+strided AS (
+  SELECT cum.*,
+         n_a // s AS sn_a, n_b // s AS sn_b,
+         conv_a // s AS sconv_a, conv_b // s AS sconv_b
+  FROM (SELECT cum.*, 1 + (n_a + n_b) // {AB_SEQ_STRIDE_N} AS s
+        FROM cum) cum
 )
 SELECT CAST(look AS BIGINT) AS look, CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b, CAST(conv_a AS BIGINT) AS conv_a,
@@ -886,7 +924,7 @@ SELECT CAST(look AS BIGINT) AS look, CAST(n_a AS BIGINT) AS n_a,
        {z} AS z_milli,
        CAST({bounds_case} AS BIGINT) AS bound_milli,
        abs({z}) > {bounds_case} AS cross_flag
-FROM cum ORDER BY look
+FROM strided ORDER BY look
 """
 
 

@@ -8,11 +8,15 @@ across micro-batches. The scale posture is the control-chart one:
   * the per-batch heavy lifting — rolling the micro-batch up to
     (day, revenue) — is a DISTRIBUTED groupBy inside ``foreachBatch``
     (the raw rows never funnel through one task);
-  * the fold state is O(1): (n, cum, m, min m, last_day) — five longs,
-    checkpointed as JSON next to the sink, so a later cycle resumes the
-    chart exactly where the previous one stopped;
-  * each processed day appends one (day, i, m_q, ph_q) trajectory row
-    to the parquet sink — the sink IS the control chart.
+  * the fold state is O(1): (n, cum, m, min m, last_day, batch_id) —
+    six scalars, checkpointed as JSON next to the sink, so a later
+    cycle resumes the chart exactly where the previous one stopped;
+  * each processed day emits one (day, i, m_q, ph_q) trajectory row to
+    the parquet sink — the sink IS the control chart. Rows land in a
+    per-batch partition dir written with overwrite, and the state file
+    records the last committed batch_id, so at-least-once batch replay
+    neither duplicates trajectory rows nor wedges on the day-order
+    contract (see apply_batch).
 
 Day-order contract: cycles deliver whole days strictly AFTER the
 state's last_day (the CDC-append semantics every control chart assumes
@@ -42,8 +46,17 @@ _STATE_FILE = "_ph_state.json"
 def _load_state(out_dir: str) -> dict:
     p = os.path.join(out_dir, _STATE_FILE)
     if os.path.exists(p):
-        return json.load(open(p))
-    return {"n": 0, "cum": 0, "m": 0, "minm": 0, "last_day": None}
+        st = json.load(open(p))
+        st.setdefault("batch_id", None)
+        return st
+    return {
+        "n": 0,
+        "cum": 0,
+        "m": 0,
+        "minm": 0,
+        "last_day": None,
+        "batch_id": None,
+    }
 
 
 def _save_state(out_dir: str, st: dict) -> None:
@@ -60,6 +73,18 @@ def run_ph_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
     stream = spark.readStream.schema(schema).parquet(src_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Structured Streaming delivers at-least-once: after a failure (or
+        # a lost checkpoint commit) the same batch replays. The fold is
+        # made idempotent two ways: (1) a batch whose id the state file
+        # already records is fully committed — skip it instead of tripping
+        # the day-order contract; (2) trajectory rows land in a
+        # per-batch partition dir written with overwrite, so a replay
+        # that re-folds from stale state (deterministically — availableNow
+        # re-delivers identical content) rewrites the same rows in place
+        # rather than appending duplicates.
+        st = _load_state(out_dir)
+        if st["batch_id"] is not None and batch_id <= st["batch_id"]:
+            return
         daily = (
             batch_df.select(
                 F.expr(
@@ -77,7 +102,6 @@ def run_ph_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
         )
         if not daily:
             return
-        st = _load_state(out_dir)
         if st["last_day"] is not None and daily[0]["day"] <= st["last_day"]:
             raise RuntimeError(
                 "page-hinkley stream: day order violated — batch starts at "
@@ -99,9 +123,10 @@ def run_ph_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
             )
         spark.createDataFrame(
             rows, "day long, i long, m_q long, ph_q long"
-        ).coalesce(1).write.mode("append").parquet(
-            os.path.join(out_dir, "trajectory")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "trajectory", f"batch_id={batch_id}")
         )
+        st["batch_id"] = batch_id
         _save_state(out_dir, st)
 
     q = (

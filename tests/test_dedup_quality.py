@@ -197,3 +197,22 @@ def test_ann_index_rejects_foreign_corpus(spark, sf_dir, tmp_path):
         S.ann_lsh_topk_from_index(spark, "/root/testdata/sf0.01", idx)
     # the matching corpus still loads fine
     assert S.ann_lsh_topk_from_index(spark, sf_dir, idx).count() > 0
+
+
+def test_quadratic_guard_covers_mcnemar(spark, sf_dir, monkeypatch):
+    """mcnemar_dedup_agreement's near side is the same shared-shingle
+    all-pairs join the baselines guard — it must carry the identical
+    pre-flight (VERDICT r15: docstring claimed the guard without
+    calling it)."""
+    import pytest
+
+    from oracledb_datapump_spark.exceptions import UsageError
+    from oracledb_datapump_spark.operators import pipeline72 as PL72
+
+    monkeypatch.setattr(D, "QUADRATIC_GUARD_MAX_ROWS", 10)
+    with pytest.raises(UsageError, match="mcnemar_dedup_agreement"):
+        PL72.mcnemar_dedup_agreement(spark, sf_dir)
+    assert (
+        PL72.mcnemar_dedup_agreement(spark, sf_dir, verification=True).count()
+        == 1
+    )
