@@ -174,3 +174,124 @@ FROM dh a JOIN dh b ON b.doc_id = a.doc_id + 1
 GROUP BY 1
 ORDER BY hamming
 """
+
+
+#: Hamming banding for NEAR-dup: 3 bands × 10 bits over the 30-bit
+#: dHash. Pigeonhole: any pair within Hamming ≤ 2 differs in at most 2
+#: bands, so it collides on at least one — banding is RECALL-COMPLETE
+#: at the verify threshold, exactly like minhash-LSH's band guarantee.
+DHASH_BANDS, DHASH_BAND_BITS = 3, 10
+#: verify threshold (bits) — the banding above is complete for ≤ 2.
+DHASH_HAMMING_T = 2
+#: hot-bucket cap (dedup.py's max_bucket_size posture): a band value
+#: shared by a mega-cluster of near-identical images would fan out
+#: quadratically; buckets larger than this are dropped from candidate
+#: generation (their members still pair through their OTHER bands
+#: unless those are equally hot — the standard LSH frequency-cap
+#: trade, applied identically in both engines).
+DHASH_BUCKET_CAP = 64
+
+
+def image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): perceptual NEAR-dup image pairs —
+    dHash Hamming distance ≤ {DHASH_HAMMING_T} — found by banded
+    bucket-join, never all-pairs: the 30-bit hash splits into
+    {DHASH_BANDS} bands of {DHASH_BAND_BITS} bits, candidates collide
+    on ≥ 1 band (pigeonhole-complete at the threshold), buckets above
+    {DHASH_BUCKET_CAP} members are frequency-capped, and only
+    candidates pay the popcount verify. This is the near-dup pass
+    image_dhash_groups documented as future work — the image twin of
+    dedup_minhash_verified's band→bucket→verify shape.
+
+    Scale shape: payload bytes never shuffle (one mapInPandas decode);
+    the band explode is 3 rows per image of (10-bit val, doc_id); the
+    bucket join is an integer-key shuffle bounded by the cap; verify
+    is one XOR+popcount per candidate."""
+    dh = _dhash_frame(spark, sf_dir)
+    bands = dh.select(
+        "doc_id",
+        "dhash_q",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.expr(
+                            f"(dhash_q >> {k * DHASH_BAND_BITS})"
+                            f" & {(1 << DHASH_BAND_BITS) - 1}"
+                        ).alias("val"),
+                    )
+                    for k in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "dhash_q", "bv.band", "bv.val")
+    sizes = bands.groupBy("band", "val").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    capped = bands.join(
+        sizes.filter(
+            (F.col("bn") > 1) & (F.col("bn") <= DHASH_BUCKET_CAP)
+        ),
+        ["band", "val"],
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash_q").alias("ha"),
+            F.col("b.dhash_q").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(ha ^ hb)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= DHASH_HAMMING_T)
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            "hamming",
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+IMAGE_DHASH_NEAR_SQL = f"""
+WITH {_DHASH_SQL_CTE.strip()},
+bands AS (
+  SELECT doc_id, dhash_q, k.i AS band,
+         (dhash_q >> (k.i * {DHASH_BAND_BITS}))
+           & {(1 << DHASH_BAND_BITS) - 1} AS val
+  FROM dh, UNNEST(range({DHASH_BANDS})) AS k(i)
+),
+sizes AS (
+  SELECT band, val, COUNT(*) AS bn FROM bands GROUP BY 1, 2
+),
+capped AS (
+  SELECT b.* FROM bands b
+  JOIN sizes s ON s.band = b.band AND s.val = b.val
+  WHERE s.bn > 1 AND s.bn <= {DHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.dhash_q AS ha, b.dhash_q AS hb
+  FROM capped a JOIN capped b
+    ON b.band = a.band AND b.val = a.val AND a.doc_id < b.doc_id
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {DHASH_HAMMING_T}
+ORDER BY doc_a, doc_b
+"""

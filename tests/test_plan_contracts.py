@@ -52,7 +52,16 @@ _MATERIALIZED = {
 # Every frame here is calendar-, bin-, vocab- or k-bounded — NOT fact-
 # or entity-sized. Audited round 15 (tools/scan_singlepart_windows.py).
 _SP_WINDOW_EXEMPT = {
+    "bh_fdr_nation_trend": (
+        2,
+        "25-row fixed nation family (BH rank ordering)",
+    ),
+    "cramer_von_mises_drift": (
+        3,
+        "daily series rank windows, <=|days| rows each",
+    ),
     "crosscorr_leadlag": (14, "daily series windows, <=|days| rows each"),
+    "durbin_watson_trend": (1, "daily series lag window, <=|days| rows"),
     "cumulative_gains_auc": (2, "10-row decile frame (cum gains + AUC)"),
     "embedding_dim_energy_curve": (1, "|dims| rows (<=64)"),
     "gini_gain_feature_rank": (1, "3 candidate features"),
