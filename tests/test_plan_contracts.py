@@ -44,6 +44,8 @@ _MATERIALIZED = {
     "incremental_export_cycles",
     "streaming_merge_apply",
     "streaming_page_hinkley",
+    "streaming_cusum_chart",
+    "kaplan_meier_survival",
     "streaming_scd2_enrich",
 }
 
@@ -79,6 +81,10 @@ _SP_WINDOW_EXEMPT = {
     ),
     "repurchase_hazard_table": (1, "week buckets"),
     "slo_burn_report": (1, "daily series"),
+    "sprt_conversion_monitor": (
+        1,
+        "accrual-day cumulative LLR, <=|days| rows",
+    ),
     "spearman_rho_daily": (2, "daily series (two rank windows)"),
     "ucb_allocation_plan": (1, "|arms| rows"),
     "unigram_lm_em_step": (
