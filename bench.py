@@ -274,6 +274,17 @@ EXCLUDED = {
     "sign_test_paired": "same events scan + (user) pre/post groupBy as wilcoxon_signed_rank (BENCHED family anchor); the sign reduce is 1 row",
     "image_dhash_hamming_curve": "same mapInPandas decode pass as image_dhash_groups (BENCHED family anchor); the consecutive-pair join and <=31-row histogram are hash-frame-sized",
     "streaming_page_hinkley": "two availableNow streaming cycles with staging/checkpoint setup dominate — lifecycle machinery, not a query plan; same posture as streaming_merge_apply (EXCLUDED)",
+    # round 16 (batches 74/75 + dHash near-dup + streaming CUSUM)
+    "page_trend_hour_bins": "same events scan + complete-block rank-window shape as friedman_event_type_ranks (BENCHED family anchor); only the treatment expression and the 1-row z reduce differ",
+    "cochran_armitage_priority": "one orders scan + a 5-row (priority) aggregate + 1-row z reduce — same scan-bound single-aggregate family as q6_forecast_revenue (benched)",
+    "mood_median_priority": "same distinct-value range-partitioned global-rank shape as kruskal_wallis_price (benched); the 2x5 chi-square runs on a 5-row frame",
+    "durbin_watson_trend": "orders scan + day groupBy dominate — same family as page_hinkley_drift (EXCLUDED; benched anchor orders_backlog_timeline); the residual/lag windows run over the <=|days| aggregate",
+    "cramer_von_mises_drift": "orders scan + day groupBy dominate — same daily-frame family as page_hinkley_drift (EXCLUDED; benched anchor orders_backlog_timeline); the three rank windows run over <=|days| rows",
+    "cochran_q_detectors": "dominant cost is the shared-shingle pair join, exercised via dedup_minhash_verified (benched) — same posture as mcnemar_dedup_agreement (EXCLUDED); adds one md5-prefix groupBy",
+    "image_dhash_near_pairs": "same mapInPandas decode pass as image_dhash_groups (BENCHED family anchor); the band explode, capped bucket join and popcount verify run on the 3n-row 2-column hash frame",
+    "sprt_conversion_monitor": "one events scan + per-user groupBy — same per-user rollup family as user_recency_weight (benched); the accrual cumsum and crossing reduce run over <=|days| rows",
+    "kaplan_meier_survival": "same customer-keyed lag-window shape as repeat_purchase_gaps (benched) and repurchase_hazard_table (EXCLUDED); the KM fold runs on the <=|weeks| aggregate",
+    "streaming_cusum_chart": "two availableNow streaming cycles with staging/checkpoint setup dominate — lifecycle machinery, not a query plan; same posture as streaming_page_hinkley (EXCLUDED)",
     "hash_bootstrap_ci": "one (day) groupBy then a bounded days x 32 explode + 32-row window — same day-rollup family as daily_volume_mad_outliers (EXCLUDED; scan benched via events_hourly_rollup)",
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
     "simpsons_reversal_scan": "one lineitem scan + <=|returnflags| groupBy + broadcast pooled moments — same scan-bound moments family as q1_pricing_summary (benched)",
@@ -286,6 +297,9 @@ EXCLUDED = {
 }
 
 HEADLINE = [
+    # batches 74/75 (round 16)
+    "friedman_event_type_ranks",
+    "bh_fdr_nation_trend",
     # multimodal 6 (round 15)
     "image_dhash_groups",
     # batch 73 (round 15)
