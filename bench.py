@@ -284,6 +284,7 @@ EXCLUDED = {
     "image_dhash_near_pairs": "same mapInPandas decode pass as image_dhash_groups (BENCHED family anchor); the band explode, capped bucket join and popcount verify run on the 3n-row 2-column hash frame",
     "sprt_conversion_monitor": "one events scan + per-user groupBy — same per-user rollup family as user_recency_weight (benched); the accrual cumsum and crossing reduce run over <=|days| rows",
     "kaplan_meier_survival": "same customer-keyed lag-window shape as repeat_purchase_gaps (benched) and repurchase_hazard_table (EXCLUDED); the KM fold runs on the <=|weeks| aggregate",
+    "anderson_darling_drift": "orders scan + day groupBy dominate — same daily-frame family as cramer_von_mises_drift (EXCLUDED; benched anchor orders_backlog_timeline); the pooled rank window runs over <=|days| rows",
     "streaming_cusum_chart": "two availableNow streaming cycles with staging/checkpoint setup dominate — lifecycle machinery, not a query plan; same posture as streaming_page_hinkley (EXCLUDED)",
     "hash_bootstrap_ci": "one (day) groupBy then a bounded days x 32 explode + 32-row window — same day-rollup family as daily_volume_mad_outliers (EXCLUDED; scan benched via events_hourly_rollup)",
     "wilson_ci_by_arm": "one (user) groupBy + 2-row arm aggregate + 2x2 verdict join — same keyed-agg shape as dau_wau_stickiness family (events scan benched via events_hourly_rollup)",
@@ -297,9 +298,10 @@ EXCLUDED = {
 }
 
 HEADLINE = [
-    # batches 74/75 (round 16)
+    # batches 74/75/76 (round 16)
     "friedman_event_type_ranks",
     "bh_fdr_nation_trend",
+    "permutation_test_arm_diff",
     # multimodal 6 (round 15)
     "image_dhash_groups",
     # batch 73 (round 15)

@@ -54,6 +54,10 @@ _MATERIALIZED = {
 # Every frame here is calendar-, bin-, vocab- or k-bounded — NOT fact-
 # or entity-sized. Audited round 15 (tools/scan_singlepart_windows.py).
 _SP_WINDOW_EXEMPT = {
+    "anderson_darling_drift": (
+        1,
+        "pooled daily-series rank window, <=|days| rows",
+    ),
     "bh_fdr_nation_trend": (
         2,
         "25-row fixed nation family (BH rank ordering)",
