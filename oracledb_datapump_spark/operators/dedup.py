@@ -228,6 +228,7 @@ def dedup_minhash_pairs(
     sf_dir: str,
     docs: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    sig_agg: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band signature
     (bands of {BAND_ROWS} rows over {NUM_HASHES} minhashes).
@@ -249,8 +250,21 @@ def dedup_minhash_pairs(
     still recall). Default None = exact candidates (the gated oracle
     semantics); the bucket-count pass is one extra partial-aggregated
     groupBy over the band stream, nothing at 100 TB next to the B²
-    pair explosion it prevents."""
-    agg = _shingles_multiset(spark, sf_dir, docs).groupBy("doc_id").agg(*_minhash_cols())
+    pair explosion it prevents.
+
+    ``sig_agg`` (r16, guide §2.4): a caller that also consumes the
+    per-doc minhash signature table (minhash_estimate_accuracy) can
+    build it once, checkpoint it, and pass it in instead of paying the
+    full tokenize+shingle+md5 signature pass twice. Must be exactly
+    the frame this function would build (doc_id, mh0..mh{NUM_HASHES-1});
+    default None keeps the self-contained plan."""
+    agg = (
+        sig_agg
+        if sig_agg is not None
+        else _shingles_multiset(spark, sf_dir, docs)
+        .groupBy("doc_id")
+        .agg(*_minhash_cols())
+    )
     band_sig = [
         F.md5(
             F.concat_ws(
@@ -983,16 +997,22 @@ def minhash_estimate_accuracy(
     |∩|·1e6 div |∪|, err = est − exact.
 
     Plan: the signature table is the same one partial-aggregated
-    groupBy the LSH path builds; matching-seed counts are row-local on
-    the joined pair; the exact side reuses the candidate-bounded
-    intersection join of dedup_minhash_verified. Nothing exceeds the
-    candidate set."""
-    cand = dedup_minhash_pairs(spark, sf_dir, docs).localCheckpoint(eager=True)
+    groupBy the LSH path builds — r16: built ONCE here, checkpointed,
+    and handed to the candidate generator via ``sig_agg`` (guide §2.4 —
+    the old plan paid the tokenize+shingle+md5 signature pass twice,
+    once inside dedup_minhash_pairs and once for the estimate side);
+    matching-seed counts are row-local on the joined pair; the exact
+    side reuses the candidate-bounded intersection join of
+    dedup_minhash_verified. Nothing exceeds the candidate set."""
     agg = (
         _shingles_multiset(spark, sf_dir, docs)
         .groupBy("doc_id")
         .agg(*_minhash_cols())
+        .localCheckpoint(eager=True)
     )
+    cand = dedup_minhash_pairs(
+        spark, sf_dir, docs, sig_agg=agg
+    ).localCheckpoint(eager=True)
     sa = agg.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_HASHES)],

@@ -103,17 +103,37 @@ def connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # convergence witness: labels only ever DECREASE toward the
+    # component min, so Σlabel (exact DECIMAL(38,0) — no overflow below
+    # 1e38, far past any node-id·|V| product) is strictly decreasing
+    # until, and constant at, the fixpoint. Comparing sums replaces the
+    # old per-round new⋈old join + count (one extra shuffle) with a
+    # map-side partial aggregate over the already-checkpointed frame
+    # (guide §2.4 — remove shuffles outright). Same termination round,
+    # bit-identical final labels.
+    _sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _sum(labels)
     for _ in range(CC_MAX_ITERS):
         nbr = (
             edges.join(labels, edges.src == labels.node)
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        cand = labels.join(nbr, labels.node == nbr.node2, "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce("nbr_min", F.col("label"))
-            ).alias("label"),
+        # cand feeds BOTH sides of the pointer-doubling join below;
+        # without this pin the edges⋈labels neighbor-min subtree (the
+        # round's expensive stage) executes twice per round (guide §5 —
+        # materialize exactly the reused intermediate)
+        cand = (
+            labels.join(nbr, labels.node == nbr.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
         )
         # pointer doubling: follow the label chain one hop (label of
         # label); labels only ever decrease toward the component min,
@@ -132,15 +152,11 @@ def connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = _sum(new_labels)
         labels = new_labels
-        if n_changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("component_size"))

@@ -115,6 +115,10 @@ def layout_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END"
         ).alias("qp"),
     )
+    # r16: pin the quantized base once — both layout branches (and the
+    # min/max broadcast inside each) used to re-derive it from the
+    # parquet scan (guide §2.4/§5); see pipeline33.hilbert_skip_compare
+    q = q.localCheckpoint(eager=True)
     date_lo = F.datediff(F.lit(LAYOUT_DATE_LO), F.lit("1992-01-01")).cast("long")
     date_hi = F.datediff(F.lit(LAYOUT_DATE_HI), F.lit("1992-01-01")).cast("long")
 
@@ -133,13 +137,17 @@ def layout_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p",
             F.expr(f"(rk - 1) div {LAYOUT_GROUP_ROWS}").alias("grp"),
         )
+        # r16: pin the zone maps — each of the three workload arms
+        # otherwise re-evaluates the per-partition rank window over the
+        # full range partitioning (3 sorts per layout since the r14
+        # global_order refactor); zones is ⌈n/GROUP_ROWS⌉ rows
         zones = grouped.groupBy("grp").agg(
             F.min("d").alias("dlo"),
             F.max("d").alias("dhi"),
             F.min("p").alias("plo"),
             F.max("p").alias("phi"),
             F.count(F.lit(1)).alias("n_rows"),
-        )
+        ).localCheckpoint(eager=True)
         date_hit = ~((F.col("dhi") < date_lo) | (F.col("dlo") > date_hi))
         part_hit = ~(
             (F.col("phi") < F.lit(LAYOUT_PART_LO))

@@ -47,6 +47,15 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.lower(F.col("text")).alias("t")
     )
+    # r16 note: a row-local rewrite (sliding min via
+    # array_min(slice(h_arr, i+1, W)) inside the gram array, per-doc
+    # dedup via array_distinct — removing the per-doc window shuffle
+    # AND the fps.distinct() exchange) was A/B-measured same-JVM at
+    # sf0.1 and REJECTED: 7.18 s → 17.76 s median (2.5×). The n
+    # per-position slice() calls each allocate a fresh array and the
+    # nested higher-order functions evaluate interpreted, which costs
+    # far more than the one gram-stream exchange it saves. The window
+    # formulation below stands (OPTIMIZATION_r16.md).
     grams = docs.select(
         "doc_id",
         F.posexplode(

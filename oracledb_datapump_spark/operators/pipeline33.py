@@ -134,6 +134,10 @@ def hilbert_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0 END"
         ).alias("qp"),
     )
+    # r16: pin the quantized base ONCE — both layout branches (and the
+    # min/max broadcast inside each) used to re-derive it from the
+    # parquet scan, costing four lineitem scans per run (guide §2.4/§5)
+    q = q.localCheckpoint(eager=True)
     date_lo = F.datediff(F.lit(LAYOUT_DATE_LO), F.lit("1992-01-01")).cast("long")
     date_hi = F.datediff(F.lit(LAYOUT_DATE_HI), F.lit("1992-01-01")).cast("long")
 
@@ -159,15 +163,16 @@ def hilbert_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("p").alias("phi"),
                 F.count(F.lit(1)).alias("n_rows"),
             )
+            # r16: the r11 A/B that left zones lazy predates the
+            # global_order refactor — since r14 each workload arm
+            # re-evaluates the per-partition rank WINDOW over the full
+            # checkpointed range partitioning, so the 3 arms paid the
+            # 600k-row sort 3× per layout. zones is ⌈n/GROUP_ROWS⌉ rows
+            # (model-scale); pinning it makes the arms trivial
+            # (guide §5 — materialize exactly the reused intermediate).
+            # Isolated A/B at sf0.1 in OPTIMIZATION_r16.md.
+            .localCheckpoint(eager=True)
         )
-        # Measured (r11, same-JVM A/B at sf0.1, 2 rounds each): leaving
-        # zones LAZY wins. localCheckpoint(eager) on zones = 14.2s vs
-        # 13.2s; collapsing the three workload aggregates into one pass
-        # + stack-unpivot = 13.8s vs 12.8s. The three branches re-derive
-        # the zones groupBy from the checkpointed ranked table, but they
-        # run as independent parallel stages that saturate the cores;
-        # both "economies" serialize that. The wall time is the two
-        # global range sorts — the honest re-cluster price.
         date_hit = ~((F.col("dhi") < date_lo) | (F.col("dlo") > date_hi))
         part_hit = ~(
             (F.col("phi") < F.lit(LAYOUT_PART_LO))

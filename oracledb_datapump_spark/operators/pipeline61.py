@@ -434,12 +434,28 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free broadcast anti-join against the covered set (bounded:
     ≤ steps·shingles-per-doc rows — model-state, not data-sized) plus
     one groupBy(doc_id). k rounds = k bounded passes, never a pair
-    join; the only collect is the 1-row argmax per round."""
+    join; the only collect is the 1-row argmax per round.
+
+    r16 optimization (guide §5 — materialize only what is reused; §2.4):
+    the loop used to localCheckpoint the ENTIRE remaining shingle table
+    every round (k full materializations of a fact-sized frame whose
+    only purpose was to carry the shrinking set forward). The covered
+    set is model-state (≤ steps·shingles-per-doc), so each round now
+    anti-joins the ONE checkpointed base table against a broadcast of
+    the accumulated covered shingles instead — identical remaining set,
+    zero per-round materialization, lineage depth constant at one
+    broadcast anti-join."""
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     covered: list[str] = []
     chosen: list[tuple[int, int, int, int]] = []
-    remaining = sh
     for step in range(1, COVERAGE_STEPS + 1):
+        if covered:
+            cov_df = spark.createDataFrame(
+                [(s,) for s in covered], "shingle string"
+            )
+            remaining = sh.join(F.broadcast(cov_df), "shingle", "left_anti")
+        else:
+            remaining = sh
         gains = (
             remaining.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("gain"))
@@ -458,12 +474,6 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         covered.extend(new_sh)
         chosen.append((step, doc_id, gain, len(covered)))
-        cov_df = spark.createDataFrame(
-            [(s,) for s in new_sh], "shingle string"
-        )
-        remaining = remaining.join(
-            F.broadcast(cov_df), "shingle", "left_anti"
-        ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         chosen, "step long, doc_id long, gain long, covered_cum long"
     ).orderBy("step")

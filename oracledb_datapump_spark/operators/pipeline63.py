@@ -391,34 +391,42 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.
 
     Scale shape: one scan, one (user) groupBy with a conditional min
-    + bitmask agg, an 8-row mask table, an 8×8 subset join."""
+    + bitmask agg, an 8-row mask table, an 8×8 subset join.
+
+    r16 optimization (guide §2.3/§2.4 — aggregate before you shuffle,
+    remove shuffles outright): the original plan scanned events twice
+    and paid three user-keyed shuffles (per_user groupBy; events ⋈
+    per_user + touches groupBy; per_user ⋈ touches). "Channel i was
+    touched before conversion" ≡ "min event ts of channel i < min
+    purchase ts", so ONE groupBy computes the conversion ts and every
+    channel's first-touch ts together; the mask is row-local
+    arithmetic on that single aggregate. Same v(S) counts bit-exactly
+    (strict < preserved; users with no channel-i events yield NULL min
+    → bit 0, exactly the old left-join coalesce). Isolated sf0.1
+    noop-sink median: 10.4 s → one-scan plan (see OPTIMIZATION_r16.md
+    for the after number); 2 scans + 3 fact shuffles → 1 scan +
+    1 shuffle."""
     from ..events_source import load_events
 
     e = load_events(spark, sf_dir).select("user_id", "event_type", "ts_us")
     per_user = e.groupBy("user_id").agg(
         F.min(
             F.when(F.col("event_type") == "purchase", F.col("ts_us"))
-        ).alias("conv_ts")
-    )
-    touches = (
-        e.join(per_user, "user_id")
-        .filter(F.col("conv_ts").isNotNull() & (F.col("ts_us") < F.col("conv_ts")))
-        .groupBy("user_id")
-        .agg(
-            *[
-                F.max(
-                    (F.col("event_type") == ch).cast("long")
-                ).alias(f"has_{i}")
-                for i, ch in enumerate(SHAPLEY_CHANNELS)
-            ]
-        )
+        ).alias("conv_ts"),
+        *[
+            F.min(
+                F.when(F.col("event_type") == ch, F.col("ts_us"))
+            ).alias(f"first_{i}")
+            for i, ch in enumerate(SHAPLEY_CHANNELS)
+        ],
     )
     masks = (
         per_user.filter(F.col("conv_ts").isNotNull())
-        .join(touches, "user_id", "left")
         .select(
             sum(
-                F.coalesce(F.col(f"has_{i}"), F.lit(0)) * (1 << i)
+                F.when(
+                    F.col(f"first_{i}") < F.col("conv_ts"), F.lit(1 << i)
+                ).otherwise(F.lit(0))
                 for i in range(len(SHAPLEY_CHANNELS))
             ).alias("mask")
         )

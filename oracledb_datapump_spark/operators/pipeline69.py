@@ -318,28 +318,52 @@ def hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     component join — at 100 TB restrict the pair side to IVF/LSH
     candidates (the documented guarded-quadratic posture); everything
     after the top-{HUB_K} window is histogram-sized."""
-    # pair stage: broadcast crossJoin + ROW-LOCAL zip_with dot — n²
-    # rows each folding 64 ints in place. The (vec, dim) component
-    # join alternative shuffles n²·d intermediate rows (measured 33.7 s
-    # vs ~4 s at sf0.1); the oracle keeps the component-join form
-    # (DuckDB's optimizer prefers it at gate scale).
-    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    # pair stage: broadcast crossJoin + ROW-LOCAL dot — n² rows. The
+    # (vec, dim) component join alternative shuffles n²·d intermediate
+    # rows (measured 33.7 s vs ~4 s at sf0.1); the oracle keeps the
+    # component-join form (DuckDB's optimizer prefers it at gate scale).
+    # r16 (guide §4.2 spirit, JVM edition): the dot used to be
+    # aggregate(zip_with(qa, qb, *)) — every one of the n² output rows
+    # allocated a fresh d-element array (plus the two carried array
+    # columns), and the interpreted higher-order-function eval + GC
+    # churn dominated the stage (15.5 s of GC in one bench run on the
+    # r16 host). The embedding width is a fixture constant (one-row
+    # probe, model-state), so the quantized components unroll into d
+    # flat long columns and the dot becomes a straight-line codegen'd
+    # multiply-add with zero per-row allocation. Same integer sum,
+    # bit-identical cos_q.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_dims = len(emb.select("embedding").head()["embedding"])
+    vecs = emb.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> "
             f"CAST(floor(CAST(x AS DOUBLE) * {HUB_QUANT}) AS BIGINT))"
         ).alias("q"),
-    ).withColumn(
-        "na", F.expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)")
+    ).select(
+        "vec_id",
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+        ).alias("na"),
+        *[F.element_at("q", i + 1).alias(f"c{i}") for i in range(n_dims)],
     ).localCheckpoint(eager=True)
     # the stream side is only |vecs| rows — repartition it so the n²
     # row-local fold parallelizes (a 2k-row stream side otherwise runs
     # the whole 4M-row nested loop on one or two cores)
     a = vecs.repartition(32).select(
-        F.col("vec_id").alias("va"), F.col("q").alias("qa"), F.col("na").alias("nna")
+        F.col("vec_id").alias("va"),
+        F.col("na").alias("nna"),
+        *[F.col(f"c{i}").alias(f"ca{i}") for i in range(n_dims)],
     )
     b = vecs.select(
-        F.col("vec_id").alias("vb"), F.col("q").alias("qb"), F.col("na").alias("nnb")
+        F.col("vec_id").alias("vb"),
+        F.col("na").alias("nnb"),
+        *[F.col(f"c{i}").alias(f"cb{i}") for i in range(n_dims)],
+    )
+    dot_expr = sum(
+        F.col(f"ca{i}") * F.col(f"cb{i}") for i in range(n_dims)
     )
     cos = (
         a.crossJoin(F.broadcast(b))
@@ -347,10 +371,7 @@ def hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "va",
             "vb",
-            F.expr(
-                "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
-                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-            ).alias("dot"),
+            dot_expr.alias("dot"),
             "nna",
             "nnb",
         )

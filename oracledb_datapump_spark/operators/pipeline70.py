@@ -134,8 +134,15 @@ def rich_club_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualify). Monotone-rising φ(t) = the hubs form an elite core.
 
     Scale shape: the edge list and degree table are the shared graph
-    aggregates; each threshold is one broadcast semijoin filter + a
-    1-row count — ×|thresholds| bounded arms."""
+    aggregates; every threshold arm rides ONE conditional aggregation.
+
+    r16 optimization (guide §2.4 / §1.2 — don't run |thresholds|
+    separate jobs over the same frame): the old loop launched two count
+    jobs per threshold (2·|T| passes over the edge list). The degrees
+    attach once via two broadcast joins; all e_rich_t then fall out of
+    a single conditional-sum pass, and all n_rich_t of one pass over
+    the |V|-row degree table. Counts — and therefore φ — are
+    bit-identical."""
     from .graph import _co_supplier_edges
 
     edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
@@ -146,28 +153,41 @@ def rich_club_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint(eager=True)
     )
-    out = None
-    for t in RICH_THRESHOLDS:
-        rich = deg.filter(F.col("d") > t).select("n")
-        n_rich = rich.count()
-        e_rich = (
-            edges.join(
-                F.broadcast(rich.withColumnRenamed("n", "u")), "u"
-            )
-            .join(F.broadcast(rich.withColumnRenamed("n", "v")), "v")
-            .count()
+    n_row = deg.agg(
+        *[
+            F.sum(F.when(F.col("d") > t, 1).otherwise(0)).alias(f"n_{t}")
+            for t in RICH_THRESHOLDS
+        ]
+    ).collect()[0]
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    e_row = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            *[
+                F.sum(
+                    F.when((F.col("du") > t) & (F.col("dv") > t), 1).otherwise(0)
+                ).alias(f"e_{t}")
+                for t in RICH_THRESHOLDS
+            ]
         )
+        .collect()[0]
+    )
+    rows = []
+    for t in RICH_THRESHOLDS:
+        n_rich = int(n_row[f"n_{t}"] or 0)
+        e_rich = int(e_row[f"e_{t}"] or 0)
         phi = (
             2 * e_rich * 1_000_000 // (n_rich * (n_rich - 1))
             if n_rich >= 2
             else 0
         )
-        row = spark.createDataFrame(
-            [(t, n_rich, e_rich, phi)],
-            "deg_threshold long, n_rich long, e_rich long, phi_ppm long",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("deg_threshold")
+        rows.append((t, n_rich, e_rich, phi))
+    return spark.createDataFrame(
+        rows,
+        "deg_threshold long, n_rich long, e_rich long, phi_ppm long",
+    ).orderBy("deg_threshold")
 
 
 def _rich_sql() -> str:
@@ -229,13 +249,20 @@ def rbo_ranker_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot see.
 
     Scale shape: rides the two benched inverted-index searches; the
-    overlap join is |queries|·k rows, the lookup a 5-way CASE."""
-    from .sparse_text import bm25_search_topk, tfidf_search_topk
+    overlap join is |queries|·k rows, the lookup a 5-way CASE.
 
-    bm = bm25_search_topk(spark, sf_dir).select(
+    r16 (guide §2.4): both searches consume the identical
+    (doc, tok, tf) table — build it once, checkpoint it, and hand it
+    to both scorers; each search's own plan (and its gated results)
+    are untouched, this op just stops tokenizing the corpus twice."""
+    from .sparse_text import _tf_table, bm25_search_topk, tfidf_search_topk
+
+    tf_shared = _tf_table(spark, sf_dir).localCheckpoint(eager=True)
+
+    bm = bm25_search_topk(spark, sf_dir, tf=tf_shared).select(
         F.col("query_doc"), F.col("match_doc"), F.col("rank").alias("ra")
     )
-    tf = tfidf_search_topk(spark, sf_dir).select(
+    tf = tfidf_search_topk(spark, sf_dir, tf=tf_shared).select(
         F.col("query_doc"), F.col("match_doc"), F.col("rank").alias("rb")
     )
     lookup = "CASE greatest(ra, rb) " + " ".join(

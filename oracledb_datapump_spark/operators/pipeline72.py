@@ -398,8 +398,12 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     is data-size-independent.
 
     Scale shape: day aggregate → broadcast nested-loop pair stage →
-    one range-partitioned rank → a 1-row probe."""
-    d = _daily(spark, sf_dir)
+    one range-partitioned rank → a 1-row probe.
+
+    r16: the day frame is pinned once — it previously re-ran the
+    orders scan + groupBy three times (pair left side, broadcast right
+    side, n_days count; guide §5 — the frame is ≤|days| rows)."""
+    d = _daily(spark, sf_dir).localCheckpoint(eager=True)
     a, b = d.alias("a"), d.alias("b")
     pairs = a.join(F.broadcast(b), F.col("a.day") < F.col("b.day")).select(
         F.expr("(b.x - a.x) * 1000000 div (b.day - a.day)").alias(

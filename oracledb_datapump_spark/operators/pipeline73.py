@@ -366,7 +366,11 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned rank cost data-size-independent.
 
     Scale shape: orders scan → day groupBy → BNL pair stage over the
-    day aggregate → one range-partitioned rank → a 1-row probe."""
+    day aggregate → one range-partitioned rank → a 1-row probe.
+
+    r16: the day frame is pinned once — it previously re-ran the
+    orders scan + groupBy five times (bounds agg, era-1 side, era-2
+    broadcast, and the two era counts; guide §5 — ≤|days| rows)."""
     daily = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select(
@@ -377,6 +381,7 @@ def hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("day")
         .agg(F.sum("rc").alias("x"))
+        .localCheckpoint(eager=True)
     )
     bounds = daily.agg(
         F.expr("(min(day) + max(day) + 1) div 2").alias("mid")

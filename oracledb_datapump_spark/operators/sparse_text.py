@@ -159,8 +159,25 @@ ORDER BY p.doc_id
 # ---------------------------------------------------------------------------
 
 
+def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, tf) term frequencies — the shared first stage of
+    both inverted-index searches. Factored (r16) so a composite
+    consumer (rbo_ranker_overlap) can build it once, checkpoint it,
+    and hand it to both scorers instead of paying the tokenize +
+    groupBy pass twice (guide §2.4)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tfidf_search_topk(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(query_doc, match_doc, rank, sim_q): TF-IDF cosine top-{TFIDF_TOP_K}
     corpus matches for each query document (doc_id < {TFIDF_N_QUERIES}),
@@ -191,11 +208,8 @@ def tfidf_search_topk(
     d = _docs(spark, sf_dir)
     # corpus size as a one-row broadcast (no driver-side .first() read)
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
-    tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    if tf is None:
+        tf = _tf_table(spark, sf_dir)
     df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         df_tbl = df_tbl.filter(F.col("df") <= max_df)
@@ -322,7 +336,10 @@ BM25_SCALE = 1000  # per-term scores quantized to thousandths
 
 
 def bm25_search_topk(
-    spark: SparkSession, sf_dir: str, max_df: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_df: int | None = None,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """(query_doc, match_doc, rank, score_q): Okapi BM25 top-{BM25_TOP_K}
     corpus matches per query document (doc_id < {TFIDF_N_QUERIES}),
@@ -354,13 +371,8 @@ def bm25_search_topk(
     and a window over the |queries|×matches result for top-k. ``max_df``
     prunes stopword-frequency postings exactly as in tfidf (off in the
     gated oracle: the synthetic vocab-30 corpus is all-stopword)."""
-    d = _docs(spark, sf_dir)
-    tf = (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if tf is None:
+        tf = _tf_table(spark, sf_dir).localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_toks")
