@@ -128,6 +128,44 @@ def _shingles(
     )
 
 
+def shingle_pair_intersections(
+    sh: DataFrame, max_docs: int | None = None
+) -> DataFrame:
+    """(d1, d2, inter) with d1 < d2: shared-shingle counts per doc pair,
+    the exact-Jaccard numerator every truth-set consumer divides.
+
+    r16 (guide §2.4): one groupBy(shingle)/collect_list builds the
+    per-shingle posting list, pairs expand ROW-LOCALLY from the sorted
+    list (posexplode + slice keeps the per-row allocation at one
+    suffix, never the full pair array), and the pair groupBy partial-
+    aggregates map-side. The old formulation self-joined the shingle
+    stream on the shingle key — the same pair multiset, but two
+    exchanges + two SMJ sorts of the full stream, and (worse) the
+    whole tokenize→shingle lineage executed once per join side. The
+    per-shingle fan-out is identical to the join's — this helper does
+    not change the guarded-quadratic posture of its callers, only the
+    constant in front of it.
+
+    ``max_docs`` applies a posting-list frequency cap (drop shingles in
+    more than max_docs documents) — equivalent to the pre-join
+    stop-gram filter the capped callers used, for free off the list
+    size instead of a second groupBy + join."""
+    lists = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    if max_docs is not None:
+        lists = lists.filter(F.size("ds") <= max_docs)
+    return (
+        lists.select(F.posexplode("ds").alias("i", "d1"), "ds")
+        .select(
+            "d1",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("d2"),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 SQL_SHINGLES_CTE = f"""
 toklists AS (
   SELECT doc_id,
@@ -485,20 +523,25 @@ def dedup_minhash_verified(
     # materialization the whole LSH candidate pipeline would execute
     # twice (observed: +65% on this query and every curated_corpus arm)
     cand = dedup_minhash_pairs(spark, sf_dir, docs).localCheckpoint(eager=True)
-    sh = _shingles(spark, sf_dir, docs)
-    # restrict the per-doc size table to docs in the candidate set BEFORE
-    # broadcasting: the full table is |corpus|-sized (unbroadcastable at
-    # 100 TB); the filtered one is bounded by 2·|candidates|
+    # restrict to docs in the candidate set BEFORE shingling (r16,
+    # guide §1.2): the verify stage's shingle table used to be built
+    # over the FULL corpus in three separate subtrees (sizes + both
+    # probes), each re-running tokenize→shingle end to end; the
+    # candidate-doc semi-join commutes with the row-local shingling, so
+    # shingle only the candidate docs, once, pinned. The size table is
+    # candidate-restricted for the same reason it always was: the full
+    # table is |corpus|-sized (unbroadcastable at 100 TB); the filtered
+    # one is bounded by 2·|candidates|.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sizes = (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(cand_docs), "doc_id", "semi")
+    cand_src = _docs(spark, sf_dir, docs).join(
+        F.broadcast(cand_docs), "doc_id", "semi"
     )
+    sh = _shingles(spark, sf_dir, cand_src).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (

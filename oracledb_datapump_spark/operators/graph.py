@@ -156,20 +156,28 @@ TRI_TOPK = 20
 
 def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-supplier edges (a < b): supplier pairs that appear
-    in at least TRI_MIN_CO_ORDERS common orders. The pair stream is one
-    self-join of lineitem on orderkey (bounded fan-out: items per order
-    is small and fixed) followed by a partial-aggregated groupBy."""
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", F.col("l_suppkey").cast("long").alias("sk")
-    ).distinct()
-    a, b = l.alias("a"), l.alias("b")
+    in at least TRI_MIN_CO_ORDERS common orders.
+
+    r16 (guide §2.4): the pair stream is generated row-locally from one
+    groupBy(orderkey)/collect_set — items per order is small and fixed,
+    so each order's sorted supplier set expands to its < pairs inside
+    the same stage — then one partial-aggregated pair groupBy. The old
+    lineitem self-join on orderkey needed two exchanges of the distinct
+    (orderkey, sk) stream plus both SMJ sorts for the same pair
+    multiset; counts per (u, v) are identical either way."""
+    per_order = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", F.col("l_suppkey").cast("long").alias("sk"))
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("sk")).alias("sks"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.sk") < F.col("b.sk")),
+        per_order.select(F.posexplode("sks").alias("i", "u"), "sks")
+        .select(
+            "u",
+            F.explode(F.expr("slice(sks, i + 2, size(sks))")).alias("v"),
         )
-        .groupBy(F.col("a.sk").alias("u"), F.col("b.sk").alias("v"))
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= TRI_MIN_CO_ORDERS)
         .select("u", "v")
@@ -223,6 +231,18 @@ def _tri_graph(spark: SparkSession, sf_dir: str):
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
     ).localCheckpoint(eager=True)
+    # r16 note: an adjacency-array rewrite (attach N+(s)/N+(t) arrays to
+    # each oriented edge, close triangles row-locally via
+    # array_intersect so the Σ outdeg² wedge stream never crosses an
+    # exchange) was A/B-measured same-JVM at sf0.1 and REJECTED:
+    # clustering_coefficient_topk 10.1 s → 14.4 s (1.43×),
+    # triangle_participation 11.8 s → 13.5 s (1.15×). On this
+    # near-complete graph the per-edge hash-set build/probe inside
+    # array_intersect (~2·outdeg ops) plus duplicating one fat
+    # adjacency array per edge through the second join's exchange cost
+    # more than the wedge SMJ it removed — AQE already plans the small
+    # post-shuffle edge side of the closing join efficiently. The wedge
+    # formulation below stands (OPTIMIZATION_r16.md).
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tris = (
         e1.join(

@@ -118,8 +118,9 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
-        import struct
         import wave
+
+        import numpy as np
 
         for pdf in batches:
             rows = []
@@ -128,15 +129,21 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rate = w.getframerate()
                     n = w.getnframes()
                     assert w.getnchannels() == 1 and w.getsampwidth() == 2
-                    samples = struct.unpack(f"<{n}h", w.readframes(n))
-                sum_sq = sum(s * s for s in samples)
+                    frames = w.readframes(n)
+                # r16 (guide §4.2): vectorize the per-sample loops —
+                # the old pure-Python sum(s*s)/max(abs(s)) walked every
+                # sample in the interpreter. int64 accumulation is
+                # exact (n·32767² stays far inside int64), so sum_sq,
+                # peak and the isqrt formula are bit-identical.
+                a = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                sum_sq = int(np.dot(a, a))
                 rows.append(
                     (
                         int(doc_id),
                         rate,
                         n,
                         n * 1000 // rate,
-                        max(abs(s) for s in samples),
+                        int(np.abs(a).max()),
                         int(math.floor(math.sqrt(sum_sq // n))),
                     )
                 )

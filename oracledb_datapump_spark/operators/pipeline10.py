@@ -66,17 +66,19 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ppm (bigint div — bit-identical to DuckDB ``//`` on the
     all-positive operands)."""
     cand = dedup_minhash_pairs(spark, sf_dir).localCheckpoint(eager=True)
-    sh = _shingles(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sizes = (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(F.broadcast(cand_docs), "doc_id", "semi")
+    # r16 (guide §1.2): shingle only the candidate docs, once, pinned —
+    # the semi-join commutes with row-local shingling; the old order
+    # tokenized the whole corpus in three subtrees (sizes + both probes)
+    cand_src = spark.read.parquet(f"{sf_dir}/documents.parquet").join(
+        F.broadcast(cand_docs), "doc_id", "semi"
     )
+    sh = _shingles(spark, sf_dir, cand_src).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_doc_b2"), F.col("shingle").alias("sh_b"))
     inter = (

@@ -248,7 +248,19 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     meet (the LSH trick applied to hamming space), then the exact
     hamming filter ≤{AGREE_HAM_MAX} keeps real neighbors. Same
     band-join scale story as MinHash LSH: no all-pairs product ever."""
-    s = D.simhash_fingerprints(spark, sf_dir).select("doc_id", "simhash")
+    # r16 (guide §2.4): the fingerprint table is pinned once (the old
+    # band self-join re-ran the whole tokenize→simhash lineage per join
+    # side), candidates expand row-locally from per-(band, key) posting
+    # lists — one groupBy exchange instead of two join exchanges + SMJ
+    # sorts — and the exact hamming filter runs BEFORE the pair
+    # distinct, so only real neighbors reach that exchange. Same pair
+    # set: hamming is a function of the pair, so filter and distinct
+    # commute.
+    s = (
+        D.simhash_fingerprints(spark, sf_dir)
+        .select("doc_id", "simhash")
+        .localCheckpoint(eager=True)
+    )
     n_bands = D.SIMHASH_BITS // AGREE_BAND_BITS
     mask = (1 << AGREE_BAND_BITS) - 1
     banded = s.select(
@@ -268,25 +280,25 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    lists = banded.groupBy("band", "key").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "simhash"))
+        ).alias("ds")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        lists.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select(
+            "a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("b"),
+        )
+        .filter(
+            F.expr(f"bit_count(a.simhash ^ b.simhash) <= {AGREE_HAM_MAX}")
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr(
-                "CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"
-            ).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= AGREE_HAM_MAX)
-        .select("doc_a", "doc_b")
     )
 
 

@@ -61,7 +61,15 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic ((pct·n + 99) div 100) in both engines."""
     from .dedup import _shingles
 
-    dt = _shingles(spark, sf_dir).withColumnRenamed("shingle", "tok")
+    # r16: pin the shingle table once — it feeds FIVE subtrees (ranked,
+    # sizes, document frequencies, and both verify probes), and without
+    # the pin each one re-ran the full tokenize→shingle lineage
+    # (guide §1.2: don't compute things five times).
+    dt = (
+        _shingles(spark, sf_dir)
+        .withColumnRenamed("shingle", "tok")
+        .localCheckpoint(eager=True)
+    )
     sizes = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     df_tok = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (

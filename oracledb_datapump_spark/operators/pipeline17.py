@@ -301,21 +301,28 @@ def trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = ranked.join(F.broadcast(bounds), "brand").withColumn(
         "rk", F.col("grk") - F.col("base") + 1
     )
+    # r16 (guide §2.4): the trimmed and full aggregates are ONE
+    # conditional-agg pass — k and n ride every row off the broadcast
+    # bounds join, so the in-trim predicate is row-local and the old
+    # second groupBy (a second full pass + exchange over the fact-sized
+    # ranked stream) folds away. Values are bit-identical: same rows,
+    # same integer sums.
     k = F.expr(f"n div {TRIM_PCT}")
-    trimmed = r.filter((F.col("rk") > k) & (F.col("rk") <= F.col("n") - k))
-    tstats = trimmed.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("long").alias("n_trimmed"),
-        F.sum("pc").cast("long").alias("trimmed_sum_cents"),
-    )
-    full = r.groupBy("brand").agg(
+    in_trim = (F.col("rk") > k) & (F.col("rk") <= F.col("n") - k)
+    stats = r.groupBy("brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         F.expr("sum(pc) * 10 div count(1)").cast("long").alias(
             "mean_milli_cents"
         ),
+        F.sum(F.when(in_trim, 1).otherwise(0)).cast("long").alias(
+            "n_trimmed"
+        ),
+        F.sum(F.when(in_trim, F.col("pc")).otherwise(0)).cast("long").alias(
+            "trimmed_sum_cents"
+        ),
     )
     return (
-        full.join(tstats, "brand")
-        .select(
+        stats.select(
             "brand",
             "n_items",
             "n_trimmed",

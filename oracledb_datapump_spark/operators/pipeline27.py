@@ -69,29 +69,28 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "h"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    # r16: pin the fingerprint table once — it used to feed the
+    # stop-gram count AND the pair join as separate subtrees, so the
+    # gram explode + per-doc window ran twice. The pair stage is the
+    # shared posting-list expansion (guide §2.4) with the {WINNOW_CAP}
+    # frequency cap applied off the list size — one exchange where the
+    # old capped-join formulation took three.
+    from .dedup import shingle_pair_intersections
+
     fps = (
         grams.select("doc_id", F.min("h").over(w).alias("fp"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    capped = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .filter(F.col("ndocs") <= WINNOW_CAP)
-        .select("fp")
-    )
-    ff = fps.join(capped, "fp")
-    a = ff.alias("a")
-    b = ff.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        shingle_pair_intersections(
+            fps.withColumnRenamed("fp", "shingle"), max_docs=WINNOW_CAP
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .select(
+            F.col("d1").alias("doc_a"),
+            F.col("d2").alias("doc_b"),
+            F.col("inter").cast("long").alias("shared_fps"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
         .orderBy("doc_a", "doc_b")
     )

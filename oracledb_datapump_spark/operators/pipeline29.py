@@ -61,7 +61,9 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     bands = agg.select(
         "doc_id", F.posexplode(F.array(*band_sig)).alias("band", "sig")
-    )
+        # r16: pinned — the new/old band sides are separate subtrees and
+        # each used to re-run the full shingle→16-hash minhash agg
+    ).localCheckpoint(eager=True)
     new_b = bands.filter(F.col("doc_id") % 10 == 0).alias("a")
     old_b = bands.filter(F.col("doc_id") % 10 != 0).alias("b")
     cand = (
@@ -78,18 +80,20 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # referenced twice below (intersection join + size semi-filter)
         .localCheckpoint(eager=True)
     )
-    sh = _shingles(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("new_doc").alias("doc_id"))
         .union(cand.select(F.col("old_doc").alias("doc_id")))
         .distinct()
     )
-    sizes = (
-        sh.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        # bounded by 2·|candidates|, not |corpus| — broadcastable
-        .join(F.broadcast(cand_docs), "doc_id", "semi")
+    # r16 (guide §1.2): shingle only the candidate docs, once, pinned —
+    # the semi-join commutes with row-local shingling; the old order
+    # tokenized the whole corpus in three subtrees (sizes + both probes)
+    cand_src = spark.read.parquet(f"{sf_dir}/documents.parquet").join(
+        F.broadcast(cand_docs), "doc_id", "semi"
     )
+    sh = _shingles(spark, sf_dir, cand_src).localCheckpoint(eager=True)
+    # bounded by 2·|candidates|, not |corpus| — broadcastable
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("doc_id").alias("new_doc"), F.col("shingle").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("_old2"), F.col("shingle").alias("sh_b"))
     inter = (
@@ -256,37 +260,57 @@ def kcore_peel_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     {KCORE_ROUNDS} fixed rounds, which this graph stabilizes well
     within (the trailing rounds pin the fixpoint: equal counts).
 
-    Scale: each round is one semi-join of the edge list against the
-    survivor set on each endpoint plus one partial-aggregated degree
-    groupBy — the standard log-depth iterative-peeling plan (the exact
-    k-core needs degree recomputation per peel; the fixed-round variant
-    is the bulk-synchronous version every Pregel-style system runs).
-    Only the per-round COUNT (a scalar) reaches the driver."""
+    Scale (r16, guide §2.4/§2.5): peeling is driven by the per-round
+    degree table instead of two survivor semi-joins. One partial-
+    aggregated groupBy yields degrees; its < K rows are the round's
+    DEAD set — small after the first peel and shrinking geometrically
+    (that shrinkage IS the convergence argument) — and the edge list
+    advances by two anti-joins against that small set, which AQE
+    plans as broadcasts when the dead set is small and falls back to
+    a shuffle when an early round peels en masse. The old plan
+    re-exchanged the full symmetric edge list TWICE per round (semi
+    on each endpoint) plus the degree groupBy; now only the degree
+    groupBy exchanges edge-stream bytes, and a peel-free round (dead
+    count 0, the trailing fixpoint rounds) launches no edge job at
+    all. Only per-round COUNTs (scalars) reach the driver."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     e = li.select(
         (F.col("l_partkey") * 2).alias("a"),
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     ).distinct()
-    ee = e.unionByName(
+    edges = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint(eager=True)  # reused every round — pin it once
-    survivors = ee.select(F.col("a").alias("node")).distinct()
-    counts = [(0, survivors.count())]
+    # ee is symmetric, so every node appears as 'a': |deg| = |nodes|
+    deg = (
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    counts = [(0, deg.count())]
+    n_surv = None
     for r in range(1, KCORE_ROUNDS + 1):
-        sa = survivors.select(F.col("node").alias("a"))
-        sb = survivors.select(F.col("node").alias("b"))
-        survivors = (
-            ee.join(sa, "a", "semi")
-            .join(sb, "b", "semi")
-            .groupBy("a")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select(F.col("a").alias("node"))
-            # each round feeds the next two semi-joins; without the pin
-            # round r re-executes rounds 1..r-1 (quadratic recompute)
+        if n_surv is None:
+            n_surv = deg.filter(F.col("deg") >= KCORE_K).count()
+        counts.append((r, n_surv))
+        if r == KCORE_ROUNDS:
+            break
+        dead = deg.filter(F.col("deg") < KCORE_K).select("a")
+        if dead.count() == 0:
+            continue  # fixpoint: survivors (and their degrees) are final
+        edges = (
+            edges.join(dead, "a", "anti")
+            .join(dead.select(F.col("a").alias("b")), "b", "anti")
+            # each round feeds the next; without the pin round r
+            # re-executes rounds 1..r-1 (quadratic recompute)
             .localCheckpoint(eager=True)
         )
-        counts.append((r, survivors.count()))
+        deg = (
+            edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        n_surv = None
     return spark.createDataFrame(
         [(int(r), int(n)) for r, n in counts], "round int, n_survivors long"
     ).orderBy("round")

@@ -191,10 +191,16 @@ def item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("i"))
-    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("j"))
+    # r16 (guide §2.4): ordered pairs expand row-locally from each
+    # basket's part list (≤ 7 lines per order ⇒ ≤ 42 pairs, generated
+    # inside the groupBy(order) stage) instead of the basket self-join —
+    # one exchange of the basket stream instead of two plus both SMJ
+    # sorts; the (i, j, count) multiset is identical.
     co = (
-        a.join(b, "o")
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+        .select(F.explode("ps").alias("i"), "ps")
+        .select("i", F.explode("ps").alias("j"))
         .filter(F.col("i") != F.col("j"))
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("co_cnt"))

@@ -36,9 +36,13 @@ def _chi2_arm(
     classic (O−E)²/E with every division deferred and every product
     widened to DECIMAL(38,0). Row/col marginals are tiny frames joined
     back broadcast; the only corpus-scale work is the one groupBy."""
+    # r16: pinned — the contingency table feeds the marginals, the
+    # totals and the final join (four subtrees); unpinned, each re-ran
+    # the corpus-scale groupBy from the scan. The pinned frame is
+    # |a|×|b| categories — model-sized at any corpus scale.
     cells = df.groupBy(
         F.col(a).alias("av"), F.col(b).alias("bv")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     rows = cells.groupBy("av").agg(F.sum("n").alias("r"))
     cols = cells.groupBy("bv").agg(F.sum("n").alias("c"))
     tot = cells.agg(

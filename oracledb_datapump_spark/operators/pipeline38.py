@@ -53,6 +53,10 @@ def order_stats_two_pass(
     out so degenerate distributions (constant groups, singletons, heavy
     ties, one-bucket skew) are property-testable without the fixture
     (tests/test_two_pass_percentile.py)."""
+    # r16 note: pinning the projected frame across the three passes was
+    # A/B-measured same-JVM at sf0.1 and REJECTED (1.26 s → 1.34 s):
+    # re-scanning two narrow parquet columns per pass is cheaper than
+    # materializing the rows. Left as-is deliberately.
     # pass 1: per-group envelope
     env = {
         r["grp"]: (r["lo"], r["hi"], r["n"])

@@ -55,6 +55,11 @@ def mw_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v"),
     )
+    # r16 note: pinning this frame (the segment-list collect and the
+    # pair-histogram join both consume it) was A/B-measured same-JVM at
+    # sf0.1 and REJECTED (2.44 s → 2.68 s): the second orders
+    # scan+groupBy re-runs cheaper than the eager materialization.
+    # Left as-is deliberately.
     hist = o.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("c"))
     segs = sorted(
         r["seg"] for r in hist.select("seg").distinct().collect()

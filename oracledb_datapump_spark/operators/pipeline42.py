@@ -37,6 +37,11 @@ def coherent_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # r16 note: pinning so/sl (each feeds 2-4 consumers) was
+    # A/B-measured same-JVM at sf0.1 and REJECTED (1.81 s → 2.12 s):
+    # the consumers re-run only cheap scan+filter/semi subtrees, and
+    # eager materialization of the sampled rows costs more than the
+    # recompute it saves. Left as-is deliberately.
     so = orders.filter(
         hash64(F.col("o_orderkey").cast("string")) % 1_000_000
         < COHERENT_SAMPLE_PPM
@@ -554,7 +559,18 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h", "pid")
         .limit(MATRYOSHKA_PROBE_BUDGET)
         .drop("h")
+        # r16: pinned — the pair scan and the final count both read it
+        .localCheckpoint(eager=True)
     )
+    # r16 note: an unrolled rewrite (per-pair prefix sums as
+    # straight-line getItem multiply-adds, per-dims rows via stack —
+    # the hubness_report pattern) was A/B-measured same-JVM at sf0.1
+    # and REJECTED: 5.48 s → 8.16 s median (1.49×). Unlike hubness's
+    # single 64-term dot, this needs 12 prefix columns (~360 terms per
+    # row in one projection) and the generated code ran slower than
+    # the HOF formulation it replaced. The dims cross-join stands; the
+    # real win here was pinning topk below (the whole scoring pipeline
+    # used to execute twice).
     dims = spark.createDataFrame(
         [(d,) for d in MATRYOSHKA_DIMS], "dims long"
     )
@@ -592,8 +608,12 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("pid", "dims").orderBy(
         F.desc("score"), F.asc("cand")
     )
-    topk = pairs.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= MATRYOSHKA_TOPK
+    topk = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MATRYOSHKA_TOPK)
+        # r16: pinned — the truth arm and the hit join both consume the
+        # top-k table; unpinned, the whole scoring pipeline ran twice
+        .localCheckpoint(eager=True)
     )
     truth = topk.filter(F.col("dims") == 64).select(
         "pid", F.col("cand").alias("tcand")

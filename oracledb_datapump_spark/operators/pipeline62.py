@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.global_order import with_global_order_stat
 from ..functions.text import hash64, sql_hash64
-from .dedup import SQL_SHINGLES_CTE, _shingles
+from .dedup import SQL_SHINGLES_CTE, _shingles, shingle_pair_intersections
 
 #: exact-Jaccard ppm threshold for the SNM truth set (dedup.py's 0.6).
 SNM_TRUTH_PPM = 600_000
@@ -347,20 +347,13 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = rnk.select("doc_id", "rn")
     n_docs = d.count()
 
-    sh = _shingles(spark, sf_dir)
+    # r16: pin the shingle table once (sizes + the pair stage both ride
+    # it — the tokenize→shingle lineage used to run once per consumer)
+    # and build the pair intersections with the shared row-local
+    # posting-list expansion instead of the shingle self-join.
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    inter = shingle_pair_intersections(sh)
     truth = (
         inter.join(
             F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))),
@@ -380,6 +373,10 @@ def snm_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth.join(rnk.withColumnRenamed("doc_id", "d1").withColumnRenamed("rn", "r1"), "d1")
         .join(rnk.withColumnRenamed("doc_id", "d2").withColumnRenamed("rn", "r2"), "d2")
         .select(F.abs(F.col("r1") - F.col("r2")).alias("gap"))
+        # r16: the gap list feeds BOTH the n_truth count and the window
+        # curve — without the pin the whole truth stage (shingle pair
+        # join included) executed twice
+        .localCheckpoint(eager=True)
     )
     n_truth = gaps.count()
     ws = spark.range(1, SNM_MAX_W + 1).select(F.col("id").alias("w"))

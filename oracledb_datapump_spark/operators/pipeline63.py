@@ -204,20 +204,17 @@ def fs_em_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _fs_fields_df(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     ).localCheckpoint(eager=True)
-    sh = _shingles(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
+    # r16: pairs expand row-locally from posting lists (guide §2.4, the
+    # shared shingle_pair_intersections plan) — same blocked pair set,
+    # one exchange instead of two + SMJ sorts, shingles computed once
+    from .dedup import shingle_pair_intersections
+
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        shingle_pair_intersections(_shingles(spark, sf_dir))
         .filter(F.col("inter") >= EM_MIN_SHARED)
-        .select("doc_a", "doc_b")
+        .select(
+            F.col("d1").alias("doc_a"), F.col("d2").alias("doc_b")
+        )
     )
     fa = d.select(
         F.col("doc_id").alias("doc_a"),
@@ -254,7 +251,10 @@ def fs_em_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     w = pat.withColumn(
         "w_ppm", F.expr(f"{pm} * 1000000 div ({pm} + {pu})")
-    )
+        # r16: pinned — the totals and the per-field stack both consume
+        # the ≤16-row pattern table; unpinned, the whole blocked-pair
+        # pipeline executed twice
+    ).localCheckpoint(eager=True)
     tot = w.agg(
         F.sum("c").alias("nc"),
         F.sum(F.col("c") * F.col("w_ppm")).alias("cw"),

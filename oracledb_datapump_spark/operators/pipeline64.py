@@ -283,21 +283,15 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic posture at 100 TB: ride LSH candidates); method 2 is a
     groupBy(prefix) with C(m,2) per group — bounded by the prefix
     histogram; the estimator is a 1-row reduce."""
-    from .dedup import _shingles
+    from .dedup import _shingles, shingle_pair_intersections
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = _shingles(spark, sf_dir)
-    a, b = sh.alias("a"), sh.alias("b")
+    # r16: both catch methods expand pairs row-locally from posting
+    # lists (guide §2.4, the shared shingle_pair_intersections plan)
+    # instead of self-joins — same pair sets, one exchange each instead
+    # of two + SMJ sorts, and the shingle lineage computed once.
     m1 = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        shingle_pair_intersections(_shingles(spark, sf_dir))
         .filter(F.col("inter") >= CRC_MIN_SHARED)
         .select("d1", "d2")
         .localCheckpoint(eager=True)
@@ -308,18 +302,13 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""),
             1,
             CRC_KEY_LEN,
-        ).alias("k"),
+        ).alias("shingle"),
     )
-    ka, kb = keyed.alias("ka"), keyed.alias("kb")
+    # each doc has exactly one prefix key, so every same-key pair
+    # appears once (inter ≡ 1) — identical to the old prefix self-join
     m2 = (
-        ka.join(
-            kb,
-            (F.col("ka.k") == F.col("kb.k"))
-            & (F.col("ka.doc_id") < F.col("kb.doc_id")),
-        )
-        .select(
-            F.col("ka.doc_id").alias("d1"), F.col("kb.doc_id").alias("d2")
-        )
+        shingle_pair_intersections(keyed)
+        .select("d1", "d2")
         .localCheckpoint(eager=True)
     )
     ov = m1.join(m2, ["d1", "d2"]).count()

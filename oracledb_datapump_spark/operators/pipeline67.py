@@ -353,26 +353,41 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     n_docs = sh.select("doc_id").distinct().count()
-    dfw = sh.groupBy("shingle").agg(
-        F.expr(
-            f"CAST(length(bin({n_docs} * 1024 div count(1))) AS BIGINT)"
-        ).alias("w")
+    # r16 (guide §2.4): the per-shingle posting list IS the document
+    # frequency (df = list size), so the weight computes inline and the
+    # old dfw groupBy + shingle-keyed weight join + weighted self-join
+    # (two more exchanges of the shingle stream + SMJ sorts) all fold
+    # into ONE groupBy: pairs and their weight sums expand row-locally,
+    # per-doc weight sums explode back off the same pinned lists.
+    # Weights, pair sets and sums are bit-identical.
+    lists = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .select(
+            "ds",
+            F.expr(
+                f"CAST(length(bin({n_docs} * 1024 div size(ds)))"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)
     )
-    wsh = sh.join(dfw, "shingle").localCheckpoint(eager=True)
-    sizes = wsh.groupBy("doc_id").agg(F.sum("w").alias("tw"))
-    a, b = wsh.alias("a"), wsh.alias("b")
+    sizes = (
+        lists.select("w", F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("tw"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        lists.select(F.posexplode("ds").alias("i", "doc_a"), "ds", "w")
+        .select(
+            "doc_a",
+            F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+            "w",
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("n_shared"),
-            F.sum(F.col("a.w")).alias("inter_w"),
+            F.sum("w").alias("inter_w"),
         )
         .filter(F.col("n_shared") >= WJ_MIN_SHARED)
     )

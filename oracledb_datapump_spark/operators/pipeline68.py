@@ -203,21 +203,16 @@ def dedup_medoid_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (guarded-quadratic posture at 100 TB: ride LSH candidates);
     propagation is O(|pairs|) per round with diameter-bounded rounds;
     the medoid reduce is pair-list-sized."""
-    from .dedup import _shingles
+    from .dedup import _shingles, shingle_pair_intersections
 
-    sh = _shingles(spark, sf_dir)
+    # r16: pin the shingle table once (sizes + the pair stage both ride
+    # it) and expand pairs row-locally from per-shingle posting lists
+    # instead of the shingle self-join — same pair multiset, half the
+    # tokenize passes, two fewer exchanges (guide §2.4).
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
     jac = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        shingle_pair_intersections(sh)
         .join(
             F.broadcast(
                 sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))

@@ -263,7 +263,9 @@ def simhash_pair_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup_cross_lang_pairs join shape), then a ≤bits-row
     histogram."""
     p = D.verified_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
-    s = D.simhash_fingerprints(spark, sf_dir)
+    # r16: pinned — both pair-side joins below consume the fingerprint
+    # frame, and each used to re-run the tokenize→60-vote simhash agg
+    s = D.simhash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
     half = s.join(F.broadcast(p), s.doc_id == p.doc_a).select(
         F.col("simhash").alias("sig_a"), "doc_b"
     )

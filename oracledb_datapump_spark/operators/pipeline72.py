@@ -491,19 +491,16 @@ def mcnemar_dedup_agreement(
         .distinct()
         .withColumn("ex", F.lit(1))
     )
-    sh = _shingles(spark, sf_dir)
+    # r16: shingle table pinned once (sizes + the pair stage), pairs
+    # expanded row-locally from posting lists (guide §2.4, the shared
+    # shingle_pair_intersections plan) — same pair multiset, fewer
+    # exchanges; the quadratic GUARD above is unchanged.
+    from .dedup import shingle_pair_intersections
+
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
     near_pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        shingle_pair_intersections(sh)
         .join(
             F.broadcast(
                 sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))

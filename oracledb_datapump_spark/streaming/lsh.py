@@ -129,8 +129,17 @@ def run_streaming_dedup(
             .union(cand.select(F.col("old_doc").alias("doc_id")))
             .distinct()
         )
-        sh = _shingles(spark, sf_dir).join(
-            F.broadcast(cand_docs), "doc_id", "semi"
+        # r16 (guide §1.2): semi-filter the SOURCE rows before
+        # tokenizing — the old order shingled the ENTIRE corpus every
+        # micro-batch and only then kept the candidates. Same shingle
+        # set (the semi-join commutes with the row-local shingling);
+        # the point-read now really is candidate-docs-only. Pinned
+        # once: sizes + both verify probes ride it.
+        cand_src = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).join(F.broadcast(cand_docs), "doc_id", "semi")
+        sh = _shingles(spark, sf_dir, docs=cand_src).localCheckpoint(
+            eager=True
         )
         sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         sa = sh.select(
