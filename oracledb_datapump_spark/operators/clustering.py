@@ -297,6 +297,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
         F.pmod(F.col("vec_id"), F.lit(PAIR_BLOCKS)).cast("long").alias("blk_b"),
     )
+    # r16 note: unrolling this fold into a 64-term element_at add chain
+    # (the hubness_report device) was A/B-measured same-JVM at sf0.1
+    # and REJECTED at 8.05× — see similarity._cosine's negative-result
+    # note. The vectorized array fold stands.
     dot = F.aggregate(
         F.zip_with("emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

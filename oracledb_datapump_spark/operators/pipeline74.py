@@ -872,10 +872,15 @@ def bh_fdr_nation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_nationkey").alias("nk"),
     )
+    # r16: pinned — the MK pair join (both sides), the tie table and the
+    # per-nation count are four subtrees that each re-ran the
+    # orders⋈customer shuffle join + groupBy; the pinned frame is
+    # ≤ 25·|days| rows, model-sized at any corpus scale (guide §1.2)
     nd = (
         o.join(c, "o_custkey")
         .groupBy("nk", "day")
         .agg(F.sum("rc").alias("x"))
+        .localCheckpoint(eager=True)
     )
     a, b = nd.alias("a"), nd.alias("b")
     s = (

@@ -37,6 +37,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine(a, b):
+    """Cosine of two array columns via the sequential double fold
+    (bit-identical to DuckDB's list_sum).
+
+    r16 negative result (A/B-measured same-JVM at sf0.1, REJECTED):
+    unrolling the fold into straight-line element_at add chains — the
+    hubness_report device — regressed EVERY consumer (ann_bruteforce
+    1.36×, ann_lsh_topk 1.94×, centroid_topk 2.53×, ann_lsh_recall
+    2.22×, embedding_dim_ablation 1.54×, dedup_semantic 8.05×). Unlike
+    hubness's single 64-term INTEGER dot over pre-extracted flat
+    columns, this needs ~192 double-typed element_at terms per row
+    against in-row arrays; the generated code ran far slower than the
+    vectorized array fold it replaced. The fold stands."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -361,6 +361,10 @@ def dsir_importance(
         F.sequence(F.lit(0), F.size("toks") - 2),
         lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 2)),
     )
+    # r16: pinned — the count table and the final per-doc groupBy are
+    # two subtrees that each re-ran the tokenize→bigram-hash explode
+    # over the corpus (guide §1.2); the pinned stream is three narrow
+    # columns, not the text
     feats = wt.select(
         "doc_id",
         "lang",
@@ -369,7 +373,7 @@ def dsir_importance(
         "doc_id",
         "lang",
         F.pmod(hash64(F.col("gram")), F.lit(DSIR_BUCKETS)).alias("feat"),
-    )
+    ).localCheckpoint(eager=True)
     counts = feats.groupBy("feat").agg(
         F.count(F.lit(1)).alias("occ_r"),
         F.sum(

@@ -443,6 +443,9 @@ def bigram_surprise(
     wt = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= 2
     )
+    # r16: pinned — the bigram count table and the final per-doc join
+    # are two subtrees that each re-ran the tokenize→bigram explode
+    # over the corpus (guide §1.2)
     big = wt.select(
         "doc_id",
         F.explode(
@@ -455,7 +458,7 @@ def bigram_surprise(
         "doc_id",
         F.split(F.col("gram"), " ", 2).getItem(0).alias("t1"),
         F.col("gram").alias("bigram"),
-    )
+    ).localCheckpoint(eager=True)
     bcnt = big.groupBy("t1", "bigram").agg(F.count(F.lit(1)).alias("c_big"))
     pcnt = bcnt.groupBy("t1").agg(F.sum("c_big").alias("c_pre"))
     vocab = (
