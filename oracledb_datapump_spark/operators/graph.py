@@ -64,13 +64,18 @@ def pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan) — truncating lineage per round keeps the final plan at one
     # join + one agg regardless of PR_ITERS.
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+    # deg is pinned once (node-sized) and nodes is DERIVED from it:
+    # groupBy(src) keys ARE the distinct srcs, so the former separate
+    # edges.distinct() pass — a second full-edge-stream aggregation +
+    # exchange — is free off deg (guide §2.4). The pinned deg also
+    # broadcast-joins onto edges without re-running its aggregation.
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)
     )
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()
     base = (15 * PR_SCALE) // (100 * n)
     ranks = nodes.select("node", F.lit(PR_SCALE // n).cast("long").alias("pr"))

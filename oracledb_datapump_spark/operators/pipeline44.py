@@ -80,10 +80,20 @@ def duplicated_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only join is banded by gram under the frequency cap — never
     all-pairs, no global sort (the single global window ranks the
     ≤|sources|² pair aggregate, not rows)."""
-    g = _grams(spark, sf_dir)
-    dfreq = g.groupBy("gram").agg(F.count_distinct("doc_id").alias("df"))
+    # pins (guide §2.4): the gram stream feeds THREE subtrees (the df
+    # groupBy and both df-filtered joins) — unpinned, the tokenize +
+    # posexplode lineage executes once per consumer. The df table is
+    # filtered to df >= 2 BEFORE pinning (both consumers share that
+    # predicate), so the pinned frame holds only repeated grams.
+    g = _grams(spark, sf_dir).localCheckpoint(eager=True)
+    dfreq = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .localCheckpoint(eager=True)
+    )
 
-    dup = g.join(dfreq.filter(F.col("df") >= 2), "gram")
+    dup = g.join(dfreq, "gram")
     runs = dup.withColumn(
         "grp",
         F.col("pos")
@@ -102,10 +112,7 @@ def duplicated_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pg = (
-        g.join(
-            dfreq.filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP)),
-            "gram",
-        )
+        g.join(dfreq.filter(F.col("df") <= DF_CAP), "gram")
         .select("gram", "source")
         .distinct()
     )
@@ -207,6 +214,12 @@ def semantic_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import clustering as C
     from . import dedup as DD
 
+    # r16 note: pinning this pair list (it feeds the agreement join and
+    # the prune-set distinct) was A/B-measured same-JVM at sf0.1 and
+    # REJECTED at 1.14×/1.21× (med/min): dedup_semantic's expensive
+    # subtree (assignment + norm) is already localCheckpointed inside
+    # it, so both consumers re-run only the blocked pair join, which
+    # pipelines cheaper than an eager checkpoint of the pair list.
     sem = (
         C.dedup_semantic(spark, sf_dir)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))

@@ -121,12 +121,15 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = []
     for b, r in BAND_COMBOS:
         for band in range(b):
-            sig = F.concat_ws(
-                ",",
-                *[
-                    F.col(f"mh{j}").cast("string")
-                    for j in range(band * r, (band + 1) * r)
-                ],
+            # r16: the bucket key is the raw minhash ARRAY, not the
+            # concat_ws(",") string the oracle uses — array equality is
+            # bijective with that string encoding (longs contain no
+            # commas), so bucket counts are identical, while the explode
+            # skips 31 per-doc string builds and shuffles 8r bytes/sig
+            # instead of ~20r (A/B same-JVM: 0.9× on the banding stage,
+            # values MATCH; guide §2.3 "shuffle fewer bytes")
+            sig = F.array(
+                *[F.col(f"mh{j}") for j in range(band * r, (band + 1) * r)]
             )
             entries.append(
                 F.struct(

@@ -209,7 +209,10 @@ def tfidf_search_topk(
     # corpus size as a one-row broadcast (no driver-side .first() read)
     nd = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     if tf is None:
-        tf = _tf_table(spark, sf_dir)
+        # pin: tf feeds TWO subtrees (the df groupBy and the idx join
+        # side) — without the checkpoint the tokenize+groupBy lineage
+        # executes once per consumer (guide §2.4 / §1.2 "compute once")
+        tf = _tf_table(spark, sf_dir).localCheckpoint(eager=True)
     df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         df_tbl = df_tbl.filter(F.col("df") <= max_df)
@@ -396,6 +399,11 @@ def bm25_search_topk(
             .alias("idf_q"),
         )
     )
+    # pin: idx feeds the broadcast query-postings build AND the corpus
+    # stream side of the score join — unpinned, the tf⋈df⋈dl lineage
+    # (two joins + two aggregations over tf) executes once per consumer;
+    # tfidf_search_topk pins its idx for the same reason (guide §2.4)
+    idx = idx.localCheckpoint(eager=True)
     q_idx = idx.filter(F.col("doc_id") < TFIDF_N_QUERIES).select(
         F.col("doc_id").alias("query_doc"), "tok", F.col("tf").alias("qtf")
     )
