@@ -620,21 +620,31 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, NOVELTY_N)),
         )
     )
+    # r16 (guide §2.4): sg pinned (it feeds two aggregations), and the
+    # sg⋈spread join — an exchange of the full distinct-gram stream —
+    # is GONE: an exclusive gram has exactly one sg row, so counting
+    # spread's lo==hi rows per lo-source yields the same n_exclusive,
+    # and n_grams is a direct groupBy(source) over sg. The final join
+    # is |sources|-sized.
     sg = (
         wt.select("source", F.explode(grams).alias("gram"))
         .select("source", hash64(F.col("gram")).alias("gh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     spread = sg.groupBy("gh").agg(
         F.min("source").alias("lo"), F.max("source").alias("hi")
     )
-    per_src = (
-        sg.join(spread, "gh")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("lo") == F.col("hi")).cast("long")).alias("n_exclusive"),
-        )
+    n_grams = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    excl = (
+        spread.filter(F.col("lo") == F.col("hi"))
+        .groupBy(F.col("lo").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_exclusive"))
+    )
+    per_src = n_grams.join(excl, "source", "left").select(
+        "source",
+        "n_grams",
+        F.coalesce("n_exclusive", F.lit(0)).cast("long").alias("n_exclusive"),
     )
     return per_src.select(
         "source",

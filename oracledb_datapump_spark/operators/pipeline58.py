@@ -268,12 +268,21 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_custkey"
     )
+    # r16 (guide §2.4): edges pinned — it fed the degree groupBy AND the
+    # pair stage, so the orders⋈lineitem + distinct lineage executed
+    # once per consumer (and once more per self-join side). The pair
+    # stage now expands ROW-LOCALLY from per-part posting lists (the
+    # dedup.shingle_pair_intersections device): the degree cap bounds
+    # each list at AA_DEG_CAP members, so collect_list is skew-safe by
+    # construction and one groupBy exchange replaces the self-join's
+    # two exchanges + SMJ sorts. Same pair multiset, same weights.
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("part").agg(F.count(F.lit(1)).alias("deg"))
     capped = edges.join(
@@ -284,13 +293,16 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "part",
     )
-    a = capped.select(
-        "part", "deg", F.col("cust").alias("cust_a")
+    lists = capped.groupBy("part", "deg").agg(
+        F.array_sort(F.collect_list("cust")).alias("cs")
     )
-    b = capped.select("part", F.col("cust").alias("cust_b"))
     pairs = (
-        a.join(b, "part")
-        .filter(F.col("cust_a") < F.col("cust_b"))
+        lists.select("deg", F.posexplode("cs").alias("i", "cust_a"), "cs")
+        .select(
+            "deg",
+            "cust_a",
+            F.explode(F.expr("slice(cs, i + 2, size(cs))")).alias("cust_b"),
+        )
         .groupBy("cust_a", "cust_b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),

@@ -81,8 +81,14 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate(zip_with(q, {lit}, (x, y) -> (x - y) * (x - y)), "
             "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
+        # r16: the O(d) distance fold evaluates ONCE per row (the old
+        # least(coalesce(mind, d2), d2) form named it twice; the
+        # long-MAX sentinel is exact — d2 < 2^63 by construction), and
+        # the chosen center's vector rides the same 1-row argmax
+        # collect instead of a separate filter+collect job per round.
         cur = cur.withColumn(
-            "mind", F.expr(f"least(coalesce(mind, {d2}), {d2})")
+            "mind",
+            F.expr(f"least(coalesce(mind, 9223372036854775807L), {d2})"),
         ).localCheckpoint(eager=True)
         far = (
             cur.filter(
@@ -90,12 +96,11 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("mind"), F.asc("vec_id"))
             .limit(1)
+            .select("vec_id", "mind", "q")
             .collect()[0]
         )
         chosen.append((step, int(far["vec_id"]), int(far["mind"])))
-        center = list(
-            vecs.filter(F.col("vec_id") == far["vec_id"]).collect()[0]["q"]
-        )
+        center = list(far["q"])
     return spark.createDataFrame(
         chosen, "step long, vec_id long, radius_q long"
     ).orderBy("step")
