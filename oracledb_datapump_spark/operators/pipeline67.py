@@ -86,7 +86,15 @@ def naive_bayes_source_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = d.filter(~F.col("is_test"))
     test = d.filter(F.col("is_test"))
-    ct = train.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # r16 (guide §2.4): ct pinned — the vocab-size count action and the
+    # weight table each re-ran the train-corpus explode + groupBy; the
+    # pinned frame is (source, token)-sized, vocabulary-class at any
+    # corpus scale.
+    ct = (
+        train.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = ct.groupBy("source").agg(F.sum("c").alias("t"))
     vocab = ct.select("tok").distinct().count()
     w = ct.join(F.broadcast(totals), "source").select(

@@ -473,15 +473,21 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picks = [("p10", (n - 1) * 1 // 10 + 1), ("p50", (n - 1) * 5 // 10 + 1),
              ("p90", (n - 1) * 9 // 10 + 1)]
-    out = None
-    for stat, idx in picks:
-        row = ranked.filter(F.col("rn") == idx).select(
-            F.lit(stat).alias("stat"),
+    # r16 (guide §2.4): the three order statistics ride ONE pass over
+    # the ranked stream — a broadcast join against the 3-row pick table
+    # — instead of three union arms that each re-ran the rank window
+    # (duplicate pick indices at tiny n still yield one row per pick,
+    # exactly as the old per-pick filters did).
+    picks_df = spark.createDataFrame(picks, "stat string, idx long")
+    return (
+        ranked.join(F.broadcast(picks_df), ranked.rn == picks_df.idx)
+        .select(
+            "stat",
             F.col("ratio_ppm").cast("long"),
             F.lit(n).cast("long").alias("n_pairs"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("stat")
+        .orderBy("stat")
+    )
 
 
 def _jl_sql() -> str:
