@@ -464,12 +464,17 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d2") > 0)
         .select(
-            F.expr(f"d2p * 1000000 div ({JL_K} * d2)").alias("ratio_ppm")
+            F.expr(f"d2p * 1000000 div ({JL_K} * d2)").alias("ratio_ppm"),
+            # unique tiebreaker for the range-partitioned rank (helper
+            # contract); the picked VALUE at a rank is tie-insensitive,
+            # so the output does not depend on the tiebreak order
+            F.monotonically_increasing_id().alias("__tb"),
         )
     )
-    n = pairs.count()
-    ranked = pairs.withColumn(
-        "rn", F.row_number().over(Window.orderBy("ratio_ppm"))
+    from ..functions.global_order import with_global_order_stat
+
+    ranked, n = with_global_order_stat(
+        pairs, [F.col("ratio_ppm"), F.col("__tb")], out="rn"
     )
     picks = [("p10", (n - 1) * 1 // 10 + 1), ("p50", (n - 1) * 5 // 10 + 1),
              ("p90", (n - 1) * 9 // 10 + 1)]
@@ -477,7 +482,9 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ranked stream — a broadcast join against the 3-row pick table
     # — instead of three union arms that each re-ran the rank window
     # (duplicate pick indices at tiny n still yield one row per pick,
-    # exactly as the old per-pick filters did).
+    # exactly as the old per-pick filters did). The rank rides the
+    # range-partitioned global-order helper (no SinglePartition window;
+    # its offset collect also supplies n, replacing the count() action).
     picks_df = spark.createDataFrame(picks, "stat string, idx long")
     return (
         ranked.join(F.broadcast(picks_df), ranked.rn == picks_df.idx)
