@@ -433,23 +433,53 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("mask")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    coal = spark.range(0, 8).select(F.col("id").alias("s"))
+    # r16 (guide §2.1/§5): everything below the masks aggregate is the
+    # 8-coalition lattice — model-state sized at ANY corpus scale — yet
+    # it used to cost more than the fact scan: coal (spark.range → 32
+    # partitions) ⋈ masks planned as a 32×32-task join, and at sf0.1 the
+    # chan × v cross join's size ESTIMATE crossed the broadcast
+    # threshold, silently degrading BroadcastNestedLoopJoin →
+    # CartesianProduct (1024 near-empty tasks, pure scheduler overhead —
+    # and the exact plan shape the no-cartesian contract exists to ban;
+    # the sf0.001 contract run planned BNL, so only the bench SF hit
+    # it). Single-partition pins + explicit broadcast hints make every
+    # lattice stage one task and the plan SF-independent.
+    coal = spark.range(0, 8).coalesce(1).select(F.col("id").alias("s"))
     v = (
-        coal.join(masks, F.expr("(mask & s) = mask"), "left")
+        coal.join(F.broadcast(masks), F.expr("(mask & s) = mask"), "left")
         .groupBy("s")
         .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("v"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     # per channel i: phi6 = sum over S not containing i of
     # w(|S|) * (v(S|i) - v(S)), w = [2, 1, 1, 2][|S|] (x6 weights)
-    chan = spark.createDataFrame(
-        [(i, ch) for i, ch in enumerate(SHAPLEY_CHANNELS)], "i long, channel string"
+    # (chan is built from spark.range + element_at, not
+    # createDataFrame(list): a Python-built local frame plants a
+    # PythonRDD leaf that every job below re-evaluates through a Python
+    # worker round-trip — guide §4's boundary cost on a 3-row table)
+    chan = (
+        spark.range(0, len(SHAPLEY_CHANNELS))
+        .coalesce(1)
+        .select(
+            F.col("id").alias("i"),
+            F.element_at(
+                F.array(*[F.lit(ch) for ch in SHAPLEY_CHANNELS]),
+                (F.col("id") + 1).cast("int"),
+            ).alias("channel"),
+        )
     )
     marg = (
-        chan.crossJoin(v.select(F.col("s").alias("s0"), F.col("v").alias("v0")))
+        chan.crossJoin(
+            F.broadcast(
+                v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+            )
+        )
         .filter(F.expr("(s0 & (1 << i)) = 0"))
         .join(
-            v.select(F.col("s").alias("s1"), F.col("v").alias("v1")),
+            F.broadcast(
+                v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+            ),
             F.expr("s1 = (s0 | (1 << i))"),
         )
         .withColumn(
