@@ -201,10 +201,23 @@ def hilbert_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     zord = zone_rows(
         q.withColumn("sort_key", _morton2("qd", "qp", HILBERT_BITS)), "zorder"
     )
+    # r16: pin the Hilbert-keyed projection before the range sort. The
+    # global-order helper's repartitionByRange evaluates its child TWICE
+    # (range-boundary sampling pass + the shuffle map pass), and the
+    # 16-step bit-plane chain is ~6 s per evaluation at sf0.1 (~10 µs/row
+    # of stacked CASE projections) — the single most expensive scalar in
+    # the repo. Pinning makes both passes read the 5-column checkpoint
+    # instead (guide §5: materialize exactly the reused intermediate).
+    # The Morton arm is NOT pinned: its one-projection key costs ~0.5 s
+    # per evaluation, less than the checkpoint round-trip it would save.
+    # (An arithmetic branch-free rewrite of the chain was A/B-rejected:
+    # 12.6 s vs 6.0 s — the multiplied-out rx/ry subexpressions evaluate
+    # more times than the CASE branches they replace.)
     hilb = zone_rows(
-        hilbert_column(q, "qd", "qp", HILBERT_BITS).withColumn(
-            "sort_key", F.col("__h")
-        ),
+        hilbert_column(q, "qd", "qp", HILBERT_BITS)
+        .withColumn("sort_key", F.col("__h"))
+        .select("sort_key", "ok", "ln", "d", "p")
+        .localCheckpoint(eager=True),
         "hilbert",
     )
     return zord.unionByName(hilb).orderBy("layout", "workload")
