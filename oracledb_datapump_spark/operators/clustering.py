@@ -26,6 +26,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 QUANT_SCALE = 1e7
@@ -54,7 +56,7 @@ def _with_nearest(spark: SparkSession, q: DataFrame, centroids: list[tuple[int, 
     literal form re-analyzed K*dim constants per pass and dominated
     wall-clock at small SF). Still zero shuffle: a broadcast
     single-row cross join is a map-side constant."""
-    cent_df = spark.createDataFrame(
+    cent_df = values_df(spark, 
         [(int(cid), [int(v) for v in vec]) for cid, vec in centroids],
         "cid long, cv array<long>",
     )

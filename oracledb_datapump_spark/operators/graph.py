@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 PR_SCALE = 1_000_000_000
 PR_ITERS = 3
 SUPP_BASE = 10_000_000
@@ -433,7 +435,7 @@ def bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately unrolls per-layer instead, computing the same layer
     sets)."""
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    seed = spark.createDataFrame(
+    seed = values_df(spark, 
         [(BFS_SEED,)], "node long"
     ).select(F.col("node"), F.lit(0).alias("layer"))
     visited = seed.localCheckpoint(eager=True)

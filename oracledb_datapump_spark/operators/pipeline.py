@@ -31,6 +31,7 @@ from .docs_source import load_docs
 from . import dedup as D
 from . import textprep as TP
 from . import textstats as TS
+from ..functions.local_table import values_df
 
 
 # ---------------------------------------------------------------------------
@@ -883,7 +884,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined with a {len(_THRESHOLDS)}-row broadcast threshold
     table, one bounded groupBy."""
     acc = D.minhash_estimate_accuracy(spark, sf_dir)
-    thr = spark.createDataFrame(
+    thr = values_df(spark, 
         [(t,) for t in _THRESHOLDS], "thr_ppm long"
     )
     return (

@@ -296,6 +296,7 @@ def lm_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..functions.text import sql_hash64  # noqa: E402  (shared split hash)
+from ..functions.local_table import values_df
 
 LM_FILTER_REPORT_SQL = f"""
 WITH toks AS (
@@ -367,7 +368,7 @@ def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = freq.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
         eager=True
     )
-    sizes = spark.createDataFrame(
+    sizes = values_df(spark, 
         [(v,) for v in OOV_VOCAB_SIZES], "vocab_size long"
     )
     return (

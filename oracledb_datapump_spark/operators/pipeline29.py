@@ -24,6 +24,7 @@ from .dedup import (
     _shingles_multiset,
     _sql_band_selects,
 )
+from ..functions.local_table import values_df
 
 # ---------------------------------------------------------------------------
 # Incremental MinHash-LSH dedup: new batch vs stored index
@@ -311,7 +312,7 @@ def kcore_peel_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_surv = None
-    return spark.createDataFrame(
+    return values_df(spark, 
         [(int(r), int(n)) for r, n in counts], "round int, n_survivors long"
     ).orderBy("round")
 

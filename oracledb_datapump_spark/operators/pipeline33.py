@@ -27,6 +27,7 @@ from .pipeline12 import (
     LAYOUT_PART_LO,
     _morton2,
 )
+from ..functions.local_table import values_df
 
 HILBERT_BITS = 16  # quantization levels per dimension (d in 32 bits)
 
@@ -364,7 +365,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query→cluster distances, ranked once; per-depth probes slice it
     assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
     cents = _fit_centroids(spark, sf_dir)
-    cent_df = spark.createDataFrame(
+    cent_df = values_df(spark, 
         [(int(cid), [int(v) for v in cv]) for cid, cv in cents],
         "cid long, cv array<long>",
     )
@@ -417,7 +418,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 topk_hits * 1_000_000 // denom,
             )
         )
-    return spark.createDataFrame(
+    return values_df(spark, 
         rows,
         "nprobe int, cand_hits long, cand_recall_ppm long, "
         "topk_hits long, topk_recall_ppm long",

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 PCTS = (50, 90)  # order statistics to extract: rank = ceil(n·pct/100)
 N_BUCKETS = 1024
 
@@ -100,7 +102,7 @@ def order_stats_two_pass(
                     targets.append((g, pct, n, b, rank - seen))
                     break
                 seen += c
-    tdf = spark.createDataFrame(
+    tdf = values_df(spark, 
         targets, "grp string, pct long, n_rows long, b long, off long"
     )
     # pass 3: exact k-th smallest WITHIN each located bucket only

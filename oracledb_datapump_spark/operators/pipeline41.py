@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.local_table import values_df
+
 # z_{0.975}^2 = 1.959964^2 as an exact rational (same constant family as
 # ab_test_report / chi2_independence_matrix)
 Z2_NUM = 38416
@@ -67,7 +69,7 @@ def mw_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_rows = [
         (a, b) for i, a in enumerate(segs) for b in segs[i + 1 :]
     ]
-    pairs = spark.createDataFrame(pair_rows, "seg_a string, seg_b string")
+    pairs = values_df(spark, pair_rows, "seg_a string, seg_b string")
     ph = (
         hist.join(
             F.broadcast(pairs),

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKEN_SPLIT_RE, hash64, sql_hash64, tokens
+from ..functions.local_table import values_df
 
 # ---------------------------------------------------------------------------
 # lsh_band_planner
@@ -156,7 +157,7 @@ def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
-    analytic = spark.createDataFrame(_scurve_rows(), _PLANNER_SCHEMA)
+    analytic = values_df(spark, _scurve_rows(), _PLANNER_SCHEMA)
     return analytic.unionByName(empirical).orderBy(
         "section", "b", "s_ppm"
     )

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import hash64, sql_hash64
+from ..functions.local_table import values_df
 
 # ---------------------------------------------------------------------------
 # retrieval_eval_ndcg
@@ -74,10 +75,10 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml = labels.select(
         F.col("vec_id").alias("match_doc"), F.col("label").alias("m_label")
     )
-    disc = spark.createDataFrame(
+    disc = values_df(spark, 
         [(r_, d) for r_, d in sorted(DISC_PPM.items())], "rank long, disc long"
     )
-    idcg = spark.createDataFrame(
+    idcg = values_df(spark, 
         [(m, v) for m, v in sorted(IDCG_PPM.items())],
         "n_rel_topk long, idcg long",
     )

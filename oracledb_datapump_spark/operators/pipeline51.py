@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 # ---------------------------------------------------------------------------
 # dedup_method_recall_report
 # ---------------------------------------------------------------------------
@@ -80,7 +82,7 @@ def dedup_method_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(hits * 1_000_000 // n_cand) if n_cand else 0,
             )
         )
-    return spark.createDataFrame(
+    return values_df(spark, 
         sorted(outs),
         "method string, n_candidates long, n_truth_hits long,"
         " recall_ppm long, precision_ppm long",

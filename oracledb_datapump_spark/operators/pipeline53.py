@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .pipeline27 import WINNOW_CAP, WINNOW_K, WINNOW_MIN_SHARED
+from ..functions.local_table import values_df
 
 PLAN_WINDOWS = [4, 8, 16]
 
@@ -96,7 +97,7 @@ def winnow_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(n_pairs),
             )
         )
-    return spark.createDataFrame(
+    return values_df(spark, 
         rows,
         "w long, guarantee_len long, density_ppm long, n_fps long,"
         " n_pairs long",

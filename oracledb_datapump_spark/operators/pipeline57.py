@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 MMR_QUERIES = 4  # first vec_ids act as queries
 MMR_POOL = 16  # ANN-style candidate pool per query
 MMR_K = 5  # reranked picks per query
@@ -120,7 +122,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             selected.append(best[1])
             out.append((qid, rank, best[1], rel_of[best[1]], best[2]))
-    return spark.createDataFrame(
+    return values_df(spark, 
         out, "query_id long, rank long, neighbor_id long, rel long, mmr2 long"
     ).orderBy("query_id", "rank")
 

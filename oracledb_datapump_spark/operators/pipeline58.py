@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import hash64, sql_hash64
+from ..functions.local_table import values_df
 
 KN_TOP = 30  # reported bigrams (by count desc, then v, w)
 # D = 3/4: classic absolute-discount value; multiply counts by 4 so the
@@ -202,7 +203,7 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             max(m_ppm * 1024 // u_ppm, 1).bit_length() if u_ppm else 0
         )
         rows.append((f, m_ppm, u_ppm, weight_q))
-    return spark.createDataFrame(
+    return values_df(spark, 
         rows, "field string, m_ppm long, u_ppm long, weight_q long"
     ).orderBy("field")
 

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.global_order import with_global_order_stat
+from ..functions.local_table import values_df
 
 CONF_ALPHAS_PPM = (50_000, 100_000, 200_000)
 
@@ -90,7 +91,7 @@ def conformal_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // n_test
             )
         rows.append((alpha, n_cal, n_test, q_hat, cov))
-    return spark.createDataFrame(
+    return values_df(spark, 
         rows,
         "alpha_ppm long, n_cal long, n_test long, q_hat long, coverage_ppm long",
     ).orderBy("alpha_ppm")

@@ -27,6 +27,7 @@ from .pipeline56 import (
     _word_counts,
     viterbi_sql_chain,
 )
+from ..functions.local_table import values_df
 
 PSI_DAY_US = 86_400_000_000
 PSI_THRESHOLD_Q = 200_000  # classic "significant shift" PSI ≈ 0.2 analog
@@ -97,7 +98,7 @@ def unigram_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     final1 = _viterbi_final(wc, vcost1)
     row_b = _stats("b_pruned", vcost1.count(), final1)
 
-    return spark.createDataFrame(
+    return values_df(spark, 
         [row_a, row_b],
         "stage string, vocab_size long, total_pieces long, fertility_ppm long",
     ).orderBy("stage")

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .dedup import SQL_SHINGLES_CTE, _shingles
+from ..functions.local_table import values_df
 
 DAY_US = 86_400_000_000
 #: c(α=0.05)² · 1e6 for the KS critical value — 1.358102² = 1.844441.
@@ -450,7 +451,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen: list[tuple[int, int, int, int]] = []
     for step in range(1, COVERAGE_STEPS + 1):
         if covered:
-            cov_df = spark.createDataFrame(
+            cov_df = values_df(spark, 
                 [(s,) for s in covered], "shingle string"
             )
             remaining = sh.join(F.broadcast(cov_df), "shingle", "left_anti")
@@ -474,7 +475,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         covered.extend(new_sh)
         chosen.append((step, doc_id, gain, len(covered)))
-    return spark.createDataFrame(
+    return values_df(spark, 
         chosen, "step long, doc_id long, gain long, covered_cum long"
     ).orderBy("step")
 

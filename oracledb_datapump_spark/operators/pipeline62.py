@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from ..functions.global_order import with_global_order_stat
 from ..functions.text import hash64, sql_hash64
 from .dedup import SQL_SHINGLES_CTE, _shingles, shingle_pair_intersections
+from ..functions.local_table import values_df
 
 #: exact-Jaccard ppm threshold for the SNM truth set (dedup.py's 0.6).
 SNM_TRUTH_PPM = 600_000
@@ -241,7 +242,7 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grn")
         - F.when(F.col("arm") == 1, F.lit(off0)).otherwise(F.lit(0)),
     )
-    targets = spark.createDataFrame(
+    targets = values_df(spark, 
         [
             (a, n, d)
             for a, n in sorted(arm_counts.items())

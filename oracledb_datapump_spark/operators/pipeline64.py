@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.global_order import with_global_order_stat
+from ..functions.local_table import values_df
 
 DAY_US = 86_400_000_000
 #: ABC cumulative revenue-share cuts (ppm).
@@ -314,7 +315,7 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ov = m1.join(m2, ["d1", "d2"]).count()
     n1, n2 = m1.count(), m2.count()
     chap = (n1 + 1) * (n2 + 1) // (ov + 1) - 1
-    return spark.createDataFrame(
+    return values_df(spark, 
         [
             (
                 n1,
@@ -414,7 +415,7 @@ def hurst_rs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bounds.select("d0")))
         .select((F.col("day") - F.col("d0")).alias("i"), "x")
     )
-    sizes = spark.createDataFrame(
+    sizes = values_df(spark, 
         [(b,) for b in HURST_BLOCKS], "b long"
     )
     blk = dense.crossJoin(F.broadcast(sizes)).select(

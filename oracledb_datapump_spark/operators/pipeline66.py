@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 #: component quantization for k-center distances (|x| ≤ 0.6 fixture).
 KC_QUANT = 10_000
 #: centers selected by the farthest-point traversal.
@@ -101,7 +103,7 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chosen.append((step, int(far["vec_id"]), int(far["mind"])))
         center = list(far["q"])
-    return spark.createDataFrame(
+    return values_df(spark, 
         chosen, "step long, vec_id long, radius_q long"
     ).orderBy("step")
 

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash64, sql_hash64
+from ..functions.local_table import values_df
 
 DAY_US = 86_400_000_000
 #: medoid clustering threshold (dedup.py's 0.6 in ppm).
@@ -485,7 +486,7 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly as the old per-pick filters did). The rank rides the
     # range-partitioned global-order helper (no SinglePartition window;
     # its offset collect also supplies n, replacing the count() action).
-    picks_df = spark.createDataFrame(picks, "stat string, idx long")
+    picks_df = values_df(spark, picks, "stat string, idx long")
     return (
         ranked.join(F.broadcast(picks_df), ranked.rn == picks_df.idx)
         .select(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 DAY_US = 86_400_000_000
 SEASON_DAYS = 7
 #: rich-club degree thresholds.
@@ -184,7 +186,7 @@ def rich_club_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             else 0
         )
         rows.append((t, n_rich, e_rich, phi))
-    return spark.createDataFrame(
+    return values_df(spark, 
         rows,
         "deg_threshold long, n_rich long, e_rich long, phi_ppm long",
     ).orderBy("deg_threshold")

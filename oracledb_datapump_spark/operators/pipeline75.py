@@ -38,6 +38,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 #: SPRT design: H0/H1 conversion probabilities (ppm) and error rates.
 SPRT_P0_PPM = 500_000
 SPRT_P1_PPM = 550_000
@@ -265,7 +267,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = int(r["d"])
         s = s * (n - d) // n
         rows.append((int(r["week_bucket"]), d, int(r["c"]), n, s))
-    return spark.createDataFrame(
+    return values_df(spark, 
         rows,
         "week_bucket long, n_events long, n_censored long,"
         " n_at_risk long, s_ppm long",

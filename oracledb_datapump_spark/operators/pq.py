@@ -40,6 +40,8 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 PQ_M = 4  # subspaces
 PQ_SUB = 16  # dims per subspace (embeddings are 64-d)
 PQ_K = 8  # codes per subspace codebook
@@ -89,7 +91,7 @@ def _packed_codebooks(
         (int(m), int(cid), [int(v) for v in cv])
         for (m, cid), cv in sorted(books.items())
     ]
-    cent_df = spark.createDataFrame(rows, "m long, cid long, cv array<long>")
+    cent_df = values_df(spark, rows, "m long, cid long, cv array<long>")
     return cent_df.agg(F.collect_list(F.struct("m", "cid", "cv")).alias("cents"))
 
 
@@ -424,7 +426,7 @@ def ann_ivfpq_topk(
 
     assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
     cents = _fit_centroids(spark, sf_dir)
-    cent_df = spark.createDataFrame(
+    cent_df = values_df(spark, 
         [(int(cid), [int(v) for v in cv]) for cid, cv in cents],
         "cid long, cv array<long>",
     )

@@ -34,6 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.local_table import values_df
+
 #: burn-in length (observed days) that freezes the reference level.
 CUSUM_BURN_DAYS = 28
 #: allowance k = μ div this (0.5% of the reference level).
@@ -136,7 +138,7 @@ def run_cusum_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
                 )
             )
         if rows:
-            spark.createDataFrame(
+            values_df(spark, 
                 rows,
                 "day long, i long, splus_q long, sminus_q long,"
                 " alarm_flag boolean",

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.pipeline72 import PH_DELTA_Q
+from ..functions.local_table import values_df
 
 _STATE_FILE = "_ph_state.json"
 
@@ -121,7 +122,7 @@ def run_ph_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
             rows.append(
                 (int(r["day"]), st["n"], st["m"], st["m"] - st["minm"])
             )
-        spark.createDataFrame(
+        values_df(spark, 
             rows, "day long, i long, m_q long, ph_q long"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "trajectory", f"batch_id={batch_id}")
