@@ -41,4 +41,11 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array<float> or array<double> — element-wise casts downstream "
             "assume a float vector"
         )
-    return e
+    # r16 (guide §2.2): a fixture-sized embeddings.parquet scans as one
+    # partition, serializing every consumer's per-vector arithmetic
+    # (dot folds, quantization, PQ coding) onto one core before its
+    # first exchange; widen to session parallelism when narrower —
+    # no-op at any scale where the scan is already wide
+    from ..functions.partitioning import widen_small_scan
+
+    return widen_small_scan(e)

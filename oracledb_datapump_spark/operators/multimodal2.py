@@ -32,6 +32,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..functions.partitioning import widen_small_scan
 
 WAV_RATE = 8000
 WAV_BASE_SAMPLES = 800
@@ -93,6 +94,10 @@ def synth_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver never touches payload bytes), one valid WAV + one valid BMP
     per doc."""
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # r16: widen the 1-partition fixture scan so the Arrow-batched
+    # Python decode/synth below runs at session width (guide §2.2/§4;
+    # no-op at any scale where the scan is already wide)
+    ids = widen_small_scan(ids)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

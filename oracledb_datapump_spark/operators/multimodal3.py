@@ -36,6 +36,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from ..functions.partitioning import widen_small_scan
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 BPP = 3  # 8-bit truecolor, no alpha
@@ -204,6 +205,10 @@ def synth_png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, png): real zlib-deflated PNG bytes per document,
     generated executor-side (mapInPandas) from the doc_id formula."""
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # r16: widen the 1-partition fixture scan so the Arrow-batched
+    # Python decode/synth below runs at session width (guide §2.2/§4;
+    # no-op at any scale where the scan is already wide)
+    ids = widen_small_scan(ids)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -38,6 +38,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from ..functions.partitioning import widen_small_scan
 
 # Annex K (ITU T.81) luminance quantization table, zigzag order
 STD_QUANT_LUMA = [
@@ -404,6 +405,10 @@ def synth_jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, jpeg): real baseline-JPEG bytes per document, generated
     executor-side from the tile formula."""
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # r16: widen the 1-partition fixture scan so the Arrow-batched
+    # Python decode/synth below runs at session width (guide §2.2/§4;
+    # no-op at any scale where the scan is already wide)
+    ids = widen_small_scan(ids)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

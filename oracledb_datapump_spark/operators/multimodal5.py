@@ -34,6 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .multimodal4 import jpeg_decode_gray, jpeg_encode_gray
+from ..functions.partitioning import widen_small_scan
 
 
 def _avi_dims(doc_id: int) -> tuple[int, int]:
@@ -167,6 +168,10 @@ def avi_decode_mjpeg(raw: bytes) -> dict:
 def synth_video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, avi): real AVI/MJPEG bytes per document, executor-side."""
     ids = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # r16: widen the 1-partition fixture scan so the Arrow-batched
+    # Python decode/synth below runs at session width (guide §2.2/§4;
+    # no-op at any scale where the scan is already wide)
+    ids = widen_small_scan(ids)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

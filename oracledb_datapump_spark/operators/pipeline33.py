@@ -137,8 +137,14 @@ def hilbert_skip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r16: pin the quantized base ONCE — both layout branches (and the
     # min/max broadcast inside each) used to re-derive it from the
-    # parquet scan, costing four lineitem scans per run (guide §2.4/§5)
-    q = q.localCheckpoint(eager=True)
+    # parquet scan, costing four lineitem scans per run (guide §2.4/§5).
+    # Widened first: a fixture-sized lineitem scans as 1-3 partitions,
+    # which ran the 16-step Hilbert chain on one core (~4.4 s of the
+    # query); at production scale the scan is already wide and the
+    # widen is a no-op (functions/partitioning).
+    from ..functions.partitioning import widen_small_scan
+
+    q = widen_small_scan(q).localCheckpoint(eager=True)
     date_lo = F.datediff(F.lit(LAYOUT_DATE_LO), F.lit("1992-01-01")).cast("long")
     date_hi = F.datediff(F.lit(LAYOUT_DATE_HI), F.lit("1992-01-01")).cast("long")
 
