@@ -74,7 +74,17 @@ _SP_WINDOW_EXEMPT = {
     "gini_source_chars": (2, "|sources| rows"),
     "hash_bootstrap_ci": (1, "BOOT_B=32 resampled means"),
     "histogram_quantiles": (1, "|histogram bins| rows"),
-    "hurst_rs_report": (1, "|block sizes| rows (log-spaced)"),
+    # second entry since r16's values_df: the literal block-size frame
+    # is known-1-partition, so at test SF the (b, blk) cumsum window's
+    # tiny AQE-coalesced input needs no hash exchange and the counter
+    # attributes the bounds-agg SinglePartition exchange deeper in the
+    # subtree to it; the window itself is over the dense day axis × 4
+    # block sizes (calendar-bounded) and at scale its input arrives
+    # multi-partition from the daily join, restoring the hash exchange
+    "hurst_rs_report": (
+        2,
+        "|block sizes| rows (log-spaced); day-axis cumsum <=|days|*4 rows",
+    ),
     "mase_seasonal_backtest": (1, "daily series, <=|days| rows"),
     "orders_autocorrelation": (2, "daily series, <=|days| rows"),
     "orders_backlog_timeline": (1, "calendar months (~84 rows)"),
