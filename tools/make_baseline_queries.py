@@ -136,10 +136,14 @@ def medians_from_full(path: str) -> dict[str, float]:
 # CLEAN_FULLS; committed BENCH_FULL.json remains the r15a clean
 # capture). Forensic copy parked outside the repo.
 CLEAN_FULLS = [
-    ("072cc95", "r13a"),  # round-13 closing capture (225.7s/176q, 1.036, zero errors, zero >=2x rows; sentinel benign-faster) — first anchors for the five new r13 headliners
-    ("14c9a28", "r13d"),  # driver's judge-time capture at the r13 boundary (227.4s/176q, 1.034 of best-known, zero errors, zero >=2x rows; judge-verified same-code working-tree capture)
-    ("c014644", "r14a"),  # round-14 closing capture (375.4s/212q, 1.204 on a drifting host — see its commit message) — kept ALONGSIDE the r13 pair, not replacing it: its job is FIRST anchors for the 36 new round-14 headliners (best-median-across-captures means it cannot degrade any legacy anchor); hubness_report's anchor predates the 91b3664 optimization and will tighten at the next clean capture
-    ("1716804", "r15a"),  # round-15 clean capture (364.1s/219q, 1.166, zero >=2x rows, sentinel benign-faster 0.59x, captured right after the 682-test suite went green) — first anchors for the 8 new r15 headliners and the re-anchor point for the six PLAN_RESETS queries (the plan that ships is the plan the anchor measures)
+    # r13 pair (072cc95 r13a, 14c9a28 r13d) PRUNED at r16 per the
+    # documented policy and the r15 verdict ask #7: verified (set
+    # arithmetic over the captures' queries dicts, r16 session log)
+    # that the pair covers NO query the r14a/r15a pair doesn't.
+    ("c014644", "r14a"),  # round-14 closing capture (375.4s/212q, 1.204 on a drifting host — see its commit message): FIRST anchors for the 36 round-14 headliners (best-median-across-captures means it cannot degrade any legacy anchor)
+    ("1716804", "r15a"),  # round-15 clean capture (364.1s/219q, 1.166, zero >=2x rows, sentinel benign-faster 0.59x, captured right after the 682-test suite went green) — first anchors for the 8 new r15 headliners and the re-anchor point for the six r15 PLAN_RESETS queries (the plan that ships is the plan the anchor measures)
+    ("a15851f", "r16a"),  # round-16 first-session clean capture (313.4s/223q, 0.989x, benign 0.62x sentinel) — first anchors for the 4 batch-74-76 headliners; tightens the waves-1-7 optimized queries
+    ("c8c4dd7", "r16b"),  # round-16 second-session clean capture (316.3s/223q, 1.003x on a host reading a 1.196x median ratio vs r16a on untouched queries; benign 0.95x sentinel; first attempt self-parked contaminated) — the only capture measuring the wave-8/9/10 plans (jl global-order route, shapley JVM lattice, hilbert widen+pin, values_df sweep, scan widens), so it seeds their tight anchors
 ]
 
 
@@ -174,6 +178,12 @@ PLAN_RESETS = {
     "cumulative_gains_auc": (15, "a"),
     "conformal_calibration_report": (15, "a"),
     "abc_xyz_matrix": (15, "a"),
+    # r16 wave 8 deliberately traded ~0.4 s of fixture-scale fixed cost
+    # (range shuffle + eager pin) for the range-partitioned rank the
+    # SP-window contract requires; anchors from the old WindowGroupLimit
+    # plan would read as a permanent phantom regression. r16b is the
+    # first clean capture measuring the shipped plan.
+    "jl_distortion_report": (16, "b"),
 }
 
 
