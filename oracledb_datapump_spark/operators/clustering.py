@@ -36,7 +36,11 @@ QUANT_SCALE = 1e7
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .emb_source import load_embeddings
 
-    emb = load_embeddings(spark, sf_dir)
+    # widen=True (guide §2.2): consumers run per-vector quantization +
+    # K-centroid distance argmins over this frame (row-heavy first
+    # stage). r17 A/B of the widen split measured kmeans_assign 1.49×
+    # WITHOUT the widen — this site keeps it.
+    emb = load_embeddings(spark, sf_dir, widen=True)
     return emb.select(
         "vec_id",
         F.transform(

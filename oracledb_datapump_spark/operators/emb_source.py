@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 REQUIRED_COLUMNS = ("vec_id", "embedding")
 
 
-def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_embeddings(
+    spark: SparkSession, sf_dir: str, widen: bool = False
+) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     missing = [c for c in REQUIRED_COLUMNS if c not in e.columns]
     if missing:
@@ -41,11 +43,18 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array<float> or array<double> — element-wise casts downstream "
             "assume a float vector"
         )
-    # r16 (guide §2.2): a fixture-sized embeddings.parquet scans as one
-    # partition, serializing every consumer's per-vector arithmetic
-    # (dot folds, quantization, PQ coding) onto one core before its
-    # first exchange; widen to session parallelism when narrower —
-    # no-op at any scale where the scan is already wide
-    from ..functions.partitioning import widen_small_scan
+    # r17 (guide §2.2, r16 verdict item 1): the widen is now OPT-IN per
+    # consumer instead of unconditional in this absorber. r16 applied
+    # widen_small_scan here for every consumer; the driver's bench showed
+    # the exchange of the full embedding arrays regresses every consumer
+    # whose first stage is NOT row-heavy (embedding_dim_profile 0.48×,
+    # centroid_topk 0.69×, doc_embedding_coverage 0.82×,
+    # embedding_pca_scores 0.89×) — the same payload-through-the-widen
+    # failure r16 itself measured and reverted for media_features and
+    # docs_source. Consumers with a genuinely row-heavy first stage
+    # (ann_bruteforce's n·|Q| cosine fan-out, PQ coding) pass widen=True.
+    if widen:
+        from ..functions.partitioning import widen_small_scan
 
-    return widen_small_scan(e)
+        return widen_small_scan(e)
+    return e

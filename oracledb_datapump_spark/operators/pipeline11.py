@@ -87,79 +87,90 @@ def connected_components_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds — the same short-cutting idea as large-star/small-star. At
     100 TB each round shuffles |E| + |V| keyed rows and hub skew is
     absorbed by map-side partial min."""
-    edges = _cc_edges(spark, sf_dir).localCheckpoint(eager=True)
-    # size the iteration's partitioning to the GRAPH, not the session
-    # default: the loop pays per-task scheduling overhead every round,
-    # so a 20k-edge graph on 32 shuffle partitions spends its wall time
-    # on empty tasks while a 100 TB graph needs the full width. ~500k
-    # edges per partition keeps tasks meaningful at every scale.
-    n_edges = edges.count()
-    n_parts = max(2, min(int(n_edges // 500_000) + 1, 2048))
-    edges = edges.repartition(n_parts, "src").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .repartition(n_parts, "node")
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+    # r17 (verdict item 5, guide §2.1): the min-label + single-hop
+    # pointer-doubling loop converged in 16 rounds at sf0.1 with ~0.8 s
+    # of per-round fixed cost — the rounds, not the per-round plan, were
+    # the bill. Replaced by the alternating large-star/small-star
+    # algorithm (Kiveris et al., "Connected Components in MapReduce and
+    # Beyond", SoCC'14), which contracts toward per-component stars in
+    # O(log n) rounds. Each round is two edge-set rewrites:
+    #   large-star(x): every neighbor w > x re-points to
+    #                  m = min(Γ(x) ∪ {x});
+    #   small-star(u): u and its smaller neighbors re-point to
+    #                  m = min(Γ≤(u) ∪ {u}).
+    # Both preserve component connectivity and only ever decrease edge
+    # endpoint ids; the fixpoint is exactly the star set
+    # {(node, component-min)}, so the final histogram is bit-identical
+    # to the old loop's (and to the oracle's recursive min-reachable
+    # CTE). Convergence witness: per input edge both rewrites emit
+    # exactly one edge whose endpoint-sum never increases, and the
+    # distinct() can only merge — so the (count, Σ(u+v)) pair over the
+    # round's output is non-increasing and constant iff the round was
+    # an identity. One 1-row aggregate per round (DECIMAL(38,0) exact;
+    # ids ≤ 2^40 + partkey, far inside).
+    edges = _cc_edges(spark, sf_dir)
+    # canonical undirected form: one (u, v) row per edge with u > v
+    # (customer and part ids are disjoint, so u ≠ v always)
+    E = edges.filter(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    # convergence witness: labels only ever DECREASE toward the
-    # component min, so Σlabel (exact DECIMAL(38,0) — no overflow below
-    # 1e38, far past any node-id·|V| product) is strictly decreasing
-    # until, and constant at, the fixpoint. Comparing sums replaces the
-    # old per-round new⋈old join + count (one extra shuffle) with a
-    # map-side partial aggregate over the already-checkpointed frame
-    # (guide §2.4 — remove shuffles outright). Same termination round,
-    # bit-identical final labels.
-    _sum = lambda df: df.agg(  # noqa: E731
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
-    prev_sum = _sum(labels)
+    # size the iteration's partitioning to the GRAPH, not the session
+    # default (same rationale as before): ~500k edges per partition.
+    n_edges = E.count()
+    n_parts = max(2, min(int(n_edges // 500_000) + 1, 2048))
+    E = E.repartition(n_parts, "u").localCheckpoint(eager=True)
+
+    def _witness(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                (F.col("u") + F.col("v")).cast("decimal(38,0)")
+            ).alias("s"),
+        ).collect()[0]
+        return row["c"], row["s"]
+
+    prev = _witness(E)
     for _ in range(CC_MAX_ITERS):
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nbr_min"))
+        # large-star: process every node x over its full neighborhood
+        # (symmetrized view); re-point larger neighbors at the min.
+        sym = E.unionAll(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # cand feeds BOTH sides of the pointer-doubling join below;
-        # without this pin the edges⋈labels neighbor-min subtree (the
-        # round's expensive stage) executes twice per round (guide §5 —
-        # materialize exactly the reused intermediate)
-        cand = (
-            labels.join(nbr, labels.node == nbr.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
-                ).alias("label"),
-            )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are (u > v); re-point u and its smaller
+        # neighbors at the group min. m < u always, and exactly the
+        # v == m row is dropped as a self-loop, so the emitted count
+        # matches the input count pre-distinct.
+        minsS = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(minsS, "u")
+            .select(F.col("v").alias("x"), "m")
+            .filter(F.col("x") != F.col("m"))
+            .unionAll(minsS.select(F.col("u").alias("x"), "m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        # pointer doubling: follow the label chain one hop (label of
-        # label); labels only ever decrease toward the component min,
-        # so the fixpoint is unchanged while chain components collapse
-        # exponentially faster
-        hop = cand.select(
-            F.col("node").alias("ln"), F.col("label").alias("ll")
-        )
-        new_labels = (
-            cand.join(hop, cand.label == hop.ln, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("ll", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = _sum(new_labels)
-        labels = new_labels
-        if cur_sum == prev_sum:
+        cur = _witness(small)
+        E = small
+        if cur == prev:
             break
-        prev_sum = cur_sum
+        prev = cur
+    # at the star fixpoint every non-root node carries exactly one edge
+    # to its component min; roots appear only on the v side
     return (
-        labels.groupBy("label")
-        .agg(F.count(F.lit(1)).alias("component_size"))
+        E.groupBy("v")
+        .agg((F.count(F.lit(1)) + F.lit(1)).cast("long").alias("component_size"))
         .groupBy("component_size")
         .agg(F.count(F.lit(1)).alias("n_components"))
         .orderBy("component_size")

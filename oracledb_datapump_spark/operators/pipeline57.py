@@ -65,7 +65,11 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently sequential and pool-sized, never corpus-sized."""
     from .emb_source import load_embeddings
 
-    e = load_embeddings(spark, sf_dir).select(
+    # widen=True (guide §2.2): the pool stage is the same broadcast
+    # queries × corpus cosine fan-out as ann_bruteforce_topk (row-heavy
+    # first stage); r16 benched 0.80× with the widen, kept per-consumer
+    # in r17 when the absorber-level widen was split out.
+    e = load_embeddings(spark, sf_dir, widen=True).select(
         "vec_id", _qvec(F.col("embedding")).alias("qv")
     )
     q = e.filter(F.col("vec_id") < MMR_QUERIES).select(

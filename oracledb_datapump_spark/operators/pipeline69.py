@@ -349,10 +349,13 @@ def hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("na"),
         *[F.element_at("q", i + 1).alias(f"c{i}") for i in range(n_dims)],
     ).localCheckpoint(eager=True)
-    # the stream side is only |vecs| rows — repartition it so the n²
-    # row-local fold parallelizes (a 2k-row stream side otherwise runs
-    # the whole 4M-row nested loop on one or two cores)
-    a = vecs.repartition(32).select(
+    # the stream side is only |vecs| rows — widen it so the n² row-local
+    # fold parallelizes (a 2k-row stream side otherwise runs the whole
+    # 4M-row nested loop on one or two cores). r17: session-derived
+    # width (widen_small_scan), not the former local[32] constant.
+    from ..functions.partitioning import widen_small_scan
+
+    a = widen_small_scan(vecs).select(
         F.col("vec_id").alias("va"),
         F.col("na").alias("nna"),
         *[F.col(f"c{i}").alias(f"ca{i}") for i in range(n_dims)],

@@ -77,7 +77,11 @@ def codes_select(coded: DataFrame) -> DataFrame:
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .emb_source import load_embeddings
 
-    emb = load_embeddings(spark, sf_dir)
+    # widen=True (guide §2.2): every consumer's first stage over this
+    # frame is per-vector PQ arithmetic (M×K argmin of subspace L2 —
+    # row-heavy); the r16 A/B measured 0.75× on embedding_pq_codes with
+    # the widen. r17 moved the widen here from the shared absorber.
+    emb = load_embeddings(spark, sf_dir, widen=True)
     return emb.select("vec_id", quantize_expr().alias("qv"))
 
 

@@ -30,10 +30,10 @@ LSH_TABLES = 4  # L independent hash tables (union of candidates)
 LSH_BITS = 4  # bits per table signature
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _emb(spark: SparkSession, sf_dir: str, widen: bool = False) -> DataFrame:
     from .emb_source import load_embeddings
 
-    return load_embeddings(spark, sf_dir)
+    return load_embeddings(spark, sf_dir, widen=widen)
 
 
 def _cosine(a, b):
@@ -66,8 +66,13 @@ def _cosine(a, b):
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-{TOP_K} cosine neighbors for the first {N_QUERIES}
-    vectors. Query side broadcast; corpus scanned once."""
-    e = _emb(spark, sf_dir)
+    vectors. Query side broadcast; corpus scanned once.
+
+    widen=True (guide §2.2): the first stage is the n·|Q| cosine
+    fan-out over the corpus scan — row-heavy enough that widening the
+    fixture-narrow scan paid 0.48× in the r16 A/B; r17 moved the widen
+    here from the shared absorber (it regressed the light consumers)."""
+    e = _emb(spark, sf_dir, widen=True)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -508,8 +513,11 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed; each ablation arm is one broadcast-scored pass
     over the corpus + a {TOP_K}·{N_QUERIES}-row join against it. At
     100 TB each arm reads the SAME cached candidate geometry a real
-    ablation would sample, so cost scales with arms × corpus scan."""
-    e = _emb(spark, sf_dir)
+    ablation would sample, so cost scales with arms × corpus scan.
+
+    widen=True: four broadcast-scored cosine fan-outs over the corpus
+    scan — the same row-heavy first stage as ann_bruteforce_topk."""
+    e = _emb(spark, sf_dir, widen=True)
     full = _topk_sliced(e, ABLATION_DIMS[0]).localCheckpoint(eager=True)
     full1 = full.filter(F.col("rank") == 1).select(
         "query_id", F.col("neighbor_id").alias("full_top1")

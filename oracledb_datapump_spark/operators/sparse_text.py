@@ -375,7 +375,13 @@ def bm25_search_topk(
     prunes stopword-frequency postings exactly as in tfidf (off in the
     gated oracle: the synthetic vocab-30 corpus is all-stopword)."""
     if tf is None:
-        tf = _tf_table(spark, sf_dir).localCheckpoint(eager=True)
+        # r17: lazy pin (eager=False) — still one tokenize pass shared
+        # by dl/df/idx (the checkpoint persists on first computation),
+        # but no longer a BLOCKING driver job before the main query;
+        # the eager form serialized two barrier jobs per invocation,
+        # which the single-shot consumers (retrieval_eval_mrr driver
+        # regression 0.62×) paid without reusing (guide §5).
+        tf = _tf_table(spark, sf_dir).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_toks")
@@ -402,8 +408,12 @@ def bm25_search_topk(
     # pin: idx feeds the broadcast query-postings build AND the corpus
     # stream side of the score join — unpinned, the tf⋈df⋈dl lineage
     # (two joins + two aggregations over tf) executes once per consumer;
-    # tfidf_search_topk pins its idx for the same reason (guide §2.4)
-    idx = idx.localCheckpoint(eager=True)
+    # tfidf_search_topk pins its idx for the same reason (guide §2.4).
+    # r17: lazy (eager=False) — the broadcast build is the first
+    # consumer and materializes the pin inside the main action instead
+    # of behind a separate blocking job (guide §5; the r16 eager pin
+    # cost retrieval_eval_mrr 0.62× in the driver's bench).
+    idx = idx.localCheckpoint(eager=False)
     q_idx = idx.filter(F.col("doc_id") < TFIDF_N_QUERIES).select(
         F.col("doc_id").alias("query_doc"), "tok", F.col("tf").alias("qtf")
     )
