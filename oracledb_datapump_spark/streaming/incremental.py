@@ -95,6 +95,57 @@ def stage_events_arrivals(
     ]
 
 
+def land_slices_single_pass(
+    df: DataFrame,
+    slice_col,
+    n_slices: int,
+    src_dir: str,
+    prefix: str = "docs",
+) -> None:
+    """Land ``n_slices`` arrival files (``<prefix>-N.parquet``, one part
+    file each, ascending mtimes so the file stream source drains them in
+    order) in ONE pass over ``df`` (guide §6): partitionBy on the slice
+    id instead of one filtered coalesce(1) scan PER slice — the old
+    staging paid |slices| full corpus scans, each single-task. The
+    slice column is written into the directory name, not the files, so
+    file content keeps exactly the source schema. A slice empty on a
+    degenerate timeline falls back to an explicit empty file."""
+    import shutil
+    import time as _time
+
+    stage = os.path.join(src_dir, "__stage_all__")
+    (
+        df.withColumn("__slice", slice_col.cast("int"))
+        .repartition("__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(stage)
+    )
+    now = _time.time()
+    for i in range(n_slices):
+        leaf = os.path.join(stage, f"__slice={i}")
+        part = None
+        if os.path.isdir(leaf):
+            part = next(
+                (
+                    n
+                    for n in sorted(os.listdir(leaf))
+                    if n.startswith("part-") and n.endswith(".parquet")
+                ),
+                None,
+            )
+        dest = os.path.join(src_dir, f"{prefix}-{i}.parquet")
+        if part is None:
+            _land_single_parquet(
+                df.filter(slice_col.cast("int") == i).drop("__slice"), dest
+            )
+        else:
+            os.replace(os.path.join(leaf, part), dest)
+        # deterministic drain order regardless of write timing ties
+        os.utime(dest, (now + i, now + i))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def _land_single_parquet(df: DataFrame, dest_file: str) -> None:
     """Write ``df`` as ONE parquet file at ``dest_file`` (the arrival
     contract of the watched source dir). Spark writes a single-part

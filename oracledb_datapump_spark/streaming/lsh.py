@@ -47,7 +47,7 @@ from ..operators.dedup import (
     _shingles,
     _shingles_multiset,
 )
-from .incremental import _land_single_parquet
+from .incremental import _land_single_parquet, land_slices_single_pass
 
 PAIR_SCHEMA = (
     "new_doc long, old_doc long, jaccard double, arrival_batch long"
@@ -56,8 +56,18 @@ PAIR_SCHEMA = (
 
 def _bands_for(docs: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, sig) for the given docs — the same construction as
-    dedup_minhash_pairs (dedup.py:226), parameterized by doc frame."""
-    agg = _shingles_multiset(spark, sf_dir, docs).groupBy("doc_id").agg(
+    dedup_minhash_pairs (dedup.py:226), parameterized by doc frame.
+
+    r17 (guide §2.2): an arriving micro-batch is ONE file → one scan
+    partition, so the tokenize→shingle→16-hash build (the dominant
+    per-batch cost — ~2.5 s of the ~5.5 s micro-batch loop at sf0.1)
+    ran on one core of the session; widen to session parallelism when
+    narrower — a no-op whenever the arrival batch is already wide."""
+    from ..functions.partitioning import widen_small_scan
+
+    agg = _shingles_multiset(
+        spark, sf_dir, widen_small_scan(docs)
+    ).groupBy("doc_id").agg(
         *_minhash_cols()
     )
     band_sig = [
@@ -101,7 +111,11 @@ def run_streaming_dedup(
             for n in os.listdir(index_dir)
             if not n.startswith(("_", "."))
         ):
-            seen_b = spark.read.parquet(index_dir).unionByName(new_b)
+            # explicit schema: skips the per-batch footer-sampling
+            # schema inference over the accumulated index files (§6)
+            seen_b = spark.read.schema(new_b.schema).parquet(
+                index_dir
+            ).unionByName(new_b)
         a = new_b.alias("a")
         b = seen_b.alias("b")
         cand = (
@@ -118,8 +132,14 @@ def run_streaming_dedup(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # grow the index regardless of whether this batch found pairs
-        new_b.write.mode("append").parquet(index_dir)
+        # grow the index regardless of whether this batch found pairs.
+        # r17 (§6): ONE file per micro-batch append — the checkpointed
+        # band frame carries the shuffle width (32 near-empty files per
+        # batch before), and every later batch re-lists and re-opens
+        # the whole dir; at scale this is the standard "don't write a
+        # task-count of tiny files per micro-batch" hygiene (the
+        # compaction lifecycle gate covers consolidation separately)
+        new_b.coalesce(1).write.mode("append").parquet(index_dir)
         if cand.isEmpty():
             return
         # verification: exact Jaccard from the SOURCE store, candidate
@@ -138,6 +158,11 @@ def run_streaming_dedup(
         cand_src = spark.read.parquet(
             f"{sf_dir}/documents.parquet"
         ).join(F.broadcast(cand_docs), "doc_id", "semi")
+        # r17 negative result: widening cand_src before the shingling
+        # was A/B-measured 1.36× on the verify phase (the candidate
+        # text pays an exchange while the shingle stream feeds an
+        # immediate groupBy shuffle anyway — the same reason the r16
+        # docs_source widen was reverted). Left unwidened.
         sh = _shingles(spark, sf_dir, docs=cand_src).localCheckpoint(
             eager=True
         )
@@ -214,13 +239,18 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n = d.agg(F.max("doc_id") + 1).collect()[0][0]
         c1, c2 = n // 3, 2 * n // 3
-        slices = [
-            d.filter(F.col("doc_id") < c1),
-            d.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
-            d.filter(F.col("doc_id") >= c2),
-        ]
-        for i, sl in enumerate(slices):
-            _land_single_parquet(sl, os.path.join(src, f"docs-{i}.parquet"))
+        # r17 (§6): all three tercile arrival files land in ONE corpus
+        # pass (partitionBy on the tercile id) — the per-slice
+        # filtered coalesce(1) staging paid three full single-task
+        # corpus scans before the stream even started
+        land_slices_single_pass(
+            d,
+            F.when(F.col("doc_id") < c1, 0)
+            .when(F.col("doc_id") < c2, 1)
+            .otherwise(2),
+            3,
+            src,
+        )
         # schema-seed the pairs dir so a pair-free drain still reads back
         spark.createDataFrame([], PAIR_SCHEMA).write.mode("overwrite").parquet(
             pairs_dir
