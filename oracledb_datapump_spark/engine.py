@@ -635,7 +635,7 @@ def _write_import_df(
     config: PlanConfig,
     df,
 ):
-    """The import-side write half, shared by import_table (dump -> 
+    """The import-side write half, shared by import_table (dump ->
     target) and transfer_table (NETWORK_LINK: source -> target with no
     intermediate dump): TABLE_EXISTS_ACTION incl. the MERGE family
     (MERGE_KEY/ORDER/DELETE_COL/PRUNE), schema evolution, and the

@@ -75,12 +75,25 @@ def _arrow_type(dtype: T.DataType):
 def _arrow_df(spark: SparkSession, rows: Sequence, st: T.StructType) -> DataFrame:
     import pyarrow as pa
 
-    arrays = [
-        pa.array([row[i] for row in rows], type=_arrow_type(f.dataType))
-        for i, f in enumerate(st.fields)
-    ]
+    try:
+        arrays = [
+            pa.array([row[i] for row in rows], type=_arrow_type(f.dataType))
+            for i, f in enumerate(st.fields)
+        ]
+    except TypeError:
+        # a dtype with no Arrow mapping (date, timestamp, decimal,
+        # nested struct): fall back to the classic path rather than
+        # fail only once a call site's table grows past the literal
+        # threshold (r16 advice) — the PythonRDD-leaf cost is the
+        # lesser evil for a type we cannot batch
+        return spark.createDataFrame([tuple(r) for r in rows], st)
     tbl = pa.Table.from_arrays(arrays, names=[f.name for f in st.fields])
-    return spark.createDataFrame(tbl)
+    # select through the parsed schema so BOTH build paths emit
+    # identical column types/nullability — a call site whose row count
+    # drifts across LITERAL_MAX_CELLS must not see a schema change
+    return spark.createDataFrame(tbl).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
 
 
 def values_df(
@@ -103,6 +116,14 @@ def values_df(
         raise TypeError(f"values_df needs a struct schema, got {st}")
     if not rows:
         return spark.createDataFrame([], st)
+    for row in rows:
+        if len(row) != len(st.fields):
+            # createDataFrame raises on length mismatch; diverging here
+            # would hide a caller bug as silent data loss (r16 advice)
+            raise ValueError(
+                f"values_df: row has {len(row)} elements, schema has "
+                f"{len(st.fields)} fields: {row!r}"
+            )
     n_cells = sum(
         len(row[i]) if isinstance(f.dataType, T.ArrayType) and row[i] else 1
         for row in rows

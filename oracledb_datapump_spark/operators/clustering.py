@@ -60,7 +60,7 @@ def _with_nearest(spark: SparkSession, q: DataFrame, centroids: list[tuple[int, 
     literal form re-analyzed K*dim constants per pass and dominated
     wall-clock at small SF). Still zero shuffle: a broadcast
     single-row cross join is a map-side constant."""
-    cent_df = values_df(spark, 
+    cent_df = values_df(spark,
         [(int(cid), [int(v) for v in vec]) for cid, vec in centroids],
         "cid long, cv array<long>",
     )

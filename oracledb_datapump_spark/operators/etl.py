@@ -487,7 +487,7 @@ def datapump_sqlfile_script(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" WHERE table_name IN ({', '.join(repr(t) for t in tables)})"
             " ORDER BY table_name, ordinal"
         ).fetchall()
-        out = values_df(spark, 
+        out = values_df(spark,
             rows,
             "table_name string, column_name string, ordinal long,"
             " data_type string",
@@ -577,7 +577,7 @@ def datapump_roundtrip_estimate_only(
             (t, int(by_table.get(f"main.{t}", -1)))
             for t in sorted(tables)
         ]
-        out = values_df(spark, 
+        out = values_df(spark,
             rows, "table_name string, estimated_rows long"
         )
         return (

@@ -435,7 +435,7 @@ def bfs_reach_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately unrolls per-layer instead, computing the same layer
     sets)."""
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    seed = values_df(spark, 
+    seed = values_df(spark,
         [(BFS_SEED,)], "node long"
     ).select(F.col("node"), F.lit(0).alias("layer"))
     visited = seed.localCheckpoint(eager=True)

@@ -884,7 +884,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-joined with a {len(_THRESHOLDS)}-row broadcast threshold
     table, one bounded groupBy."""
     acc = D.minhash_estimate_accuracy(spark, sf_dir)
-    thr = values_df(spark, 
+    thr = values_df(spark,
         [(t,) for t in _THRESHOLDS], "thr_ppm long"
     )
     return (

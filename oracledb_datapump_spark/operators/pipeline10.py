@@ -368,7 +368,7 @@ def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = freq.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
         eager=True
     )
-    sizes = values_df(spark, 
+    sizes = values_df(spark,
         [(v,) for v in OOV_VOCAB_SIZES], "vocab_size long"
     )
     return (

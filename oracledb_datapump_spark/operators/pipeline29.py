@@ -312,7 +312,7 @@ def kcore_peel_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         n_surv = None
-    return values_df(spark, 
+    return values_df(spark,
         [(int(r), int(n)) for r, n in counts], "round int, n_survivors long"
     ).orderBy("round")
 

@@ -66,7 +66,7 @@ def funnel_ordered_within_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t2") - F.col("t1") <= FUNNEL_STEP_GAP_US)
         & (F.col("t3") - F.col("t2") <= FUNNEL_STEP_GAP_US)
     ).count()
-    return values_df(spark, 
+    return values_df(spark,
         [(n_users, c1, c2, c3, within)],
         "n_users long, reached_view long, reached_click long, "
         "reached_purchase long, completed_within_gap long",
@@ -383,7 +383,7 @@ def bpe_encode_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq", F.replace(F.col("seq"), F.lit(pat), F.lit(rep))
         )
         curve.append((k, pair, totals(cur)))
-    out = values_df(spark, 
+    out = values_df(spark,
         [
             (k, p, t, t * 1_000_000 // total_words)
             for k, p, t in curve

@@ -371,7 +371,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query→cluster distances, ranked once; per-depth probes slice it
     assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
     cents = _fit_centroids(spark, sf_dir)
-    cent_df = values_df(spark, 
+    cent_df = values_df(spark,
         [(int(cid), [int(v) for v in cv]) for cid, cv in cents],
         "cid long, cv array<long>",
     )
@@ -424,7 +424,7 @@ def ann_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 topk_hits * 1_000_000 // denom,
             )
         )
-    return values_df(spark, 
+    return values_df(spark,
         rows,
         "nprobe int, cand_hits long, cand_recall_ppm long, "
         "topk_hits long, topk_recall_ppm long",

@@ -102,7 +102,7 @@ def order_stats_two_pass(
                     targets.append((g, pct, n, b, rank - seen))
                     break
                 seen += c
-    tdf = values_df(spark, 
+    tdf = values_df(spark,
         targets, "grp string, pct long, n_rows long, b long, off long"
     )
     # pass 3: exact k-th smallest WITHIN each located bucket only

@@ -479,7 +479,7 @@ def embedding_dim_energy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = per_dim.withColumn("cum", F.sum("energy").over(w))
     total = per_dim.agg(F.sum("energy")).collect()[0][0]
-    ks = values_df(spark, 
+    ks = values_df(spark,
         [(k,) for k in ENERGY_PREFIX_KS], "k long"
     )
     return (
@@ -572,7 +572,7 @@ def matryoshka_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the HOF formulation it replaced. The dims cross-join stands; the
     # real win here was pinning topk below (the whole scoring pipeline
     # used to execute twice).
-    dims = values_df(spark, 
+    dims = values_df(spark,
         [(d,) for d in MATRYOSHKA_DIMS], "dims long"
     )
     pairs = (

@@ -75,10 +75,10 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ml = labels.select(
         F.col("vec_id").alias("match_doc"), F.col("label").alias("m_label")
     )
-    disc = values_df(spark, 
+    disc = values_df(spark,
         [(r_, d) for r_, d in sorted(DISC_PPM.items())], "rank long, disc long"
     )
-    idcg = values_df(spark, 
+    idcg = values_df(spark,
         [(m, v) for m, v in sorted(IDCG_PPM.items())],
         "n_rel_topk long, idcg long",
     )

@@ -82,7 +82,7 @@ def dedup_method_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(hits * 1_000_000 // n_cand) if n_cand else 0,
             )
         )
-    return values_df(spark, 
+    return values_df(spark,
         sorted(outs),
         "method string, n_candidates long, n_truth_hits long,"
         " recall_ppm long, precision_ppm long",

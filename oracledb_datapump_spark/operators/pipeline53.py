@@ -97,7 +97,7 @@ def winnow_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(n_pairs),
             )
         )
-    return values_df(spark, 
+    return values_df(spark,
         rows,
         "w long, guarantee_len long, density_ppm long, n_fps long,"
         " n_pairs long",

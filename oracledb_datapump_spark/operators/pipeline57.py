@@ -126,7 +126,7 @@ def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             selected.append(best[1])
             out.append((qid, rank, best[1], rel_of[best[1]], best[2]))
-    return values_df(spark, 
+    return values_df(spark,
         out, "query_id long, rank long, neighbor_id long, rel long, mmr2 long"
     ).orderBy("query_id", "rank")
 

@@ -203,7 +203,7 @@ def fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             max(m_ppm * 1024 // u_ppm, 1).bit_length() if u_ppm else 0
         )
         rows.append((f, m_ppm, u_ppm, weight_q))
-    return values_df(spark, 
+    return values_df(spark,
         rows, "field string, m_ppm long, u_ppm long, weight_q long"
     ).orderBy("field")
 

@@ -91,7 +91,7 @@ def conformal_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // n_test
             )
         rows.append((alpha, n_cal, n_test, q_hat, cov))
-    return values_df(spark, 
+    return values_df(spark,
         rows,
         "alpha_ppm long, n_cal long, n_test long, q_hat long, coverage_ppm long",
     ).orderBy("alpha_ppm")

@@ -98,7 +98,7 @@ def unigram_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     final1 = _viterbi_final(wc, vcost1)
     row_b = _stats("b_pruned", vcost1.count(), final1)
 
-    return values_df(spark, 
+    return values_df(spark,
         [row_a, row_b],
         "stage string, vocab_size long, total_pieces long, fertility_ppm long",
     ).orderBy("stage")

@@ -451,7 +451,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen: list[tuple[int, int, int, int]] = []
     for step in range(1, COVERAGE_STEPS + 1):
         if covered:
-            cov_df = values_df(spark, 
+            cov_df = values_df(spark,
                 [(s,) for s in covered], "shingle string"
             )
             remaining = sh.join(F.broadcast(cov_df), "shingle", "left_anti")
@@ -475,7 +475,7 @@ def greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         covered.extend(new_sh)
         chosen.append((step, doc_id, gain, len(covered)))
-    return values_df(spark, 
+    return values_df(spark,
         chosen, "step long, doc_id long, gain long, covered_cum long"
     ).orderBy("step")
 

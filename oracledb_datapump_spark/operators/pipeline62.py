@@ -242,7 +242,7 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("grn")
         - F.when(F.col("arm") == 1, F.lit(off0)).otherwise(F.lit(0)),
     )
-    targets = values_df(spark, 
+    targets = values_df(spark,
         [
             (a, n, d)
             for a, n in sorted(arm_counts.items())

@@ -315,7 +315,7 @@ def dedup_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ov = m1.join(m2, ["d1", "d2"]).count()
     n1, n2 = m1.count(), m2.count()
     chap = (n1 + 1) * (n2 + 1) // (ov + 1) - 1
-    return values_df(spark, 
+    return values_df(spark,
         [
             (
                 n1,
@@ -415,7 +415,7 @@ def hurst_rs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bounds.select("d0")))
         .select((F.col("day") - F.col("d0")).alias("i"), "x")
     )
-    sizes = values_df(spark, 
+    sizes = values_df(spark,
         [(b,) for b in HURST_BLOCKS], "b long"
     )
     blk = dense.crossJoin(F.broadcast(sizes)).select(

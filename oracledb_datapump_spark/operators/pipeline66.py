@@ -103,7 +103,7 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chosen.append((step, int(far["vec_id"]), int(far["mind"])))
         center = list(far["q"])
-    return values_df(spark, 
+    return values_df(spark,
         chosen, "step long, vec_id long, radius_q long"
     ).orderBy("step")
 

@@ -186,7 +186,7 @@ def rich_club_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             else 0
         )
         rows.append((t, n_rich, e_rich, phi))
-    return values_df(spark, 
+    return values_df(spark,
         rows,
         "deg_threshold long, n_rich long, e_rich long, phi_ppm long",
     ).orderBy("deg_threshold")

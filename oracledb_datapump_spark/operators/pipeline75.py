@@ -267,7 +267,7 @@ def kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = int(r["d"])
         s = s * (n - d) // n
         rows.append((int(r["week_bucket"]), d, int(r["c"]), n, s))
-    return values_df(spark, 
+    return values_df(spark,
         rows,
         "week_bucket long, n_events long, n_censored long,"
         " n_at_risk long, s_ppm long",

@@ -430,7 +430,7 @@ def ann_ivfpq_topk(
 
     assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
     cents = _fit_centroids(spark, sf_dir)
-    cent_df = values_df(spark, 
+    cent_df = values_df(spark,
         [(int(cid), [int(v) for v in cv]) for cid, cv in cents],
         "cid long, cv array<long>",
     )

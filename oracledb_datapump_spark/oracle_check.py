@@ -157,38 +157,74 @@ def _within_tol(rows_a: list[tuple], rows_b: list[tuple], tol: float) -> bool:
     return True
 
 
-def check_all(spark, sf_dir: str, float_tol: float = 0.0) -> list[dict]:
+def check_all(
+    spark, sf_dir: str, float_tol: float = 0.0, workers: int = 1
+) -> list[dict]:
+    """Run every declared query's oracle comparison.
+
+    ``workers > 1`` overlaps independent comparisons from a small thread
+    pool (guide §2.6 — Spark happily runs concurrent jobs in one
+    application; the driver-side pandas/DuckDB halves of each comparison
+    release the GIL, so the session's cores stay busy during them).
+    Each worker thread holds its own DuckDB connection (connections are
+    not thread-safe). Results keep queries() order either way. Safety
+    audit for the parallel path: query functions use unique
+    tempfile/table names; the only session-conf window
+    (bucket_pruned_lookup's autoBucketedScan toggle) affects scan
+    STRATEGY, never values, and no two queries toggle it; the model-fit
+    memos are deterministic, so a racing duplicate fit wastes work but
+    cannot corrupt. Per-query ``secs`` under workers>1 reflect
+    co-running load — callers using the timing canary should run
+    single-threaded or skip the guard."""
     import time
 
     import __spark_entry__ as entry_mod
 
-    con = duckdb_con(sf_dir)
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
-    out = []
-    for name, fn in qs.items():
+
+    def one(item, con) -> dict:
+        name, fn = item
         t0 = time.perf_counter()
         if name not in sqls:
-            df = fn(spark, sf_dir)
-            out.append(
-                {
+            try:
+                df = fn(spark, sf_dir)
+                r = {
                     "name": name,
                     "rows_spark": df.count(),
                     "rows_match": None,
                     "values_match": None,
                     "note": "no oracle (rows-only check)",
                 }
-            )
+            except Exception as e:
+                r = {"name": name, "error": str(e)[:500]}
         else:
             try:
-                out.append(
-                    compare(fn(spark, sf_dir), con, sqls[name], name, float_tol)
-                )
+                r = compare(fn(spark, sf_dir), con, sqls[name], name, float_tol)
             except Exception as e:
-                out.append({"name": name, "error": str(e)[:500]})
+                r = {"name": name, "error": str(e)[:500]}
         # wall-time witness: a query suddenly 3x its committed trailing
         # time means environment drag (co-running load) or a real plan
         # regression — either way a diagnosable signal, recorded here so
         # the correctness suite doubles as a contamination canary
-        out[-1]["secs"] = round(time.perf_counter() - t0, 3)
-    return out
+        r["secs"] = round(time.perf_counter() - t0, 3)
+        return r
+
+    items = list(qs.items())
+    if workers <= 1:
+        con = duckdb_con(sf_dir)
+        return [one(it, con) for it in items]
+
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tl = threading.local()
+
+    def one_tl(item) -> dict:
+        con = getattr(tl, "con", None)
+        if con is None:
+            con = tl.con = duckdb_con(sf_dir)
+        return one(item, con)
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(one_tl, items))

@@ -138,7 +138,7 @@ def run_cusum_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
                 )
             )
         if rows:
-            values_df(spark, 
+            values_df(spark,
                 rows,
                 "day long, i long, splus_q long, sminus_q long,"
                 " alarm_flag boolean",

@@ -122,7 +122,7 @@ def run_ph_cycle(spark: SparkSession, src_dir: str, out_dir: str) -> dict:
             rows.append(
                 (int(r["day"]), st["n"], st["m"], st["m"] - st["minm"])
             )
-        values_df(spark, 
+        values_df(spark,
             rows, "day long, i long, m_q long, ph_q long"
         ).coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, "trajectory", f"batch_id={batch_id}")

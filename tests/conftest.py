@@ -12,7 +12,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from oracledb_datapump_spark.session import get_spark
 
-    s = get_spark(app_name="datapump-tests", master="local[4]", shuffle_partitions=4)
+    # r17: local[4] -> local[8] (the host has 32 cores; the suite was
+    # wall-bounded by the shared session's width now that the two
+    # full-surface sweeps overlap comparisons from thread pools).
+    # shuffle_partitions stays 4 — file-count expectations in the
+    # lifecycle tests key off it.
+    s = get_spark(app_name="datapump-tests", master="local[8]", shuffle_partitions=4)
     yield s
 
 

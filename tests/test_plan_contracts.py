@@ -112,14 +112,44 @@ _SP_WINDOW_EXEMPT = {
 def test_plan_contracts_all_queries(spark):
     import __spark_entry__ as entry_mod
 
-    bad: dict[str, str] = {}
-    for name, fn in entry_mod.queries().items():
-        spark.catalog.clearCache()
+    # r17 (verdict item 3): the sweep cost 459 s sequentially — almost
+    # all of it CONSTRUCTING the 463 frames (eager pins, model-fit
+    # memos, iterative loops all run at sf0.001 during fn()) — so
+    # overlap construction from a thread pool (guide §2.6). One
+    # clearCache up front instead of per query: the per-query clear
+    # only mattered for queries that persist shared scans
+    # (curated_corpus family), whose cached plans still expose the
+    # same join/window/Python nodes the three contracts inspect —
+    # every cross join in the surface is either values_df-literal
+    # (exact size stats) or explicitly broadcast-hinted, so cache-size
+    # estimates cannot flip a strategy into CartesianProduct. Checked
+    # stable across repeated runs. SPARK_GRAFT_PLAN_WORKERS=1 restores
+    # the sequential sweep.
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = int(_os.environ.get("SPARK_GRAFT_PLAN_WORKERS", "8"))
+    spark.catalog.clearCache()
+
+    def plan_of(item):
+        name, fn = item
         try:
             df = fn(spark, SF)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            return name, df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover - contract: must plan
-            bad[name] = f"failed to plan: {exc}"
+            return name, None if exc is None else f"__ERR__{exc}"
+
+    items = list(entry_mod.queries().items())
+    if workers <= 1:
+        planned = [plan_of(it) for it in items]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            planned = list(pool.map(plan_of, items))
+
+    bad: dict[str, str] = {}
+    for name, plan in planned:
+        if plan is None or plan.startswith("__ERR__"):
+            bad[name] = f"failed to plan: {(plan or '')[7:]}"
             continue
         if "CartesianProduct" in plan:
             bad[name] = "CartesianProduct in physical plan"
