@@ -144,6 +144,7 @@ CLEAN_FULLS = [
     ("1716804", "r15a"),  # round-15 clean capture (364.1s/219q, 1.166, zero >=2x rows, sentinel benign-faster 0.59x, captured right after the 682-test suite went green) — first anchors for the 8 new r15 headliners and the re-anchor point for the six r15 PLAN_RESETS queries (the plan that ships is the plan the anchor measures)
     ("a15851f", "r16a"),  # round-16 first-session clean capture (313.4s/223q, 0.989x, benign 0.62x sentinel) — first anchors for the 4 batch-74-76 headliners; tightens the waves-1-7 optimized queries
     ("c8c4dd7", "r16b"),  # round-16 second-session clean capture (316.3s/223q, 1.003x on a host reading a 1.196x median ratio vs r16a on untouched queries; benign 0.95x sentinel; first attempt self-parked contaminated) — the only capture measuring the wave-8/9/10 plans (jl global-order route, shapley JVM lattice, hilbert widen+pin, values_df sweep, scan widens), so it seeds their tight anchors
+    ("9861a5e", "r17a"),  # round-17 clean capture (265.9s/223q, 1.021x, benign 0.65x sentinel, one >=2x row = a 4.6s-spread stall on untouched semantic_dedup_report) — the only capture measuring the r17 plans (emb widen split, star-contraction CC, lazy bm25 pins, streaming dedup staging); appending TIGHTENS 81 anchors and raises none (best-median-across-captures policy; diff counted at roll time)
 ]
 
 
