@@ -54,6 +54,21 @@ PAIR_SCHEMA = (
 )
 
 
+def _read_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """Read the accumulated pair appends; an empty dir (pair-free
+    drain) yields an empty frame of the same schema. r17: replaces the
+    per-run empty schema-seed write (one write job + one extra file in
+    every later read, paid on every invocation for a case that only
+    occurs on a degenerate corpus)."""
+    if any(
+        n.endswith(".parquet")
+        for n in os.listdir(pairs_dir)
+        if not n.startswith(("_", "."))
+    ):
+        return spark.read.schema(PAIR_SCHEMA).parquet(pairs_dir)
+    return spark.createDataFrame([], PAIR_SCHEMA)
+
+
 def _bands_for(docs: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, sig) for the given docs — the same construction as
     dedup_minhash_pairs (dedup.py:226), parameterized by doc frame.
@@ -251,15 +266,10 @@ def streaming_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
             src,
         )
-        # schema-seed the pairs dir so a pair-free drain still reads back
-        spark.createDataFrame([], PAIR_SCHEMA).write.mode("overwrite").parquet(
-            pairs_dir
-        )
         run_streaming_dedup(spark, sf_dir, src, index_dir, pairs_dir, ckpt)
         # temp dirs are deleted below — pin rows first
         return (
-            spark.read.schema(PAIR_SCHEMA)
-            .parquet(pairs_dir)
+            _read_pairs(spark, pairs_dir)
             .orderBy("new_doc", "old_doc")
             .localCheckpoint(eager=True)
         )
@@ -305,9 +315,6 @@ def streaming_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         n = d.agg(F.max("doc_id") + 1).collect()[0][0]
         c1, c2 = n // 3, 2 * n // 3
-        spark.createDataFrame([], PAIR_SCHEMA).write.mode("overwrite").parquet(
-            pairs_dir
-        )
         # phase 1: terciles 0 and 1 arrive and drain (batches 0, 1)
         _land_single_parquet(
             d.filter(F.col("doc_id") < c1),
@@ -342,8 +349,7 @@ def streaming_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         run_streaming_dedup(spark, sf_dir, src, index_dir, pairs_dir, ckpt)
         return (
-            spark.read.schema(PAIR_SCHEMA)
-            .parquet(pairs_dir)
+            _read_pairs(spark, pairs_dir)
             .withColumn("was_fragmented", F.lit(files_before >= 2))
             .withColumn("compacted", F.lit(files_after < files_before))
             .withColumn("compaction_logged", F.lit(compaction_logged))
