@@ -63,36 +63,86 @@ def stage_events_arrivals(
     The split point only affects WHICH cycle processes a row, never the
     converged result, so any consumer's final aggregate is
     split-point-independent by construction."""
+    import shutil
+
     from ..events_source import load_events
 
     ev = load_events(spark, sf_dir)
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = lo + (hi - lo) // 2
-    # land the fixture's own schema, not the helper column
-    raw = ev.drop("ts_us")
-    early = ev.filter(F.col("ts_us") < F.lit(mid)).drop("ts_us")
-    late = ev.filter(F.col("ts_us") >= F.lit(mid)).drop("ts_us")
-    n_early = early.count()
-    n_late = late.count()
-    if n_early == 0 or n_late == 0:
+    # r17 (guide §6): pre-stage BOTH halves in one parallel partitionBy
+    # pass into a sibling holding dir (NOT inside the watched src_dir —
+    # the file-stream source and the schema sniffer must never see a
+    # staged-but-unlanded file); each land() is then a driver-side
+    # rename. The old staging paid two count jobs plus two filtered
+    # coalesce(1) scans, each single-task. The land-then-cycle contract
+    # is unchanged: a file appears in src_dir only when its cycle is
+    # about to run. A half empty on a degenerate timeline writes no
+    # leaf, which replaces the two count() probes.
+    hold = src_dir.rstrip("/") + ".__stage__"
+    (
+        ev.withColumn("__slice", (F.col("ts_us") >= F.lit(mid)).cast("int"))
+        .drop("ts_us")  # land the fixture's own schema
+        .repartition("__slice")
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(hold)
+    )
+    staged: dict[int, str] = {}
+    layout_ok = True
+    for i in (0, 1):
+        leaf = os.path.join(hold, f"__slice={i}")
+        if not os.path.isdir(leaf):
+            continue
+        parts = [
+            n
+            for n in sorted(os.listdir(leaf))
+            if n.startswith("part-") and n.endswith(".parquet")
+        ]
+        if len(parts) > 1:
+            # repartition("__slice") puts each half in one task, so one
+            # part per leaf; anything else → the proven per-slice path
+            layout_ok = False
+            break
+        if parts:
+            staged[i] = os.path.join(leaf, parts[0])
+    if not layout_ok:
+        shutil.rmtree(hold, ignore_errors=True)
+        early = ev.filter(F.col("ts_us") < F.lit(mid)).drop("ts_us")
+        late = ev.filter(F.col("ts_us") >= F.lit(mid)).drop("ts_us")
+        if reverse:
+            early, late = late, early
         return [
             lambda: _land_single_parquet(
-                raw, os.path.join(src_dir, "events-0.parquet")
-            )
+                early, os.path.join(src_dir, "events-0.parquet")
+            ),
+            lambda: _land_single_parquet(
+                late, os.path.join(src_dir, "events-1.parquet")
+            ),
         ]
-    if reverse:
-        # out-of-order delivery: the LATE half arrives first, then the
-        # early half — cycle 2's rows are OLDER than applied state, the
-        # scenario MERGE_ORDER exists for
-        early, late = late, early
-    return [
-        lambda: _land_single_parquet(
-            early, os.path.join(src_dir, "events-0.parquet")
-        ),
-        lambda: _land_single_parquet(
-            late, os.path.join(src_dir, "events-1.parquet")
-        ),
-    ]
+    if len(staged) < 2:
+        # degenerate timeline (an empty half): single arrival of the
+        # whole fixture — the one staged file IS the whole fixture
+        whole = staged.get(0, staged.get(1))
+
+        def land_all(src_file=whole):
+            os.replace(src_file, os.path.join(src_dir, "events-0.parquet"))
+            shutil.rmtree(hold, ignore_errors=True)
+
+        return [land_all]
+    first, second = (1, 0) if reverse else (0, 1)
+
+    def land_first():
+        # out-of-order delivery when reverse=True: the LATE half arrives
+        # first, then the early half — cycle 2's rows are OLDER than
+        # applied state, the scenario MERGE_ORDER exists for
+        os.replace(staged[first], os.path.join(src_dir, "events-0.parquet"))
+
+    def land_second():
+        os.replace(staged[second], os.path.join(src_dir, "events-1.parquet"))
+        shutil.rmtree(hold, ignore_errors=True)
+
+    return [land_first, land_second]
 
 
 def land_slices_single_pass(
