@@ -145,6 +145,7 @@ CLEAN_FULLS = [
     ("a15851f", "r16a"),  # round-16 first-session clean capture (313.4s/223q, 0.989x, benign 0.62x sentinel) — first anchors for the 4 batch-74-76 headliners; tightens the waves-1-7 optimized queries
     ("c8c4dd7", "r16b"),  # round-16 second-session clean capture (316.3s/223q, 1.003x on a host reading a 1.196x median ratio vs r16a on untouched queries; benign 0.95x sentinel; first attempt self-parked contaminated) — the only capture measuring the wave-8/9/10 plans (jl global-order route, shapley JVM lattice, hilbert widen+pin, values_df sweep, scan widens), so it seeds their tight anchors
     ("9861a5e", "r17a"),  # round-17 clean capture (265.9s/223q, 1.021x, benign 0.65x sentinel, one >=2x row = a 4.6s-spread stall on untouched semantic_dedup_report) — the only capture measuring the r17 plans (emb widen split, star-contraction CC, lazy bm25 pins, streaming dedup staging); appending TIGHTENS 81 anchors and raises none (best-median-across-captures policy; diff counted at roll time)
+    ("3b4fdeb", "r17b"),  # round-17 second clean capture (271.6s/223q, 1.124x, benign 0.45x sentinel, 1.034x host ratio vs r17a on untouched queries, one >=2x row = the same semantic_dedup_report stall, 8.7s in-run spread) — the only capture measuring the post-r17a changes (streaming dedup seed-write removal 7.30->6.30s, single-pass arrival staging: merge_apply 3.58->2.84s, scd2_enrich 2.91->2.13s); appending tightens anchors only (diff counted at roll time, stated in the roll commit)
 ]
 
 
